@@ -1,0 +1,172 @@
+"""Deterministic synthetic token-sequence table generator.
+
+Produces the engine's source table per BASELINE.json input_hint:
+    (doc_id: string, tokens: array<int32>, n_tok: int32, source: string)
+plus derived ``event_ts: timestamp`` (FIXTURES.md §1).
+
+Every column is a pure function of the global row id, so generation is
+embarrassingly parallel: the Spark path is ``spark.range(n)`` →
+``mapInPandas`` over the same numpy kernel the pandas path uses — both
+produce bit-identical rows, which is what lets the pandas oracle and the
+Spark engine consume *the same* input.
+
+Randomness is counter-based (splitmix64 streams), not stateful RNG, so any
+row can be regenerated independently — the distributed analog of the
+reference's per-call seeded rng (/root/reference/numalogic/synthetic/
+timeseries.py:74) and sparsity injector (synthetic/sparsity.py:16-43).
+
+Layout: sources are assigned by a fixed integer-weight cycle so that the
+per-source sequence index is a closed form of the global id (no shuffle
+needed to number rows within a source). Source src_000 is hot (~30% of
+rows) to exercise skew handling; the rest follow a Zipf-ish tail.
+Gaps: seeded runs of 2–50 consecutive per-source indices are dropped
+(timestamps keep counting), exercising linear-interpolation gap-fill.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+SEED = 42
+VOCAB = 50257
+N_TOK_MIN = 16
+N_TOK_MAX = 2048  # exclusive
+EPOCH0_S = 1704067200  # 2024-01-01T00:00:00Z
+STEPS_S = np.array([1, 5, 30, 60], dtype=np.int64)
+
+TOKEN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("n_tok", T.IntegerType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("event_ts", T.TimestampType(), False),
+    ]
+)
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mix)."""
+    z = (x.astype(_U64) + _U64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _source_weights(n_sources: int) -> np.ndarray:
+    """Integer weights per source over one assignment cycle.
+
+    src_000 gets ~30% of the cycle; the remainder is Zipf(1.05) over the
+    other sources. Cycle length 1000 keeps the closed-form index math cheap.
+    """
+    cycle = 1000
+    hot = int(cycle * 0.30)
+    k = np.arange(1, n_sources, dtype=np.float64)
+    z = 1.0 / np.power(k, 1.05)
+    rest = np.floor(z / z.sum() * (cycle - hot)).astype(np.int64)
+    rest = np.maximum(rest, 1)
+    w = np.concatenate([[hot], rest])
+    w[0] += cycle - w.sum()  # absorb rounding into the hot source
+    return w.astype(np.int64)
+
+
+class TokenGenSpec:
+    """Frozen derived constants for a (n_rows, n_sources) generation run."""
+
+    def __init__(self, n_sources: int = 50, seed: int = SEED):
+        self.n_sources = n_sources
+        self.seed = seed
+        self.weights = _source_weights(n_sources)
+        self.cycle = int(self.weights.sum())
+        self.cum = np.concatenate([[0], np.cumsum(self.weights)])  # len K+1
+        # per-source step seconds, seeded by source index
+        src_seed = splitmix64(np.arange(n_sources, dtype=np.uint64) ^ _U64(seed))
+        self.src_seed = src_seed
+        self.step_s = STEPS_S[(src_seed % _U64(4)).astype(np.int64)]
+        self.names = np.array([f"src_{i:03d}" for i in range(n_sources)])
+
+
+def _rows_for_ids(gid: np.ndarray, spec: TokenGenSpec) -> pd.DataFrame:
+    """Pure kernel: global ids → token-table rows (gap rows dropped)."""
+    gid = gid.astype(np.int64)
+    c, r = np.divmod(gid, spec.cycle)
+    src = np.searchsorted(spec.cum, r, side="right") - 1  # source index
+    idx = c * spec.weights[src] + (r - spec.cum[src])  # per-source seq index
+
+    # gap injection: per 64-index block, sometimes drop a 2-50 run prefix
+    block = idx >> 6
+    rblk = splitmix64(spec.src_seed[src] ^ splitmix64(block.astype(np.uint64)))
+    gap_block = (rblk % _U64(100)) < _U64(12)
+    gap_len = (_U64(2) + ((rblk >> _U64(8)) % _U64(49))).astype(np.int64)
+    keep = ~(gap_block & ((idx & 63) < gap_len))
+
+    gid, src, idx = gid[keep], src[keep], idx[keep]
+    names = spec.names[src]
+    doc_id = np.char.add(np.char.add(names, "-"), np.char.zfill(idx.astype(str), 12))
+
+    # row seed ~ hash64(doc_id) ^ seed, realized as a mix of (source, idx)
+    row_seed = splitmix64(
+        splitmix64(src.astype(np.uint64) ^ _U64(0xD0C5EED)) ^ idx.astype(np.uint64) ^ _U64(spec.seed)
+    )
+    n_tok = (N_TOK_MIN + (row_seed % _U64(N_TOK_MAX - N_TOK_MIN))).astype(np.int32)
+
+    # flat counter-based token stream: tokens[i][j] = mix(row_seed[i] + j + 1) % VOCAB
+    total = int(n_tok.sum())
+    offs = np.concatenate([[0], np.cumsum(n_tok.astype(np.int64))])
+    flat_row = np.repeat(np.arange(len(n_tok)), n_tok)
+    within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], n_tok)
+    flat = (
+        splitmix64(row_seed[flat_row] + within.astype(np.uint64) + _U64(1)) % _U64(VOCAB)
+    ).astype(np.int32)
+    tokens = np.split(flat, offs[1:-1]) if len(n_tok) else []
+
+    ts_s = EPOCH0_S + idx * spec.step_s[src]
+    return pd.DataFrame(
+        {
+            "doc_id": doc_id,
+            "tokens": tokens,
+            "n_tok": n_tok,
+            "source": names,
+            "event_ts": pd.to_datetime(ts_s, unit="s"),
+        }
+    )
+
+
+def gen_tokens_pandas(n_rows: int, n_sources: int = 50, seed: int = SEED) -> pd.DataFrame:
+    """Single-process generation (tests / oracle input)."""
+    spec = TokenGenSpec(n_sources, seed)
+    return _rows_for_ids(np.arange(n_rows, dtype=np.int64), spec)
+
+
+def gen_tokens_spark(
+    spark: SparkSession, n_rows: int, n_sources: int = 50, seed: int = SEED, partitions: int | None = None
+) -> DataFrame:
+    """Distributed generation — identical rows to :func:`gen_tokens_pandas`.
+
+    spark.range gives each task a contiguous id slice; the kernel is a pure
+    function of the id, so this scales to any cluster width with zero
+    shuffle (the 100-TB datagen story: one narrow stage).
+    """
+    spec = TokenGenSpec(n_sources, seed)
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            out = _rows_for_ids(pdf["id"].to_numpy(), spec)
+            if len(out):
+                yield out
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, TOKEN_SCHEMA)
+
+
+def write_tokens(
+    spark: SparkSession, path: str, n_rows: int, n_sources: int = 50, seed: int = SEED
+) -> None:
+    """Materialize the token table as parquet (bench/test fixture cache)."""
+    gen_tokens_spark(spark, n_rows, n_sources, seed).write.mode("overwrite").parquet(path)

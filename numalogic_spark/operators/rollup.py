@@ -1,0 +1,159 @@
+"""Continuous-aggregate rollup with cascading retention tiers.
+
+Semantics mirror the reference's Druid granularity rollup — time-bucket
+aggregation with count/sum/mean plus an approximate-quantile aggregator
+(/root/reference/numalogic/connectors/druid/_druid.py:106-115 granularity
+params; aggregators.py:1-22 quantilesDoublesSketch) — except our quantiles
+are EXACT: instead of a DataSketch we cascade a *mergeable exact histogram*
+(value → count) per bucket, which supports numpy-style linear-interpolation
+percentiles at every tier without rescanning raw data.
+
+Plan shape (one raw scan total, all JVM-side):
+
+    raw ─groupBy(source, 1m-bucket, value)→ hist_1m      (partial agg map-side)
+        hist_1m ─window+groupBy→ tier_1m (count/sum/mean/p95/rate)
+        hist_1m ─groupBy(hour)→ hist_1h ─→ tier_1h
+        hist_1h ─groupBy(day)→  hist_1d ─→ tier_1d
+
+The (source, bucket, value) grouping key spreads a hot source across many
+reducers (value acts as a natural salt), and partial aggregation collapses
+duplicates map-side — this is the skew story for the rollup path; explicit
+salting helpers for other paths live in plans/skew.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TIERS: dict[str, tuple[str, int]] = {
+    # tier name -> (date_trunc unit, bucket seconds)
+    "1m": ("minute", 60),
+    "1h": ("hour", 3600),
+    "1d": ("day", 86400),
+}
+
+
+@dataclass(frozen=True)
+class RollupConfig:
+    source_col: str = "source"
+    ts_col: str = "event_ts"
+    value_col: str = "n_tok"
+    percentile: float = 0.95
+    integral_values: bool = True  # token counts are ints → store sums as long
+    # For non-integral values: sum via exact decimal arithmetic so that the
+    # result is independent of aggregation order (a distributed engine must
+    # not let reducer scheduling change the answer). Value precision in the
+    # source data is expected to fit decimal(20,6).
+    decimal_sum: bool = False
+
+
+def bucket(ts_col: str | Column, unit: str) -> Column:
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.date_trunc(unit, c)
+
+
+def histogram(df: DataFrame, cfg: RollupConfig, unit: str) -> DataFrame:
+    """(source, bucket_ts, v) → cnt — the mergeable exact histogram."""
+    return (
+        df.select(
+            F.col(cfg.source_col).alias("source"),
+            bucket(cfg.ts_col, unit).alias("bucket_ts"),
+            F.col(cfg.value_col).cast("double").alias("v"),
+        )
+        .groupBy("source", "bucket_ts", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histogram(hist: DataFrame, unit: str) -> DataFrame:
+    """Re-bucket a finer histogram to a coarser tier (pure merge, no raw scan)."""
+    return (
+        hist.groupBy("source", bucket("bucket_ts", unit).alias("bucket_ts"), "v")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _percentile_cols(p: float) -> list[Column]:
+    """Exact linear-interpolation percentile over a (v, cnt) histogram.
+
+    Matches numpy.percentile / Spark `percentile` / DuckDB quantile_cont:
+    pos = p*(N-1); result = v[floor(pos)] + frac * (v[floor(pos)+1] - v[floor(pos)])
+    computed from cumulative counts via window functions (stays in codegen).
+    Expects columns: cum (running count ordered by v), total, v, cnt.
+    """
+    lo = F.floor(F.lit(p) * (F.col("total") - 1)).cast("long")
+    hi = F.least(lo + 1, F.col("total") - 1)
+    frac = F.lit(p) * (F.col("total") - 1) - lo
+    v_lo = F.max(F.when((F.col("cum") - F.col("cnt") <= lo) & (F.col("cum") > lo), F.col("v")))
+    v_hi = F.max(F.when((F.col("cum") - F.col("cnt") <= hi) & (F.col("cum") > hi), F.col("v")))
+    return [v_lo.alias("_v_lo"), v_hi.alias("_v_hi"), F.max(frac).alias("_frac")]
+
+
+def tier_from_histogram(hist: DataFrame, cfg: RollupConfig, tier: str) -> DataFrame:
+    """Histogram → continuous-aggregate tier table.
+
+    Output: (source, bucket_ts, tier, count, n_tok_sum, n_tok_mean,
+    n_tok_p95, token_rate). The window partitioning matches the following
+    groupBy key prefix, so Catalyst reuses one exchange for both.
+    """
+    _, secs = TIERS[tier]
+    w = Window.partitionBy("source", "bucket_ts").orderBy("v", "cnt")
+    enriched = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("source", "bucket_ts"))
+    )
+    if cfg.decimal_sum and not cfg.integral_values:
+        vsum = F.sum(F.col("v").cast("decimal(20,6)") * F.col("cnt")).cast("double")
+    else:
+        vsum = F.sum(F.col("v") * F.col("cnt"))
+    if cfg.integral_values:
+        vsum = vsum.cast("long")
+    agg = enriched.groupBy("source", "bucket_ts").agg(
+        F.sum("cnt").alias("count"),
+        vsum.alias("n_tok_sum"),
+        *_percentile_cols(cfg.percentile),
+    )
+    return agg.select(
+        "source",
+        "bucket_ts",
+        F.lit(tier).alias("tier"),
+        "count",
+        "n_tok_sum",
+        (F.col("n_tok_sum") / F.col("count")).alias("n_tok_mean"),
+        (F.col("_v_lo") + F.col("_frac") * (F.col("_v_hi") - F.col("_v_lo"))).alias("n_tok_p95"),
+        (F.col("n_tok_sum") / F.lit(float(secs))).alias("token_rate"),
+    )
+
+
+def rollup_cascade(df: DataFrame, cfg: RollupConfig | None = None) -> dict[str, DataFrame]:
+    """Full raw → 1m → 1h → 1d cascade from ONE scan of the raw table.
+
+    Returns {"1m": df, "1h": df, "1d": df}. count/sum/mean re-aggregate
+    exactly by construction; p95 is exact at every tier because the
+    histogram merge is lossless (reference analog: Druid would re-ingest or
+    merge quantile sketches — approximate; we are exact).
+    """
+    cfg = cfg or RollupConfig()
+    h1m = histogram(df, cfg, "minute")
+    h1h = merge_histogram(h1m, "hour")
+    h1d = merge_histogram(h1h, "day")
+    return {
+        "1m": tier_from_histogram(h1m, cfg, "1m"),
+        "1h": tier_from_histogram(h1h, cfg, "1h"),
+        "1d": tier_from_histogram(h1d, cfg, "1d"),
+    }
+
+
+def raw_tier(df: DataFrame, cfg: RollupConfig | None = None) -> DataFrame:
+    """The raw retention tier: per-event points, token arrays untouched.
+
+    Per-row invariant vs the source (BASELINE.json): token-array equality —
+    verified by an anti-join in tests (see tests/test_invariants.py).
+    """
+    cfg = cfg or RollupConfig()
+    return df.select(
+        "doc_id", F.col(cfg.source_col).alias("source"), F.col(cfg.ts_col).alias("event_ts"),
+        "tokens", F.col(cfg.value_col).alias("n_tok"), F.lit("raw").alias("tier")
+    )
