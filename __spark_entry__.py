@@ -193,6 +193,125 @@ SELECT event_id, floor((dv) * 1000000 + 0.5) / 1000000.0 AS dvalue FROM e
 """
 
 
+def _q_ewm_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXP window aggregation (A7 closed form) over each series' last-12
+    window — the reference's postprocess window-agg step
+    (udfs/postprocess.py:398-418 with ExpMovingAverage)."""
+    from numalogic_spark.functions.aggregators import window_agg_expr
+
+    df = _events(spark, sf_dir)
+    tail = TX.tail_n(df, 12, order_by=["ts", "event_id"], partition_by=["event_type"])
+    wins = tail.groupBy(F.col("event_type").alias("source")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("w")
+    )
+    return wins.select(
+        "source",
+        _r6(window_agg_expr("w", "EXP", beta=0.6)).alias("ewm_agg"),
+        _r6(window_agg_expr("w", "MEAN")).alias("mean_agg"),
+        _r6(window_agg_expr("w", "MAX")).alias("max_agg"),
+    )
+
+
+_EWM_SQL = """
+WITH t AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type AS source,
+  floor((sum(pow(0.6, rn - 1) * value) * 0.4 / (1 - pow(0.6, count(*)))) * 1000000 + 0.5) / 1000000.0 AS ewm_agg,
+  floor((sum(value) / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_agg,
+  floor((max(value)) * 1000000 + 0.5) / 1000000.0 AS max_agg
+FROM t WHERE rn <= 12
+GROUP BY event_type
+"""
+
+
+def _dec_stats(df: DataFrame, by: str, col: str) -> DataFrame:
+    """Per-group mean/std via exact decimal sums (order-independent, so the
+    Spark result is bit-identical to the DuckDB oracle's)."""
+    d = F.col(col).cast("decimal(20,4)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(d).cast("double")
+    s2 = F.sum(d * d).cast("double")
+    return df.groupBy(by).agg(
+        (s1 / n).alias("mu"),
+        F.sqrt(s2 / n - (s1 / n) * (s1 / n)).alias("sigma"),
+        n.alias("n"),
+    )
+
+
+def _q_tanh_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TanhScaler fit per series + transform (F5): broadcast fitted stats,
+    0.5*(tanh(0.2*(x-μ)/σ)+1). Ref: transforms/_scaler.py:27-74."""
+    df = _events(spark, sf_dir)
+    stats = _dec_stats(df, "event_type", "value")
+    out = df.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return out.select(
+        "event_id",
+        _r6(F.lit(0.5) * (F.tanh(F.lit(0.2) * z) + F.lit(1.0))).alias("tanh_scaled"),
+        _r6(F.col("value") / F.greatest(F.col("mu") + 3.0 * F.col("sigma"), F.lit(0.0))).alias(
+            "stddev_thr_score"
+        ),
+    )
+
+
+_TANH_SCALER_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*)
+              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))
+                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id,
+  floor((0.5 * ((exp(2.0 * (0.2 * (e.value - s.mu) / s.sigma)) - 1.0)
+               / (exp(2.0 * (0.2 * (e.value - s.mu) / s.sigma)) + 1.0) + 1.0)) * 1000000 + 0.5) / 1000000.0
+    AS tanh_scaled,
+  floor((e.value / greatest(s.mu + 3.0 * s.sigma, 0.0)) * 1000000 + 0.5) / 1000000.0
+    AS stddev_thr_score
+FROM events e JOIN s ON e.event_type = s.event_type
+"""
+
+
+def _q_percentile_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PercentileScaler (F6) + MaxPercentileThreshold (F15) per series.
+    Ref: transforms/_scaler.py:77-141, models/threshold/_median.py:13-66."""
+    df = _events(spark, sf_dir)
+    stats = df.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.percentile(F.col("value"), F.lit(0.99)).alias("hi"),
+        F.greatest(F.percentile(F.col("value"), F.lit(0.96)), F.lit(1e-4)).alias("thr"),
+        F.max("value").alias("mx"),
+    )
+    out = df.join(F.broadcast(stats), "event_type")
+    hi = F.when(F.col("hi") - F.col("lo") <= F.lit(1e-2), F.col("mx")).otherwise(F.col("hi"))
+    return out.select(
+        "event_id",
+        _r6((F.col("value") - F.col("lo")) / (hi - F.col("lo"))).alias("pct_scaled"),
+        _r6(F.col("value") / F.col("thr")).alias("maxpct_score"),
+    )
+
+
+_PCT_SCALER_SQL = """
+WITH s AS (
+  SELECT event_type, min(value) AS lo, max(value) AS mx,
+         quantile_cont(value, 0.99) AS hi,
+         greatest(quantile_cont(value, 0.96), 0.0001) AS thr
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id,
+  floor(((e.value - s.lo) / ((CASE WHEN s.hi - s.lo <= 0.01 THEN s.mx ELSE s.hi END) - s.lo)) * 1000000 + 0.5) / 1000000.0 AS pct_scaled,
+  floor((e.value / s.thr) * 1000000 + 0.5) / 1000000.0 AS maxpct_score
+FROM events e JOIN s ON e.event_type = s.event_type
+"""
+
+
 def _q_tail_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir)
     out = TX.tail_n(df, 12, order_by=["ts", "event_id"], partition_by=["event_type"])
@@ -233,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_norms": _q_score_norm,
         "difference_transform": _q_diff,
         "tail_n_per_series": _q_tail_n,
+        "ewm_window_agg": _q_ewm_window_agg,
+        "tanh_scaler_stddev_threshold": _q_tanh_scaler,
+        "percentile_scaler_threshold": _q_percentile_scaler,
     }
 
 
@@ -246,4 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "score_norms": _SCORE_SQL,
         "difference_transform": _DIFF_SQL,
         "tail_n_per_series": _TAIL_SQL,
+        "ewm_window_agg": _EWM_SQL,
+        "tanh_scaler_stddev_threshold": _TANH_SCALER_SQL,
+        "percentile_scaler_threshold": _PCT_SCALER_SQL,
     }

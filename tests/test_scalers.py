@@ -1,0 +1,114 @@
+"""Fitted scaler/threshold parity vs the reference formulas (numpy oracle).
+
+Oracles re-implement the math from transforms/_scaler.py and
+models/threshold/* directly (float64); Spark fit-stats must reproduce them.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.functions.scalers import (
+    fit_max_percentile_threshold,
+    fit_percentile_scaler,
+    fit_stddev_threshold,
+    fit_tanh_scaler,
+    mahalanobis_scores,
+    score_threshold,
+    transform_percentile_scaler,
+    transform_tanh_scaler,
+)
+
+
+@pytest.fixture(scope="module")
+def mat(spark):
+    rng = np.random.default_rng(42)
+    x = rng.random((300, 2)) * 10.0
+    x[:, 1] = x[:, 1] * 0 + 5.0  # constant column → std guard path
+    pdf = pd.DataFrame({"i": np.arange(300), "a": x[:, 0], "b": x[:, 1]})
+    return spark.createDataFrame(pdf), x, pdf
+
+
+def test_tanh_scaler(mat):
+    df, x, pdf = mat
+    stats = fit_tanh_scaler(df, ["a", "b"])
+    out = transform_tanh_scaler(df, stats, ["a", "b"]).orderBy("i").toPandas()
+    mean, std = x[:, 0].mean(), x[:, 0].std()
+    exp_a = 0.5 * (np.tanh(0.2 * (x[:, 0] - mean) / std) + 1)
+    np.testing.assert_allclose(out["a__scaled"], exp_a, rtol=1e-9)
+    # constant column: std := 1 (_scaler.py:72-74) → all values 0.5*(tanh(0)+1)=0.5
+    np.testing.assert_allclose(out["b__scaled"], 0.5, rtol=1e-12)
+    # mean of scaled data ~0.5 (docstring property, _scaler.py:31)
+    assert abs(out["a__scaled"].mean() - 0.5) < 0.05
+
+
+def test_percentile_scaler(mat):
+    df, x, pdf = mat
+    stats = fit_percentile_scaler(df, ["a"], max_percentile=99.0)
+    out = transform_percentile_scaler(df, stats, ["a"]).orderBy("i").toPandas()
+    lo = x[:, 0].min()
+    hi = np.percentile(x[:, 0], 99.0)
+    exp = (x[:, 0] - lo) / (hi - lo)  # transform does NOT clip (_scaler.py:140-141)
+    np.testing.assert_allclose(out["a__scaled"], exp, rtol=1e-9)
+    assert out["a__scaled"].max() > 1.0  # values above p99 exceed 1 — faithful
+
+
+def test_stddev_threshold(mat):
+    df, x, pdf = mat
+    stats = fit_stddev_threshold(df, ["a"], std_factor=3.0)
+    out = score_threshold(df, stats, ["a"]).orderBy("i").toPandas()
+    thr = x[:, 0].mean() + 3.0 * x[:, 0].std()
+    np.testing.assert_allclose(out["a__score"], x[:, 0] / thr, rtol=1e-9)
+    np.testing.assert_array_equal(out["a__pred"], (x[:, 0] >= thr).astype(int))
+
+
+def test_max_percentile_threshold(mat):
+    df, x, pdf = mat
+    stats = fit_max_percentile_threshold(df, ["a"], max_inlier_percentile=96.0)
+    out = score_threshold(df, stats, ["a"]).orderBy("i").toPandas()
+    thr = max(np.percentile(x[:, 0], 96.0), 1e-4)
+    np.testing.assert_allclose(out["a__score"], x[:, 0] / thr, rtol=1e-9)
+
+
+def test_mahalanobis(spark):
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(100, 4))
+    pdf = pd.DataFrame(
+        {
+            "source": "s1",
+            "event_ts": pd.date_range("2024-01-01", periods=100, freq="min"),
+            **{f"f{j}": x[:, j] for j in range(4)},
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = mahalanobis_scores(df, [f"f{j}" for j in range(4)], id_col="event_ts").orderBy("event_ts").toPandas()
+    mu = x.mean(axis=0)
+    cov_inv = np.linalg.pinv(np.cov(x, rowvar=False))
+    d = x - mu
+    md = np.sqrt(np.diagonal(d @ cov_inv @ d.T))
+    thr = md.mean() + (1.0 / np.sqrt(0.1)) * md.std()
+    np.testing.assert_allclose(out["md"], md, rtol=1e-9)
+    np.testing.assert_allclose(out["md_score"], md / thr, rtol=1e-9)
+    np.testing.assert_array_equal(out["md_pred"], (md >= thr).astype(int))
+    with pytest.raises(ValueError):
+        mahalanobis_scores(df, ["f0"], max_outlier_prob=2.0)
+
+
+def test_per_group_fit(spark):
+    """Stats fitted per source stay per source (registry-keyed analog)."""
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "source": ["g1"] * 100 + ["g2"] * 100,
+            "i": list(range(100)) * 2,
+            "a": np.concatenate([rng.random(100), rng.random(100) * 100]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    stats = fit_stddev_threshold(df, ["a"], by=["source"])
+    out = score_threshold(df, stats, ["a"], by=["source"]).toPandas()
+    for g in ("g1", "g2"):
+        xs = pdf[pdf["source"] == g]["a"].to_numpy()
+        thr = xs.mean() + 3.0 * xs.std()
+        got = out[out["source"] == g].sort_values("i")["a__score"].to_numpy()
+        np.testing.assert_allclose(got, xs / thr, rtol=1e-9)

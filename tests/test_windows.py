@@ -1,0 +1,96 @@
+"""Ports of the reference's StreamingDataset tests
+(/root/reference/tests/tools/test_data.py:33-124) onto the Spark window
+kernels, plus inverse-window reconstruction (test_data.py:196-221)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.operators.windows import (
+    ewm_smooth,
+    inverse_window_np,
+    inverse_windows,
+    sliding_windows,
+    window_count,
+    _window_matrix,
+)
+
+SEQ_LEN = 12
+
+
+def _fixture_pdf(m=30, f=3):
+    """The exact array from tests/tools/test_data.py:27-29 with timestamps."""
+    data = np.arange(m * f).reshape(m, f).astype(np.float32)
+    return pd.DataFrame(
+        {
+            "source": "s1",
+            "event_ts": pd.date_range("2024-01-01", periods=m, freq="min"),
+            **{f"m{j}": data[:, j] for j in range(f)},
+        }
+    ), data
+
+
+def test_window_count_and_content_numpy():
+    _, data = _fixture_pdf()
+    for stride in (1, 2, 4):
+        w = _window_matrix(data, SEQ_LEN, stride)
+        assert w.shape[0] == (len(data) - SEQ_LEN) // stride + 1  # data.py:178
+        for i in range(w.shape[0]):
+            np.testing.assert_array_equal(w[i], data[i * stride : i * stride + SEQ_LEN])
+
+
+def test_stride_validation():
+    _, data = _fixture_pdf()
+    with pytest.raises(ValueError):
+        _window_matrix(data, SEQ_LEN, stride=SEQ_LEN)  # data.py:119-120
+
+
+def test_sliding_windows_spark(spark):
+    pdf, data = _fixture_pdf()
+    df = spark.createDataFrame(pdf)
+    for stride in (1, 2, 4):
+        out = (
+            sliding_windows(df, ["m0", "m1", "m2"], SEQ_LEN, stride)
+            .orderBy("win_id")
+            .toPandas()
+        )
+        assert len(out) == window_count(30, SEQ_LEN, stride)
+        for _, row in out.iterrows():
+            i = row["win_id"]
+            got = np.asarray([np.asarray(r) for r in row["window"]])
+            np.testing.assert_array_equal(got, data[i * stride : i * stride + SEQ_LEN])
+        # end_ts is the window's last timestamp (entities.py:80-82)
+        assert out["end_ts"].iloc[0] == pdf["event_ts"].iloc[SEQ_LEN - 1]
+
+
+def test_short_group_dropped(spark):
+    pdf, _ = _fixture_pdf(m=5)
+    df = spark.createDataFrame(pdf)
+    assert sliding_windows(df, ["m0"], SEQ_LEN, 1).count() == 0  # preprocess.py:130 guard
+
+
+def test_inverse_window_numpy():
+    _, data = _fixture_pdf()
+    w = _window_matrix(data, SEQ_LEN, 1)
+    np.testing.assert_array_equal(inverse_window_np(w, "keep_first"), data)
+    np.testing.assert_array_equal(inverse_window_np(w, "keep_last"), data)
+    with pytest.raises(ValueError):
+        inverse_window_np(w, "nope")
+
+
+def test_inverse_windows_spark(spark):
+    pdf, data = _fixture_pdf()
+    df = spark.createDataFrame(pdf)
+    wins = sliding_windows(df, ["m0", "m1", "m2"], SEQ_LEN, 1)
+    back = inverse_windows(wins, "keep_first").orderBy("row_id").toPandas()
+    got = np.asarray([np.asarray(v) for v in back["values"]])
+    np.testing.assert_array_equal(got, data)
+
+
+def test_ewm_smooth_matches_pandas(spark):
+    pdf, data = _fixture_pdf()
+    df = spark.createDataFrame(pdf)
+    out = ewm_smooth(df, ["m0", "m1"], beta=0.5).orderBy("event_ts").toPandas()
+    exp = pdf[["m0", "m1"]].astype(np.float32).ewm(alpha=0.5).mean().astype(np.float32)
+    np.testing.assert_allclose(out["m0"].to_numpy(), exp["m0"].to_numpy(), rtol=1e-6)
+    np.testing.assert_allclose(out["m1"].to_numpy(), exp["m1"].to_numpy(), rtol=1e-6)
