@@ -312,6 +312,31 @@ FROM events e JOIN s ON e.event_type = s.event_type
 """
 
 
+def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-style codec gate: 1m tier → XOR/delta-of-delta blocks →
+    decode → must equal the oracle's directly-computed tier. Proves the
+    codec is bit-exact end-to-end through Spark."""
+    from numalogic_spark.functions.compression import compress_tier, decompress_blocks
+
+    tiers = rollup_cascade(_events(spark, sf_dir), EVENTS_CFG)
+    blocks = compress_tier(tiers["1m"], "n_tok_mean")
+    points = decompress_blocks(blocks)
+    return points.select(
+        "source",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        _r6("value").alias("val_mean"),
+    )
+
+
+_COMPRESS_SQL = """
+SELECT event_type AS source,
+       CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_s,
+       floor((CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000.0 AS val_mean
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_tail_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir)
     out = TX.tail_n(df, 12, order_by=["ts", "event_id"], partition_by=["event_type"])
@@ -355,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_window_agg": _q_ewm_window_agg,
         "tanh_scaler_stddev_threshold": _q_tanh_scaler,
         "percentile_scaler_threshold": _q_percentile_scaler,
+        "compressed_rollup_roundtrip": _q_compress_roundtrip,
     }
 
 
@@ -371,4 +397,5 @@ def oracle_sql() -> dict[str, str]:
         "ewm_window_agg": _EWM_SQL,
         "tanh_scaler_stddev_threshold": _TANH_SCALER_SQL,
         "percentile_scaler_threshold": _PCT_SCALER_SQL,
+        "compressed_rollup_roundtrip": _COMPRESS_SQL,
     }
