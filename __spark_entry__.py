@@ -353,6 +353,178 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline ops over documents/embeddings
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS cluster_size
+FROM documents GROUP BY 1
+"""
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.dedup import jaccard_pairs
+
+    out = jaccard_pairs(_docs(spark, sf_dir), block_cols=["lang", "source"], threshold=0.2)
+    return out.select("id_a", "id_b", "inter", _r6("jaccard").alias("jaccard"))
+
+
+_DEDUP_JACCARD_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS nw,
+         unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS word
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nw AS na, b.nw AS nb, count(*) AS inter
+  FROM w a JOIN w b
+    ON a.word = b.word AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, inter,
+       floor((inter * 1.0 / (na + nb - inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+FROM p WHERE inter * 1.0 / (na + nb - inter) >= 0.2
+"""
+
+
+def _q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.similarity import score_all
+
+    embs = _embs(spark, sf_dir)
+    q = embs.filter("vec_id = 0").select("embedding").collect()[0][0]
+    out = score_all(embs, [float(x) for x in q])
+    return out.select("id", _r6("cos_sim").alias("cos_sim"))
+
+
+_COSINE_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS id,
+       floor((list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+FROM embeddings e, q
+"""
+
+
+def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.dedup import embedding_near_pairs
+
+    out = embedding_near_pairs(_embs(spark, sf_dir), threshold=0.3, block_col="label")
+    return out.select("id_a", "id_b", _r6("cos_sim").alias("cos_sim"))
+
+
+_EMB_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+"""
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.textstats import text_stats
+
+    out = text_stats(_docs(spark, sf_dir), "text", "doc_id")
+    return out.select(
+        "doc_id", "n_chars", "n_words", "n_distinct_words", "n_tokens", "n_punct",
+        _r6("ttr").alias("ttr"),
+        _r6("mean_word_len").alias("mean_word_len"),
+        _r6("quality_score").alias("quality_score"),
+    )
+
+
+_TEXT_QUALITY_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(string_split_regex(lower(text), '\s+')) AS n_words,
+    len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_distinct_words,
+    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace_removed
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words, n_distinct_words, n_tokens, n_punct,
+  floor((n_distinct_words * 1.0 / n_words) * 1000000 + 0.5) / 1000000.0 AS ttr,
+  floor(((n_chars - n_nonspace_removed) * 1.0 / n_words) * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+  floor((least(n_words / 100.0, 1.0) * 0.4
+       + least(n_distinct_words * 1.0 / n_words, 1.0) * 0.4
+       + (1.0 - least(n_punct * 1.0 / greatest(n_chars, 1), 1.0)) * 0.2) * 1000000 + 0.5) / 1000000.0 AS quality_score
+FROM s
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _langid_sql() -> str:
+    from numalogic_spark.operators.textstats import _STOPWORDS
+
+    hit_exprs = ",\n    ".join(
+        "len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')), "
+        f"[{', '.join(repr(w) for w in sw)}])) AS hits_{lang}"
+        for lang, sw in _STOPWORDS.items()
+    )
+    langs = list(_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    {hit_exprs}
+  FROM documents
+)
+SELECT doc_id, {case} AS lang_pred, {', '.join(f'hits_{l}' for l in langs)}
+FROM h
+"""
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return out.select("id_a", "id_b", _r6("jaccard").alias("jaccard"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.similarity import lsh_bucketed_ann
+
+    embs = _embs(spark, sf_dir)
+    q = embs.filter("vec_id = 0").select("embedding").collect()[0][0]
+    out = lsh_bucketed_ann(embs, [float(x) for x in q], k=10, multiprobe_hamming=2)
+    return out.select("id", _r6("cos_sim").alias("cos_sim"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rollup cascade over the synthetic token table at
     smoke scale — union of all tiers (the engine's continuous aggregates)."""
@@ -381,6 +553,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tanh_scaler_stddev_threshold": _q_tanh_scaler,
         "percentile_scaler_threshold": _q_percentile_scaler,
         "compressed_rollup_roundtrip": _q_compress_roundtrip,
+        "dedup_exact_documents": _q_dedup_exact,
+        "dedup_jaccard_documents": _q_dedup_jaccard,
+        "embedding_cosine_scores": _q_cosine_scores,
+        "embedding_near_pairs": _q_embedding_pairs,
+        "text_quality_documents": _q_text_quality,
+        "lang_id_documents": _q_lang_id,
+        "minhash_near_dup_documents": _q_minhash,
+        "simhash_near_dup_documents": _q_simhash,
+        "doc_fingerprint_documents": _q_fingerprint,
+        "ann_topk_embeddings": _q_ann_topk,
     }
 
 
@@ -398,4 +580,13 @@ def oracle_sql() -> dict[str, str]:
         "tanh_scaler_stddev_threshold": _TANH_SCALER_SQL,
         "percentile_scaler_threshold": _PCT_SCALER_SQL,
         "compressed_rollup_roundtrip": _COMPRESS_SQL,
+        "dedup_exact_documents": _DEDUP_EXACT_SQL,
+        "dedup_jaccard_documents": _DEDUP_JACCARD_SQL,
+        "embedding_cosine_scores": _COSINE_SQL,
+        "embedding_near_pairs": _EMB_PAIRS_SQL,
+        "text_quality_documents": _TEXT_QUALITY_SQL,
+        "lang_id_documents": _langid_sql(),
+        # minhash/simhash/fingerprint/ann are non-SQL-expressible (seeded
+        # xxhash64 signatures / LSH probing) → rows-only driver check;
+        # exactness is pytest-verified against planted corpora instead.
     }

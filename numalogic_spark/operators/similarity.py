@@ -1,0 +1,129 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Training-data-pipeline capability (not in the reference): brute-force
+cosine top-k as the exact baseline, and a signed-random-projection LSH
+bucketed variant as the scale path — at 10^12 vectors the bucket join
+replaces the full cross product; probes share buckets with their
+neighbors w.h.p. (Charikar 2002 SimHash-for-cosine construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from numalogic_spark.operators.dedup import cosine_expr
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine vs one query vector: one narrow map + a
+    top-k-by-sort (Spark optimizes ORDER BY + LIMIT into TakeOrdered —
+    no full sort, no shuffle of the full table)."""
+    q = F.lit(query_vec).cast("array<double>")
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
+
+
+def score_all(
+    df: DataFrame, query_vec: list[float], vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Cosine of every vector vs the query (exact; useful as oracle gate)."""
+    q = F.lit(query_vec).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def srp_bucket_expr(vec_col: str, planes: np.ndarray):
+    """Signed-random-projection bucket id: bit i = sign(v · h_i); computed
+    JVM-side as a sum of weighted dot-product signs."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, h in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(v, F.lit([float(x) for x in h]).cast("array<double>"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucketed_ann(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: hash all vectors into 2^n_planes SRP buckets, search only
+    buckets within `multiprobe_hamming` of the query's bucket.
+
+    At scale, the bucket column is a partition/bucketing key so the probe
+    reads only matching buckets (partition pruning); here it's a filter.
+    Recall vs brute force is tested in tests/test_similarity.py.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qbits = (planes @ qv >= 0).astype(np.int64)
+    qbucket = int((qbits << np.arange(n_planes)).sum())
+    # multiprobe: all buckets within hamming radius of the query bucket
+    probes = [qbucket]
+    if multiprobe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    if multiprobe_hamming >= 2:
+        probes += [
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    bucketed = df.withColumn("_bucket", srp_bucket_expr(vec_col, planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    q = F.lit([float(x) for x in qv]).cast("array<double>")
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """k nearest right-neighbors for every left vector (optionally blocked).
+    Exact within blocks; ranking window + filter (per-group top-k)."""
+    l = left.select(F.col(id_col).alias("lid"), F.col(vec_col).alias("lv"),
+                    *( [F.col(block_col).alias("blk")] if block_col else [] ))
+    r = right.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("rv"),
+                     *( [F.col(block_col).alias("blk")] if block_col else [] ))
+    joined = l.join(r, on=(["blk"] if block_col else None), how="inner") if block_col else l.crossJoin(r)
+    scored = joined.filter(F.col("lid") != F.col("rid")).select(
+        "lid", "rid",
+        cosine_expr(F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,104 @@
+"""Dedup suite over a planted corpus: exact clusters, Jaccard oracle parity,
+MinHash-LSH recall of planted near-dups, SimHash hamming pairs, embedding
+cosine pairs vs numpy."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.operators.dedup import (
+    drop_exact_dups,
+    embedding_near_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "spark executes declarative dataframe plans with catalyst optimizing joins and scans",
+    "tokenized training sequences roll up into minute hour and day retention tiers",
+    "gorilla compression stores xor floats and delta encoded timestamps in blocks",
+    "completely unrelated text about cooking pasta with garlic olive oil and basil",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i, t in enumerate(BASE):
+        rows.append({"doc_id": f"d{i:03d}_orig", "text": t, "grp": "g"})
+        rows.append({"doc_id": f"d{i:03d}_copy", "text": t, "grp": "g"})  # exact dup
+        near = t.replace("the", "a") if "the" in t else t + " extra"
+        rows.append({"doc_id": f"d{i:03d}_near", "text": near, "grp": "g"})
+    pdf = pd.DataFrame(rows)
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_exact_dedup(spark, corpus):
+    df, pdf = corpus
+    clusters = exact_dedup(df).toPandas()
+    assert (clusters["cluster_size"] == 2).sum() == len(BASE)  # orig+copy pairs
+    kept = drop_exact_dups(df).toPandas()
+    assert len(kept) == len(pdf) - len(BASE)
+    assert not kept["doc_id"].str.endswith("_orig").any()  # min doc_id ("_copy" < "_orig") wins
+
+
+def test_jaccard_pairs_oracle(spark, corpus):
+    df, pdf = corpus
+    got = jaccard_pairs(df, block_cols=["grp"], threshold=0.0).toPandas()
+    # python oracle
+    sets = {r.doc_id: set(r.text.lower().split()) for r in pdf.itertuples()}
+    ids = sorted(sets)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                exp[(a, b)] = inter / len(sets[a] | sets[b])
+    gotmap = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert set(gotmap) == set(exp)
+    for k in exp:
+        np.testing.assert_allclose(gotmap[k], exp[k], rtol=1e-12)
+
+
+def test_minhash_lsh_recovers_planted(spark, corpus):
+    df, _ = corpus
+    pairs = minhash_lsh_pairs(df, threshold=0.8).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # every exact-dup pair (shingle Jaccard 1.0) must be found
+    for i in range(len(BASE)):
+        assert (f"d{i:03d}_copy", f"d{i:03d}_orig") in found
+    # verified threshold: no pair below 0.8 jaccard survives
+    assert (pairs["jaccard"] >= 0.8).all()
+    # unrelated docs never pair up
+    assert not any(a[:4] != b[:4] for a, b in found)
+
+
+def test_simhash_near_pairs(spark, corpus):
+    df, _ = corpus
+    pairs = simhash_near_pairs(df, max_hamming=3).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(len(BASE)):
+        assert (f"d{i:03d}_copy", f"d{i:03d}_orig") in found  # hamming 0
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_embedding_near_pairs(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(25, dtype=np.int64), "embedding": list(vecs), "label": 0}
+    )
+    df = spark.createDataFrame(pdf)
+    got = embedding_near_pairs(df, threshold=0.99).toPandas()
+    found = {tuple(sorted((int(a), int(b)))) for a, b in zip(got["id_a"], got["id_b"])}
+    exp = {(i, 20 + i) for i in range(5)}  # each perturbed copy pairs its base
+    assert found == exp
+    # cosine values match numpy
+    for _, r in got.iterrows():
+        a, b = vecs[int(r.id_a)].astype(float), vecs[int(r.id_b)].astype(float)
+        c = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        np.testing.assert_allclose(r.cos_sim, c, rtol=1e-9)

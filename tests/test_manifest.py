@@ -1,0 +1,86 @@
+"""Checkpoint-manifest resume semantics (BASELINE.json lineage requirement)."""
+
+import numpy as np
+
+from numalogic_spark.operators.rollup import RollupConfig, histogram, tier_from_histogram
+from numalogic_spark.plans.manifest import BUCKET_COL, run_with_manifest
+from numalogic_spark.plans.skew import hot_keys, salted_repartition
+
+
+def _job(subset):
+    """Per-bucket 1m rollup keeping the bucket column."""
+    from pyspark.sql import functions as F
+
+    cfg = RollupConfig()
+    h = (
+        subset.select(BUCKET_COL, "source", F.date_trunc("minute", "event_ts").alias("bucket_ts"),
+                      F.col("n_tok").cast("double").alias("v"))
+        .groupBy(BUCKET_COL, "source", "bucket_ts", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return h.groupBy(BUCKET_COL, "source", "bucket_ts").agg(
+        F.sum("cnt").alias("count"), F.sum(F.col("v") * F.col("cnt")).cast("long").alias("n_tok_sum")
+    )
+
+
+def test_run_skip_resume(spark, tokens_df, tmp_path):
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifest")
+
+    r1 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
+    assert len(r1["processed_buckets"]) == 8 and not r1["skipped_buckets"]
+    total1 = spark.read.parquet(out).count()
+
+    # identical input → everything skipped, output untouched
+    r2 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
+    assert not r2["processed_buckets"] and len(r2["skipped_buckets"]) == 8
+    assert spark.read.parquet(out).count() == total1
+
+    # changed input (one source dropped) → only affected buckets re-run
+    changed = tokens_df.filter("source != 'src_001'")
+    r3 = run_with_manifest(spark, changed, _job, out, man, n_buckets=8)
+    assert 0 < len(r3["processed_buckets"]) <= 8
+    # reprocessed buckets were overwritten in place (dynamic overwrite)
+    assert spark.read.parquet(out).select(BUCKET_COL).distinct().count() == 8
+
+
+def test_partial_manifest_resumes(spark, tokens_df, tmp_path):
+    """Simulate a killed job: manifest has only some buckets → resume
+    processes exactly the missing ones."""
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifest")
+    r1 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
+    # drop manifest entries for 3 buckets (as if the job died before them)
+    m = spark.read.parquet(man).toPandas()
+    kept = m[~m[BUCKET_COL].isin([0, 1, 2])]
+    import shutil
+
+    shutil.rmtree(man)
+    spark.createDataFrame(kept).write.parquet(man)
+    r2 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
+    assert sorted(r2["processed_buckets"]) == [0, 1, 2]
+    assert len(r2["skipped_buckets"]) == 5
+
+
+def test_fingerprint_order_independent(spark, tokens_df):
+    from numalogic_spark.plans.manifest import bucket_fingerprints
+
+    a = bucket_fingerprints(tokens_df, "doc_id", "event_ts", 8).toPandas().sort_values(BUCKET_COL, ignore_index=True)
+    b = (
+        bucket_fingerprints(tokens_df.repartition(13), "doc_id", "event_ts", 8)
+        .toPandas()
+        .sort_values(BUCKET_COL, ignore_index=True)
+    )
+    assert (a["fingerprint"].to_numpy() == b["fingerprint"].to_numpy()).all()
+    assert (a["rows_in"].to_numpy() == b["rows_in"].to_numpy()).all()
+
+
+def test_hot_key_detection_and_salting(spark, tokens_df):
+    hot = hot_keys(tokens_df, "source", threshold=0.25)
+    assert hot == ["src_000"]  # datagen's ~30% hot source
+    # salting spreads the hot source across many partitions
+    salted = salted_repartition(tokens_df.filter("source = 'src_000'"), ["source"], "doc_id",
+                                salt_buckets=8, num_partitions=8)
+    import pyspark.sql.functions as F
+
+    sizes = salted.withColumn("pid", F.spark_partition_id()).groupBy("pid").count().toPandas()
+    assert len(sizes) >= 4  # not all rows on one reducer
+    assert sizes["count"].max() < tokens_df.filter("source = 'src_000'").count()

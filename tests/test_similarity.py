@@ -1,0 +1,70 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.operators.similarity import (
+    brute_force_topk,
+    knn_join,
+    lsh_bucketed_ann,
+    score_all,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(400, dtype=np.int64), "embedding": list(x), "label": np.arange(400) % 4}
+    )
+    return spark.createDataFrame(pdf), x
+
+
+def _np_cos(x, q):
+    return (x @ q) / (np.linalg.norm(x, axis=1) * np.linalg.norm(q))
+
+
+def test_score_all_matches_numpy(vecs):
+    df, x = vecs
+    q = x[0].astype(float).tolist()
+    got = score_all(df, q).orderBy("id").toPandas()
+    np.testing.assert_allclose(got["cos_sim"], _np_cos(x.astype(float), np.asarray(q)), rtol=1e-6)
+
+
+def test_brute_force_topk(vecs):
+    df, x = vecs
+    q = x[0].astype(float).tolist()
+    got = brute_force_topk(df, q, k=10).toPandas()
+    cos = _np_cos(x.astype(float), np.asarray(q))
+    exp_ids = np.argsort(-cos, kind="stable")[:10]
+    assert got["id"].tolist() == exp_ids.tolist()
+    assert got["cos_sim"].iloc[0] == pytest.approx(1.0)  # query is vec 0 itself
+
+
+def test_lsh_ann_recall(vecs):
+    df, x = vecs
+    q = x[0].astype(float).tolist()
+    cos = _np_cos(x.astype(float), np.asarray(q))
+    exact = set(np.argsort(-cos, kind="stable")[:10].tolist())
+    got = lsh_bucketed_ann(df, q, k=10, n_planes=8, multiprobe_hamming=2).toPandas()
+    recall = len(set(got["id"].tolist()) & exact) / 10
+    assert recall >= 0.4  # ANN: probes 37/256 buckets, near vectors collide w.h.p.
+    assert 0 in got["id"].tolist()  # the query itself is always found
+    # scores of returned candidates are exact
+    for _, r in got.iterrows():
+        np.testing.assert_allclose(r["cos_sim"], cos[int(r["id"])], rtol=1e-6)
+
+
+def test_knn_join_blocked(vecs):
+    df, x = vecs
+    got = knn_join(df, df, k=3, block_col="label").toPandas()
+    assert (got.groupby("lid").size() == 3).all()
+    # verify one group against numpy
+    xd = x.astype(float)
+    lid = 0
+    blk = np.where(np.arange(400) % 4 == 0)[0]
+    cos = _np_cos(xd[blk], xd[lid])
+    order = blk[np.argsort(-cos, kind="stable")]
+    exp = [i for i in order if i != lid][:3]
+    g = got[got["lid"] == lid].sort_values("rank")["rid"].tolist()
+    assert g == exp

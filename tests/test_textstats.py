@@ -1,0 +1,58 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.operators.textstats import doc_fingerprint, lang_id, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [
+                "the cat sat on the mat!",
+                "der hund ist ein guter hund und er ist brav",
+                "le chat est dans la maison et il dort pour un moment",
+                "xyzzy plugh qwerty",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_text_stats_exact(spark, docs):
+    df, pdf = docs
+    got = text_stats(df).orderBy("doc_id").toPandas()
+    r = got.iloc[0]  # "the cat sat on the mat!"
+    assert r["n_chars"] == 23
+    assert r["n_words"] == 6
+    assert r["n_distinct_words"] == 5  # 'the' twice
+    assert r["n_tokens"] == 7  # 6 words + '!'
+    assert r["n_punct"] == 1
+    np.testing.assert_allclose(r["ttr"], 5 / 6)
+    np.testing.assert_allclose(r["mean_word_len"], (23 - 5) / 6)
+    assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_lang_id(spark, docs):
+    df, _ = docs
+    got = lang_id(df).orderBy("doc_id").toPandas().set_index("doc_id")
+    assert got.loc["a", "lang_pred"] == "en"
+    assert got.loc["b", "lang_pred"] == "de"
+    assert got.loc["c", "lang_pred"] == "fr"
+    assert got.loc["d", "lang_pred"] == "und"  # no stopword hits
+
+
+def test_fingerprint_semantics(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["x", "y", "z"],
+            "text": ["alpha beta gamma", "gamma beta alpha", "alpha beta gamma"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = doc_fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
+    assert got["x"] == got["z"]  # identical text → identical fp
+    assert got["x"] != got["y"]  # order-sensitive (unlike word-set hashes)
+    assert 0 <= got["x"] < 2147483647
