@@ -353,6 +353,69 @@ FROM (
 """
 
 
+def _q_score_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 end-to-end scoring chain per series: stddev-threshold score →
+    EXP window-agg (L=12) → tanh norm → static adjust. Fit stats via
+    order-independent decimal sums for oracle determinism; the chain itself
+    is the engine's expressions (window_agg_expr / tanh_norm / greatest)."""
+    from pyspark.sql import Window
+
+    from numalogic_spark.functions.aggregators import window_agg_expr
+
+    L, beta = 12, 0.5
+    df = _events(spark, sf_dir)
+    stats = _dec_stats(df, "event_type", "value")
+    scored = df.join(F.broadcast(stats), "event_type").withColumn(
+        "s", F.col("value") / F.greatest(F.col("mu") + 3.0 * F.col("sigma"), F.lit(0.0))
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    out = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("wagg", window_agg_expr(F.collect_list("s").over(w.rowsBetween(-(L - 1), 0)), "EXP", beta))
+        .filter(F.col("_rn") >= L)
+    )
+    return out.select(
+        "event_id",
+        _r6("wagg").alias("unified_raw"),
+        _r6(TX.tanh_norm("wagg")).alias("unified_score"),
+        _r6(F.greatest(TX.static_threshold_score("value", 150.0), TX.tanh_norm("wagg"))).alias(
+            "adjusted_score"
+        ),
+    )
+
+
+def _score_pipeline_sql() -> str:
+    L, beta = 12, 0.5
+    # oldest-first sum matches the Spark fold order exactly
+    terms = " + ".join(f"pow({beta}, {L - 1 - j}) * lag(s, {L - 1 - j}) OVER w" for j in range(L))
+    tanh = "((exp(2.0 * (wagg / 10.0)) - 1.0) / (exp(2.0 * (wagg / 10.0)) + 1.0))"
+    return f"""
+WITH st AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*)
+              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))
+                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))) AS sigma
+  FROM events GROUP BY event_type
+), sc AS (
+  SELECT e.event_id, e.event_type, e.ts, e.value,
+         e.value / greatest(st.mu + 3.0 * st.sigma, 0.0) AS s
+  FROM events e JOIN st ON e.event_type = st.event_type
+), agg AS (
+  SELECT event_id, value,
+         row_number() OVER w AS rn,
+         (({terms}) * {1.0 - beta}) / (1.0 - pow({beta}, {L})) AS wagg
+  FROM sc
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_id,
+  floor((wagg) * 1000000 + 0.5) / 1000000.0 AS unified_raw,
+  floor((10.0 * {tanh}) * 1000000 + 0.5) / 1000000.0 AS unified_score,
+  floor((greatest(CASE WHEN value >= 150.0 THEN 10.0 ELSE 0.5 END, 10.0 * {tanh})) * 1000000 + 0.5) / 1000000.0 AS adjusted_score
+FROM agg WHERE rn >= {L}
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops over documents/embeddings
 # --------------------------------------------------------------------------
@@ -563,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_documents": _q_simhash,
         "doc_fingerprint_documents": _q_fingerprint,
         "ann_topk_embeddings": _q_ann_topk,
+        "score_pipeline_events": _q_score_pipeline,
     }
 
 
@@ -586,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_pairs": _EMB_PAIRS_SQL,
         "text_quality_documents": _TEXT_QUALITY_SQL,
         "lang_id_documents": _langid_sql(),
+        "score_pipeline_events": _score_pipeline_sql(),
         # minhash/simhash/fingerprint/ann are non-SQL-expressible (seeded
         # xxhash64 signatures / LSH probing) → rows-only driver check;
         # exactness is pytest-verified against planted corpora instead.

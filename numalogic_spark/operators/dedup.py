@@ -104,11 +104,16 @@ def char_shingles(text_col: str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles_col: Column | str, num_hashes: int = 64) -> Column:
-    """k-permutation MinHash: sig[i] = min over shingles of xxhash64(i ⊕ s)."""
+    """k-permutation MinHash: sig[i] = min over shingles of xxhash64(h(s), i).
+
+    Each shingle string is hashed to a long ONCE; the k permutations then
+    hash (long, seed) pairs — k× cheaper than re-hashing strings per
+    permutation."""
     c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    hashed = F.transform(c, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(c, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s))))
+            F.array_min(F.transform(hashed, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
@@ -129,10 +134,13 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("id"), char_shingles(text_col, shingle_n).alias("sh")
-    ).withColumn("sig", minhash_signature("sh", num_hashes))
-    banded = base.select(
+    ).withColumn("sig", minhash_signature("sh", num_hashes)).persist()
+    # Slim candidate generation: the band self-join carries ONLY (id, band
+    # hash) — shingle arrays must not travel through the n² join. Dedup the
+    # candidate id-pairs BEFORE the (expensive) exact-Jaccard verification,
+    # then join the shingle sets back once per pair side.
+    slim = base.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -146,8 +154,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a, b = banded.alias("a"), banded.alias("b")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = slim.alias("a"), slim.alias("b")
     cand = (
         a.join(
             b,
@@ -155,16 +163,18 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("id", "sh")
+    pairs = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -47,9 +47,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # token rows carry ~1k-element arrays: large columnar batches become
+        # G1 "humongous" allocations (> half a heap region) and 32 allocating
+        # threads then serialize in the GC — keep batches ~2 MB and raise the
+        # region size so array buffers stay in normal regions
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:G1HeapRegionSize=32m -XX:+UseG1GC",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,154 @@
+"""Structured Streaming variant of the rollup engine.
+
+The reference runs as a Numaflow streaming pipeline but delegates all
+windowing to the platform (SURVEY §2.9: payloads arrive pre-windowed,
+`Datum` watermarks unused by the UDFs). Here the engine owns it:
+event-time windows + watermarks for late data, and an
+applyInPandasWithState kernel for custom stateful per-series smoothing
+(the streaming analog of ExpMovingAverage, transforms/_movavg.py:100-113).
+
+Batch and streaming share the same aggregate definitions, so a backfill
+(batch cascade) and the live path (this module) produce consistent tiers —
+the "kappa" layout a lakehouse deployment would use: stream → 1m appends,
+batch cascade → 1h/1d from the 1m table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from numalogic_spark.operators.rollup import RollupConfig
+
+
+def streaming_rollup(
+    stream_df: DataFrame,
+    cfg: RollupConfig | None = None,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window continuous aggregate with late-data bound.
+
+    count/sum/mean re-aggregate exactly; the per-bucket quantile uses
+    percentile_approx (mergeable sketch — the streaming analog of Druid's
+    quantilesDoublesSketch, connectors/druid/aggregators.py:1-22): exact
+    quantiles need the full value multiset, which an incremental streaming
+    state must bound. The batch cascade remains the exactness path.
+    """
+    cfg = cfg or RollupConfig()
+    v = F.col(cfg.value_col).cast("double")
+    return (
+        stream_df.withWatermark(cfg.ts_col, watermark)
+        .groupBy(
+            F.col(cfg.source_col).alias("source"),
+            F.window(cfg.ts_col, window).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum(v).alias("n_tok_sum"),
+            F.avg(v).alias("n_tok_mean"),
+            F.percentile_approx(v, cfg.percentile, 10000).alias("n_tok_p95"),
+        )
+        .select(
+            "source",
+            F.col("w.start").alias("bucket_ts"),
+            "count",
+            "n_tok_sum",
+            "n_tok_mean",
+            "n_tok_p95",
+        )
+    )
+
+
+_EWM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ewm", T.DoubleType()),     # running weighted numerator
+        T.StructField("wsum", T.DoubleType()),    # running weight denominator
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_EWM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewm", T.DoubleType()),
+    ]
+)
+
+
+def streaming_ewm(
+    stream_df: DataFrame,
+    beta: float = 0.5,
+    source_col: str = "source",
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: per-series pandas-style EWM across
+    micro-batches via applyInPandasWithState.
+
+    Carries (numerator, weight-sum, n) per source so the adjust=True ewm
+    (y_t = Σβ^(t-i)x_i / Σβ^(t-i)) continues seamlessly across batches —
+    equivalent to the batch kernel operators/windows.ewm_smooth on the
+    concatenated stream (verified in tests/test_streaming.py).
+    """
+    alpha = 1.0 - beta
+
+    beta_ = 1.0 - alpha
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        (source,) = key
+        if state.exists:
+            num_prev, den_prev, _n = state.get
+        else:
+            num_prev, den_prev, _n = 0.0, 0.0, 0
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            vals = pdf[value_col].astype(float).to_numpy()
+            if len(vals):
+                # vectorized state-carry: full num_t = num_cl + β^(t+1)·num_prev
+                # where num_cl/den_cl are the chunk-local ewm numerator and
+                # geometric weight sum — no per-row recurrence loop.
+                t = np.arange(len(vals), dtype=float)
+                den_cl = (1.0 - beta_ ** (t + 1)) / (1.0 - beta_)
+                y_cl = pd.Series(vals).ewm(alpha=alpha).mean().to_numpy()
+                num_cl = y_cl * den_cl
+                bpow = beta_ ** (t + 1)
+                num = num_cl + bpow * num_prev
+                den = den_cl + bpow * den_prev
+                res = num / den
+                num_prev, den_prev = float(num[-1]), float(den[-1])
+                _n += len(vals)
+            else:
+                res = vals
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "source": source,
+                        "event_ts": pdf[ts_col].to_numpy(),
+                        "value": vals,
+                        "ewm": res,
+                    }
+                )
+            )
+        state.update((float(num_prev), float(den_prev), int(_n)))
+        yield pd.concat(outs) if outs else pd.DataFrame(
+            {c.name: pd.Series([], dtype="object") for c in _EWM_OUT_SCHEMA}
+        )
+
+    return stream_df.groupBy(source_col).applyInPandasWithState(
+        fn,
+        outputStructType=_EWM_OUT_SCHEMA,
+        stateStructType=_EWM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

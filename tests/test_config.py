@@ -1,0 +1,55 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.config import (
+    PipelineConf,
+    StageConf,
+    apply_preprocess,
+    compile_transform_chain,
+    fit_and_score,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rng = np.random.default_rng(42)
+    return spark.createDataFrame(
+        pd.DataFrame({"i": range(100), "source": "s", "x": rng.random(100) * 9 + 1})
+    )
+
+
+def test_chain_compiles_to_one_expression(spark, df):
+    stages = [
+        StageConf("LogTransformer", {"add_factor": 2.0}),
+        StageConf("DataClipper", {"lower": 0.5, "upper": 2.0}),
+        StageConf("TanhNorm", {}),
+    ]
+    got = df.select("i", compile_transform_chain("x", stages).alias("y")).orderBy("i").toPandas()
+    x = df.orderBy("i").toPandas()["x"].to_numpy()
+    exp = 10 * np.tanh(np.clip(np.log(x + 2.0), 0.5, 2.0) / 10)
+    np.testing.assert_allclose(got["y"], exp, rtol=1e-9)
+    # single projection: no extra exchanges/stages in the plan
+    plan = df.select(compile_transform_chain("x", stages))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_unknown_stage_raises(df):
+    with pytest.raises(ValueError, match="unknown transform"):
+        compile_transform_chain("x", [StageConf("NopeTransformer")])
+    with pytest.raises(ValueError, match="unknown threshold"):
+        fit_and_score(df, PipelineConf(metrics=["x"], threshold=StageConf("Nope")))
+
+
+def test_config_pipeline_end_to_end(spark, df):
+    cfg = PipelineConf(
+        metrics=["x"],
+        preprocess=[StageConf("LogTransformer", {"add_factor": 1.0})],
+        threshold=StageConf("StdDevThreshold", {"std_factor": 2.0}),
+    )
+    pre = apply_preprocess(df, cfg)
+    assert "x__pre" in pre.columns
+    scored = fit_and_score(df, cfg, by=["source"]).orderBy("i").toPandas()
+    x = df.orderBy("i").toPandas()["x"].to_numpy()
+    thr = x.mean() + 2.0 * x.std()
+    np.testing.assert_allclose(scored["x__score"], x / thr, rtol=1e-9)

@@ -1,0 +1,93 @@
+"""Structured Streaming rollup ≡ batch rollup on the same data, and the
+stateful streaming EWM ≡ the batch EWM kernel across micro-batch splits."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.datagen import TOKEN_SCHEMA, gen_tokens_pandas
+from numalogic_spark.operators.rollup import RollupConfig, rollup_cascade
+from numalogic_spark.streaming.rollup_stream import streaming_ewm, streaming_rollup
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Token rows split into 3 parquet files (≈3 micro-batches)."""
+    d = tmp_path_factory.mktemp("stream_src")
+    pdf = gen_tokens_pandas(6_000, n_sources=5)
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 3)):
+        # one file per chunk: the file stream source orders by modification
+        # time, so multi-file chunks would arrive out of event-time order
+        spark.createDataFrame(pdf.iloc[chunk], TOKEN_SCHEMA).repartition(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    return str(d), pdf
+
+
+def test_streaming_rollup_matches_batch(spark, stream_dir):
+    d, pdf = stream_dir
+    stream = spark.readStream.schema(TOKEN_SCHEMA).option("pathGlobFilter", "*.parquet").parquet(d + "/part*")
+    agg = streaming_rollup(stream, RollupConfig())
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("roll1m")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from roll1m").toPandas().sort_values(["source", "bucket_ts"], ignore_index=True)
+
+    batch_df = spark.createDataFrame(pdf, TOKEN_SCHEMA)
+    exp = (
+        rollup_cascade(batch_df)["1m"]
+        .toPandas()
+        .sort_values(["source", "bucket_ts"], ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["count"].to_numpy(), exp["count"].to_numpy())
+    np.testing.assert_allclose(got["n_tok_sum"].to_numpy(dtype=float), exp["n_tok_sum"].to_numpy(dtype=float))
+    np.testing.assert_allclose(got["n_tok_mean"].to_numpy(), exp["n_tok_mean"].to_numpy(), rtol=1e-9)
+    # p95 is approximate in streaming (mergeable sketch, rank-based — not
+    # interpolated like the exact batch path): assert each bucket's approx
+    # value IS a bucket member whose rank position is ≥ 0.85
+    pdf2 = pdf.assign(bucket_ts=pdf["event_ts"].dt.floor("min"))
+    groups = {k: np.sort(g["n_tok"].to_numpy()) for k, g in pdf2.groupby(["source", "bucket_ts"])}
+    for _, r in got.iterrows():
+        vals = groups[(r["source"], r["bucket_ts"])]
+        assert r["n_tok_p95"] in vals
+        rank = np.searchsorted(vals, r["n_tok_p95"], side="right") / len(vals)
+        assert rank >= 0.85
+
+
+def test_streaming_ewm_matches_batch_kernel(spark, stream_dir):
+    d, pdf = stream_dir
+    stream = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(d + "/part*")
+        .selectExpr("source", "event_ts", "cast(n_tok as double) as value")
+    )
+    out = streaming_ewm(stream, beta=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewmq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from ewmq")
+        .toPandas()
+        .sort_values(["source", "event_ts"], ignore_index=True)
+    )
+    # batch oracle: pandas ewm over each full series
+    exp = []
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values("event_ts")
+        e = g["n_tok"].astype(float).ewm(alpha=0.5).mean()
+        exp.append(pd.DataFrame({"source": src, "event_ts": g["event_ts"].to_numpy(), "ewm": e.to_numpy()}))
+    expdf = pd.concat(exp).sort_values(["source", "event_ts"], ignore_index=True)
+    assert len(got) == len(expdf)
+    np.testing.assert_allclose(got["ewm"].to_numpy(), expdf["ewm"].to_numpy(), rtol=1e-9)
