@@ -416,6 +416,54 @@ FROM agg WHERE rn >= {L}
 """
 
 
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A3 pivot: long events → wide per-minute metric matrix (the
+    reference's pivot_table / multi-metric join shape)."""
+    from numalogic_spark.operators.reshape import pivot_metrics
+
+    df = _events(spark, sf_dir).select(
+        F.unix_timestamp(F.date_trunc("minute", "ts")).alias("bucket_s"),
+        "event_type",
+        F.col("value").cast("decimal(20,6)").alias("v"),
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_metrics(df, ["bucket_s"], "event_type", "v", agg="sum", values=types)
+    return wide.select("bucket_s", *[_r6(F.col(t).cast("double")).alias(t) for t in types])
+
+
+_PIVOT_SQL = """
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_s,
+  floor((CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS click,
+  floor((CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS error,
+  floor((CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS purchase,
+  floor((CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS signup,
+  floor((CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS view
+FROM events GROUP BY 1
+"""
+
+
+def _q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 tail split: validation = last 20% of rows per series."""
+    from numalogic_spark.operators.reshape import train_val_split
+
+    df = _events(spark, sf_dir)
+    _train, val = train_val_split(
+        df, 0.2, source_col="event_type", ts_col="ts", order_cols=["ts", "event_id"]
+    )
+    return val.select("event_id", "event_type")
+
+
+_SPLIT_SQL = """
+SELECT event_id, event_type
+FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+) WHERE rn <= floor(n * 0.2)
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops over documents/embeddings
 # --------------------------------------------------------------------------
@@ -627,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_documents": _q_fingerprint,
         "ann_topk_embeddings": _q_ann_topk,
         "score_pipeline_events": _q_score_pipeline,
+        "pivot_metrics_1m": _q_pivot,
+        "train_val_split_events": _q_train_val_split,
     }
 
 
@@ -651,6 +701,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_documents": _TEXT_QUALITY_SQL,
         "lang_id_documents": _langid_sql(),
         "score_pipeline_events": _score_pipeline_sql(),
+        "pivot_metrics_1m": _PIVOT_SQL,
+        "train_val_split_events": _SPLIT_SQL,
         # minhash/simhash/fingerprint/ann are non-SQL-expressible (seeded
         # xxhash64 signatures / LSH probing) → rows-only driver check;
         # exactness is pytest-verified against planted corpora instead.

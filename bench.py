@@ -155,13 +155,16 @@ def main() -> None:
     scale_conf = {
         "spark.sql.inMemoryColumnarStorage.compressed": "false",
         "spark.local.dir": "/dev/shm/spark-local",
+        # shuffles stay on tmpfs → compression only burns CPU
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
     }
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     scaling: dict[str, float] = {}
-    for cores, key in ((lo_cores, "n"), (hi_cores, "4n")):
+    for cores, key, reps in ((lo_cores, "n", 2), (hi_cores, "4n", 3)):
         s = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=8, extra_conf=scale_conf)
         s.read.parquet(token_path).select(F.sum(F.size("tokens"))).collect()  # cache warm
-        wall = min(run_full_job(s, token_path) for _ in range(2))
+        wall = min(run_full_job(s, token_path) for _ in range(reps))
         scaling[f"wall_sec_{key}_{cores}c"] = wall
         scaling[f"tokens_per_sec_{key}_{cores}c"] = total_tokens / wall
         s.stop()
