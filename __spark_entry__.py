@@ -416,6 +416,29 @@ FROM agg WHERE rn >= {L}
 """
 
 
+def _q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline backtest (PromBacktester analog): thresholds fit on the head
+    67% of each series, tail scored through the window pipeline. Non-SQL
+    entry (rows-only); exactness vs the reference flow is pytest-gated
+    (tests/test_backtest.py)."""
+    from numalogic_spark.operators.backtest import backtest
+    from numalogic_spark.operators.pipeline import ScoreConfig
+
+    df = _events(spark, sf_dir).select("event_type", "ts", "event_id", F.col("value").alias("value"))
+    out = backtest(
+        df,
+        ScoreConfig(metrics=["value"], seq_len=12, static_limit=150.0),
+        test_ratio=0.33,
+        min_train_size=30,
+        source_col="event_type",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+    )
+    return out.select("event_type", F.unix_timestamp("end_ts").alias("end_s"),
+                      _r6("unified_score").alias("unified_score"),
+                      _r6("adjusted_score").alias("adjusted_score"))
+
+
 def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/A3 pivot: long events → wide per-minute metric matrix (the
     reference's pivot_table / multi-metric join shape)."""
@@ -677,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_pipeline_events": _q_score_pipeline,
         "pivot_metrics_1m": _q_pivot,
         "train_val_split_events": _q_train_val_split,
+        "backtest_events": _q_backtest,
     }
 
 

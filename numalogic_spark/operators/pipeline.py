@@ -48,16 +48,19 @@ def score_pipeline(
     source_col: str = "source",
     ts_col: str = "event_ts",
     order_cols: list[str] | None = None,
+    fit_df: DataFrame | None = None,
 ) -> DataFrame:
     """Returns one row per full window (rn ≥ seq_len) per series:
     (source, end_ts, <m>_score per feature, unified_raw, unified_score[,
-    adjusted_score])."""
+    adjusted_score]). `fit_df` lets threshold stats come from a training
+    split (the backtest path) instead of the scored data itself."""
     cfg = cfg or ScoreConfig()
     order_cols = order_cols or [ts_col]
 
     # 1. fit per-series thresholds once, broadcast back (A9 discipline)
     stats = fit_stddev_threshold(
-        df, cfg.metrics, by=[source_col], std_factor=cfg.std_factor, min_threshold=cfg.min_threshold
+        fit_df if fit_df is not None else df,
+        cfg.metrics, by=[source_col], std_factor=cfg.std_factor, min_threshold=cfg.min_threshold
     )
     scored = df.join(F.broadcast(stats), source_col)
     for m in cfg.metrics:
