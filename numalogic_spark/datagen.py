@@ -52,7 +52,9 @@ _U64 = np.uint64
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constant mix)."""
-    z = (x.astype(_U64) + _U64(0x9E3779B97F4A7C15))
+    if getattr(x, "dtype", None) != np.uint64:
+        x = np.asarray(x).astype(_U64)
+    z = x + _U64(0x9E3779B97F4A7C15)
     z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
     return z ^ (z >> _U64(31))
@@ -115,14 +117,25 @@ def _rows_for_ids(gid: np.ndarray, spec: TokenGenSpec) -> pd.DataFrame:
     )
     n_tok = (N_TOK_MIN + (row_seed % _U64(N_TOK_MAX - N_TOK_MIN))).astype(np.int32)
 
-    # flat counter-based token stream: tokens[i][j] = mix(row_seed[i] + j + 1) % VOCAB
+    # flat counter-based token stream: tokens[i][j] = reduce(mix(seed_i + j + 1)).
+    # Identity used: seed_i + within + 1 == (seed_i + 1 - offs_i) + flat_pos,
+    # so ONE np.repeat + ONE arange covers the whole stream; the mix runs
+    # in-place (uint64 wraparound is the intended modular arithmetic) —
+    # fresh-allocation page faults, not ALU, dominate at ~10^8 elements.
+    # Range reduction via multiply-shift ((h>>32)*VOCAB)>>32: no 64-bit
+    # division; bias < 2^-32.
     total = int(n_tok.sum())
     offs = np.concatenate([[0], np.cumsum(n_tok.astype(np.int64))])
-    flat_row = np.repeat(np.arange(len(n_tok)), n_tok)
-    within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], n_tok)
-    flat = (
-        splitmix64(row_seed[flat_row] + within.astype(np.uint64) + _U64(1)) % _U64(VOCAB)
-    ).astype(np.int32)
+    base = row_seed + _U64(1) - offs[:-1].astype(np.uint64)
+    z = np.repeat(base, n_tok)
+    z += np.arange(total, dtype=np.uint64)
+    t = np.empty_like(z)
+    z += _U64(0x9E3779B97F4A7C15)
+    np.right_shift(z, _U64(30), out=t); z ^= t; z *= _U64(0xBF58476D1CE4E5B9)
+    np.right_shift(z, _U64(27), out=t); z ^= t; z *= _U64(0x94D049BB133111EB)
+    np.right_shift(z, _U64(31), out=t); z ^= t
+    z >>= _U64(32); z *= _U64(VOCAB); z >>= _U64(32)
+    flat = z.astype(np.int32)
     tokens = np.split(flat, offs[1:-1]) if len(n_tok) else []
 
     ts_s = EPOCH0_S + idx * spec.step_s[src]
