@@ -145,6 +145,26 @@ def inverse_windows(
     return windows_df.groupBy("source").applyInPandas(rebuild, schema)
 
 
+def stride2_feature_recovery_np(x: np.ndarray, seq_len: int) -> np.ndarray:
+    """W3: de-interleave a stride-2-flattened window batch and reconstruct
+    the original two-feature series.
+
+    Port of the reference backtest recovery (backtest/_prom.py:167-197):
+    the model output interleaves two features along seq_len
+    (x[:, ::2] / x[:, 1::2]); each half is inverse-windowed (keep_first)
+    and the halves are hstacked back into (n, 2).
+
+    Input: (batch, seq_len) windows whose columns interleave f0,f1,...
+    """
+    if seq_len % 2:
+        raise ValueError("stride-2 recovery needs an even seq_len")
+    a = x[:, 0::2][:, :, None]  # (batch, seq_len/2, 1)
+    b = x[:, 1::2][:, :, None]
+    ra = inverse_window_np(a, "keep_first")
+    rb = inverse_window_np(b, "keep_first")
+    return np.hstack([ra, rb])
+
+
 def ewm_smooth(
     df: DataFrame,
     value_cols: list[str],

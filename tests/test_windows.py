@@ -87,6 +87,21 @@ def test_inverse_windows_spark(spark):
     np.testing.assert_array_equal(got, data)
 
 
+def test_stride2_feature_recovery():
+    """W3 (backtest/_prom.py:167-197): interleave two features into stride-2
+    windows, recover the original 2-feature series exactly."""
+    from numalogic_spark.operators.windows import stride2_feature_recovery_np
+
+    n, L = 20, 8
+    orig = np.arange(n * 2, dtype=np.float32).reshape(n, 2)
+    interleaved = orig.reshape(-1, 1)  # (2n, 1): f0,f1,f0,f1,... stride-2 flat
+    wins = _window_matrix(interleaved, 2 * L, 2)[:, :, 0]  # windows step 1 orig row
+    rec = stride2_feature_recovery_np(wins, 2 * L)
+    np.testing.assert_array_equal(rec, orig)
+    with pytest.raises(ValueError):
+        stride2_feature_recovery_np(wins, 2 * L + 1)
+
+
 def test_ewm_smooth_matches_pandas(spark):
     pdf, data = _fixture_pdf()
     df = spark.createDataFrame(pdf)
