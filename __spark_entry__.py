@@ -416,6 +416,68 @@ FROM agg WHERE rn >= {L}
 """
 
 
+def _q_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 strided windows (StreamingDataset semantics): per series the
+    window count must be (n - L)//s + 1 and end timestamps land on rows
+    L-1, L-1+s, ... — all SQL-checkable facts about the window kernel."""
+    from numalogic_spark.operators.windows import sliding_windows
+
+    L, S = 12, 4
+    df = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), F.col("ts").alias("event_ts"),
+        F.col("value").cast("float").alias("value"),
+    )
+    wins = sliding_windows(df, ["value"], seq_len=L, stride=S, source_col="source", ts_col="event_ts")
+    return wins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.unix_timestamp(F.min("end_ts")).alias("first_end_s"),
+        F.unix_timestamp(F.max("end_ts")).alias("last_end_s"),
+    )
+
+
+_SLIDING_SQL = """
+WITH r AS (
+  SELECT event_type AS source, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT source,
+       CAST(floor((n - 12) / 4) + 1 AS BIGINT) AS n_windows,
+       CAST(floor(epoch(min(CASE WHEN rn = 12 THEN ts END))) AS BIGINT) AS first_end_s,
+       CAST(floor(epoch(min(CASE WHEN rn = 12 + 4 * (floor((n - 12) / 4)) THEN ts END))) AS BIGINT) AS last_end_s
+FROM r
+GROUP BY source, n
+"""
+
+
+def _q_ewm_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 per-series EWM smoothing (pandas ewm semantics, float32) —
+    non-SQL (unbounded adjusted weights); exactness pytest-gated."""
+    from numalogic_spark.operators.windows import ewm_smooth
+
+    df = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), F.col("ts").alias("event_ts"),
+        F.col("value").cast("float").alias("value"),
+    )
+    out = ewm_smooth(df, ["value"], beta=0.5, source_col="source", ts_col="event_ts")
+    return out.select("source", F.unix_timestamp("event_ts").alias("ts_s"), _r6("value").alias("ewm_value"))
+
+
+def _q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 Mahalanobis threshold per series over a 2-feature matrix —
+    matrix math (pinv) is non-SQL; formula pytest-gated vs numpy."""
+    from numalogic_spark.functions.scalers import mahalanobis_scores
+
+    df = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), F.col("ts").alias("event_ts"),
+        F.col("value").alias("f0"), F.log(F.col("value") + F.lit(2.0)).alias("f1"),
+    )
+    out = mahalanobis_scores(df, ["f0", "f1"], by="source", id_col="event_ts")
+    return out.select("source", F.unix_timestamp("event_ts").alias("ts_s"),
+                      _r6("md_score").alias("md_score"), "md_pred")
+
+
 def _q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline backtest (PromBacktester analog): thresholds fit on the head
     67% of each series, tail scored through the window pipeline. Non-SQL
@@ -701,6 +763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_metrics_1m": _q_pivot,
         "train_val_split_events": _q_train_val_split,
         "backtest_events": _q_backtest,
+        "sliding_window_stats": _q_sliding_window_stats,
+        "ewm_smooth_events": _q_ewm_smooth,
+        "mahalanobis_events": _q_mahalanobis,
     }
 
 
@@ -727,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         "score_pipeline_events": _score_pipeline_sql(),
         "pivot_metrics_1m": _PIVOT_SQL,
         "train_val_split_events": _SPLIT_SQL,
+        "sliding_window_stats": _SLIDING_SQL,
         # minhash/simhash/fingerprint/ann are non-SQL-expressible (seeded
         # xxhash64 signatures / LSH probing) → rows-only driver check;
         # exactness is pytest-verified against planted corpora instead.
