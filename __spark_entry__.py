@@ -416,6 +416,33 @@ FROM agg WHERE rn >= {L}
 """
 
 
+def _q_rollup_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 1m continuous aggregate expressed through the engine's SQL
+    surface (spark.sql over a temp view) — Catalyst produces the same plan
+    as the DataFrame path; proves the SQL front-end is first-class."""
+    _events(spark, sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT event_type AS source,
+               unix_timestamp(date_trunc('minute', ts)) AS bucket_s,
+               count(*) AS cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS val_sum,
+               floor(percentile(value, 0.95) * 1000000 + 0.5) / 1000000.0 AS val_p95
+        FROM events_v
+        GROUP BY 1, 2
+    """)
+
+
+_ROLLUP_SQL_API_ORACLE = """
+SELECT event_type AS source,
+       CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_s,
+       count(*) AS cnt,
+       floor(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS val_sum,
+       floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000.0 AS val_p95
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 strided windows (StreamingDataset semantics): per series the
     window count must be (n - L)//s + 1 and end timestamps land on rows
@@ -764,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split_events": _q_train_val_split,
         "backtest_events": _q_backtest,
         "sliding_window_stats": _q_sliding_window_stats,
+        "rollup_1m_sql_api": _q_rollup_sql_api,
         "ewm_smooth_events": _q_ewm_smooth,
         "mahalanobis_events": _q_mahalanobis,
     }
@@ -793,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_metrics_1m": _PIVOT_SQL,
         "train_val_split_events": _SPLIT_SQL,
         "sliding_window_stats": _SLIDING_SQL,
+        "rollup_1m_sql_api": _ROLLUP_SQL_API_ORACLE,
         # minhash/simhash/fingerprint/ann are non-SQL-expressible (seeded
         # xxhash64 signatures / LSH probing) → rows-only driver check;
         # exactness is pytest-verified against planted corpora instead.

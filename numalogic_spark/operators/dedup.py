@@ -285,3 +285,39 @@ def embedding_near_pairs(
         cosine_expr(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_near_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup for UNBLOCKED corpora: signed-random-projection
+    buckets replace the label block — a pair with cosine ≥ threshold agrees
+    on all n_planes sign bits w.p. (1 - θ/π)^k (Charikar 2002), so near-dups
+    land in the same bucket w.h.p. and the join is per-bucket instead of n².
+
+    Recall misses pairs straddling a hyperplane; raise recall by unioning a
+    second seed's buckets (cheap — the verification cosine dedups).
+    """
+    from numalogic_spark.operators.similarity import _hyperplanes, srp_bucket_expr
+
+    dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    out = None
+    for s in (seed, seed + 1):  # two independent hash tables
+        planes = _hyperplanes(dim, n_planes, s)
+        bucketed = base.withColumn("blk", srp_bucket_expr("v", planes))
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = a.join(
+            b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")).alias("cos_sim"),
+        ).filter(F.col("cos_sim") >= threshold)
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.dropDuplicates(["id_a", "id_b"])

@@ -85,6 +85,23 @@ def test_simhash_near_pairs(spark, corpus):
     assert (pairs["hamming"] <= 3).all()
 
 
+def test_embedding_near_pairs_lsh_recall(spark):
+    """SRP-bucketed near-dup (no block column) recovers planted near-copies."""
+    from numalogic_spark.operators.dedup import embedding_near_pairs_lsh
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[:10] + rng.standard_normal((10, 16)).astype(np.float32) * 0.01])
+    pdf = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64), "embedding": list(vecs)})
+    got = embedding_near_pairs_lsh(spark.createDataFrame(pdf), threshold=0.99, n_planes=6).toPandas()
+    found = {tuple(sorted((int(a), int(b)))) for a, b in zip(got["id_a"], got["id_b"])}
+    exp = {(i, 50 + i) for i in range(10)}
+    recall = len(found & exp) / len(exp)
+    assert recall >= 0.8  # two hash tables, 6 planes, cos≈0.9999 pairs
+    assert found <= exp | found  # every returned pair verified ≥ threshold
+    assert (got["cos_sim"] >= 0.99).all()
+
+
 def test_embedding_near_pairs(spark):
     rng = np.random.default_rng(42)
     base = rng.standard_normal((20, 16)).astype(np.float32)
