@@ -416,6 +416,46 @@ FROM agg WHERE rn >= {L}
 """
 
 
+def _q_multi_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric daily rollup over lineitem: quantity + extendedprice
+    per (l_returnflag, ship day) through one unpivoted cascade."""
+    from numalogic_spark.operators.rollup import RollupConfig, rollup_cascade_multi
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    tiers = rollup_cascade_multi(
+        df.select("l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice"),
+        ["l_quantity", "l_extendedprice"],
+        RollupConfig(source_col="l_returnflag", ts_col="l_shipdate",
+                     integral_values=False, decimal_sum=True),
+    )
+    t = tiers["1d"]
+    return t.select(
+        "source", "metric",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("count").alias("cnt"),
+        _r6("n_tok_sum").alias("val_sum"),
+        _r6("n_tok_mean").alias("val_mean"),
+        _r6("n_tok_p95").alias("val_p95"),
+    )
+
+
+_MULTI_ROLLUP_SQL = """
+WITH long AS (
+  SELECT l_returnflag AS source, l_shipdate AS ts, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, l_shipdate, 'l_extendedprice', l_extendedprice FROM lineitem
+)
+SELECT source, metric,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_s,
+       count(*) AS cnt,
+       floor((CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS val_sum,
+       floor((CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000.0 AS val_mean,
+       floor((quantile_cont(v, 0.95)) * 1000000 + 0.5) / 1000000.0 AS val_p95
+FROM long
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_rollup_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same 1m continuous aggregate expressed through the engine's SQL
     surface (spark.sql over a temp view) — Catalyst produces the same plan
@@ -792,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backtest_events": _q_backtest,
         "sliding_window_stats": _q_sliding_window_stats,
         "rollup_1m_sql_api": _q_rollup_sql_api,
+        "multi_metric_rollup_lineitem": _q_multi_rollup_lineitem,
         "ewm_smooth_events": _q_ewm_smooth,
         "mahalanobis_events": _q_mahalanobis,
     }
@@ -822,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split_events": _SPLIT_SQL,
         "sliding_window_stats": _SLIDING_SQL,
         "rollup_1m_sql_api": _ROLLUP_SQL_API_ORACLE,
+        "multi_metric_rollup_lineitem": _MULTI_ROLLUP_SQL,
         # minhash/simhash/fingerprint/ann are non-SQL-expressible (seeded
         # xxhash64 signatures / LSH probing) → rows-only driver check;
         # exactness is pytest-verified against planted corpora instead.

@@ -112,6 +112,34 @@ def epoch_ms(ts_col: Column | str) -> Column:
     return (F.unix_timestamp(_c(ts_col)) * F.lit(1000)).cast("long")
 
 
+def seeded_gaussian_noise(
+    col: Column | str,
+    id_col: Column | str,
+    scale: float = 1e-8,
+    positive_only: bool = True,
+    seed: int = 42,
+) -> Column:
+    """x + |N(0, scale)| with row-stable randomness.
+    Ref: transforms/_stateless.py:110-133 (GaussianNoiseAdder, seeded rng).
+
+    Spark's randn(seed) depends on partitioning/row order, so exact
+    reproducibility needs counter-based randomness: two uniforms from
+    xxhash64(id, seed) → Box-Muller. Deterministic per row id under ANY
+    shuffle — the distributed analog of the reference's seeded rng.
+    """
+    c, idc = _c(col), _c(id_col)
+    h1 = F.xxhash64(idc, F.lit(seed))
+    h2 = F.xxhash64(idc, F.lit(seed + 1))
+    # map int64 hash → uniform (0,1]; shift into positive range first
+    u1 = (F.shiftrightunsigned(h1, 11).cast("double") + F.lit(1.0)) / F.lit(float(1 << 53))
+    u2 = F.shiftrightunsigned(h2, 11).cast("double") / F.lit(float(1 << 53))
+    z = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2.0 * math.pi) * u2)
+    noise = F.lit(float(scale)) * z
+    if positive_only:
+        noise = F.abs(noise)
+    return c + noise
+
+
 def impute_nan_inf(col: Column | str, fill: float = 0.0) -> Column:
     """fillna + replace(±inf). Ref: udfs/tools.py:52, trainer/_base.py:390-400."""
     c = _c(col)

@@ -36,6 +36,12 @@ TIERS: dict[str, tuple[str, int]] = {
 }
 
 
+# separator for folding (source, metric) into one key — a control char
+# that cannot appear in real identifiers ("\x01" literal kept out of the
+# expression to stay regex-safe in F.split)
+_SEP = chr(1)
+
+
 @dataclass(frozen=True)
 class RollupConfig:
     source_col: str = "source"
@@ -144,6 +150,43 @@ def rollup_cascade(df: DataFrame, cfg: RollupConfig | None = None) -> dict[str, 
         "1h": tier_from_histogram(h1h, cfg, "1h"),
         "1d": tier_from_histogram(h1d, cfg, "1d"),
     }
+
+
+def rollup_cascade_multi(
+    df: DataFrame,
+    value_cols: list[str],
+    cfg: RollupConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Multi-metric cascade: unpivot the metric columns into the histogram
+    key — one shuffle covers every metric (the reference's wide frames,
+    prometheus.py:113-118, become long rows with a `metric` column).
+
+    Output per tier: (source, metric, bucket_ts, tier, count, n_tok_sum,
+    n_tok_mean, n_tok_p95, token_rate).
+    """
+    cfg = cfg or RollupConfig()
+    long = df.select(
+        F.col(cfg.source_col), F.col(cfg.ts_col),
+        *[F.col(c) for c in value_cols],
+    ).unpivot([cfg.source_col, cfg.ts_col], value_cols, "metric", "_v")
+    # fold metric into the source key for the shared cascade, split after
+    keyed = long.select(
+        F.concat_ws(_SEP, cfg.source_col, "metric").alias("source"),
+        F.col(cfg.ts_col).alias("event_ts"),
+        F.col("_v").alias("n_tok"),
+    )
+    tiers = rollup_cascade(keyed, RollupConfig(
+        percentile=cfg.percentile, integral_values=cfg.integral_values, decimal_sum=cfg.decimal_sum
+    ))
+    out = {}
+    for tier, t in tiers.items():
+        parts = F.split(F.col("source"), _SEP)
+        out[tier] = t.select(
+            parts.getItem(0).alias("source"),
+            parts.getItem(1).alias("metric"),
+            "bucket_ts", "tier", "count", "n_tok_sum", "n_tok_mean", "n_tok_p95", "token_rate",
+        )
+    return out
 
 
 def raw_tier(df: DataFrame, cfg: RollupConfig | None = None) -> DataFrame:
