@@ -76,16 +76,41 @@ def main() -> None:
     cfg = RollupConfig()
     h1m = histogram(df, cfg, "minute").persist()
     t1m = tier_from_histogram(h1m, cfg, "1m").persist()
+
+    # every downstream stage writes its own per-partition manifest too —
+    # gap-fill and compression are keyed by source (a series must stay in
+    # one resume bucket: interpolation and block layout are per-series)
+    def gapfill_stage(subset):
+        out = gapfill_linear(subset.drop(BUCKET_COL), "1m")
+        return out.withColumn(BUCKET_COL, F.pmod(F.xxhash64("source"), F.lit(args.buckets)))
+
+    def compress_stage(subset):
+        out = compress_tier(subset.drop(BUCKET_COL), "n_tok_mean")
+        return out.withColumn(BUCKET_COL, F.pmod(F.xxhash64("source"), F.lit(args.buckets)))
+
+    gf_summary = run_with_manifest(
+        spark, t1m, gapfill_stage, args.output + "_gapfill", args.manifest + "_gapfill",
+        id_col="source", ts_col="bucket_ts", n_buckets=args.buckets,
+    )
+    cp_summary = run_with_manifest(
+        spark, t1m, compress_stage, args.output + "_blocks", args.manifest + "_blocks",
+        id_col="source", ts_col="bucket_ts", n_buckets=args.buckets,
+    )
+
     out = {
         "rows": fp["rows"],
         "tokens": fp["tokens"],
         "token_fingerprint": fp["fp"],
         "processed_buckets": len(summary["processed_buckets"]),
         "skipped_buckets": len(summary["skipped_buckets"]),
+        "gapfill_processed": len(gf_summary["processed_buckets"]),
+        "gapfill_skipped": len(gf_summary["skipped_buckets"]),
+        "blocks_processed": len(cp_summary["processed_buckets"]),
+        "blocks_skipped": len(cp_summary["skipped_buckets"]),
         "tier_1m_points": t1m.count(),
         "tier_1h_points": tier_from_histogram(merge_histogram(h1m, "hour"), cfg, "1h").count(),
-        "gapfilled_points": gapfill_linear(t1m, "1m").count(),
-        "compressed_blocks": compress_tier(t1m, "n_tok_mean").count(),
+        "gapfilled_points": spark.read.parquet(args.output + "_gapfill").count(),
+        "compressed_blocks": spark.read.parquet(args.output + "_blocks").count(),
         "wall_sec": round(time.time() - t0, 2),
     }
     print(json.dumps(out))
