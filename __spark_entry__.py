@@ -788,6 +788,19 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", _r6("cos_sim").alias("cos_sim"))
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded k-means codebook + nprobe list probing (the scale
+    path where lists are table partitions). Rows-only; recall vs brute
+    force pytest-gated."""
+    from numalogic_spark.operators.similarity import ivf_ann_topk, ivf_train_centroids
+
+    embs = _embs(spark, sf_dir)
+    q = embs.filter("vec_id = 0").select("embedding").collect()[0][0]
+    cents = ivf_train_centroids(embs, n_centroids=8, sample_rows=2000, seed=42)
+    out = ivf_ann_topk(embs, [float(x) for x in q], cents, k=10, nprobe=4)
+    return out.select("id", _r6("cos_sim").alias("cos_sim"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rollup cascade over the synthetic token table at
     smoke scale — union of all tiers (the engine's continuous aggregates)."""
@@ -826,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_documents": _q_simhash,
         "doc_fingerprint_documents": _q_fingerprint,
         "ann_topk_embeddings": _q_ann_topk,
+        "ivf_ann_topk_embeddings": _q_ivf_topk,
         "score_pipeline_events": _q_score_pipeline,
         "pivot_metrics_1m": _q_pivot,
         "train_val_split_events": _q_train_val_split,

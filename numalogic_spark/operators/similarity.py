@@ -106,6 +106,82 @@ def lsh_bucketed_ann(
     return scored.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: deterministic mini k-means on a seeded sample.
+
+    The sample (≤ sample_rows) fits on the driver by construction — the
+    classic IVF recipe (train the codebook on a sample, assign the corpus
+    distributedly). kmeans++-style seeded init, Lloyd iterations in numpy.
+    """
+    frac_df = df.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed))).limit(sample_rows)
+    x = np.asarray([np.asarray(r[0], dtype=float) for r in frac_df.collect()])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)  # cosine → unit sphere
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for k in range(len(cents)):
+            m = assign == k
+            if m.any():
+                c = x[m].mean(axis=0)
+                cents[k] = c / (np.linalg.norm(c) or 1.0)
+    return cents
+
+
+def ivf_assign_expr(vec_col: str, centroids: np.ndarray):
+    """Nearest-centroid id as a JVM-side expression: k dot products +
+    argmax via array_position(array_max). Centroids are unit vectors so
+    dot = cosine ranking."""
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.lit([float(x) for x in c]).cast("array<double>"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: score only vectors in the nprobe lists nearest the query.
+
+    At scale the inverted lists are table partitions (`PARTITIONED BY
+    (ivf_list)`) so the probe is partition pruning; here it's a filter.
+    """
+    q = np.asarray(query_vec, dtype=float)
+    qn = q / np.linalg.norm(q)
+    probes = np.argsort(-(centroids @ qn), kind="stable")[:nprobe].tolist()
+    cand = df.withColumn("_list", ivf_assign_expr(vec_col, centroids)).filter(
+        F.col("_list").isin([int(p) for p in probes])
+    )
+    qlit = F.lit([float(x) for x in q]).cast("array<double>")
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        cosine_expr(F.col(vec_col).cast("array<double>"), qlit).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -55,6 +55,28 @@ def test_lsh_ann_recall(vecs):
         np.testing.assert_allclose(r["cos_sim"], cos[int(r["id"])], rtol=1e-6)
 
 
+def test_ivf_ann_recall(vecs):
+    from numalogic_spark.operators.similarity import ivf_ann_topk, ivf_train_centroids
+
+    df, x = vecs
+    cents = ivf_train_centroids(df, n_centroids=8, sample_rows=400, seed=42)
+    assert cents.shape == (8, 32)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-9)
+    # deterministic across calls
+    cents2 = ivf_train_centroids(df, n_centroids=8, sample_rows=400, seed=42)
+    np.testing.assert_array_equal(cents, cents2)
+
+    q = x[0].astype(float).tolist()
+    cos = _np_cos(x.astype(float), np.asarray(q))
+    exact = set(np.argsort(-cos, kind="stable")[:10].tolist())
+    got = ivf_ann_topk(df, q, cents, k=10, nprobe=4).toPandas()
+    recall = len(set(got["id"].tolist()) & exact) / 10
+    assert recall >= 0.5  # probing half the lists
+    assert 0 in got["id"].tolist()
+    for _, r in got.iterrows():
+        np.testing.assert_allclose(r["cos_sim"], cos[int(r["id"])], rtol=1e-6)
+
+
 def test_knn_join_blocked(vecs):
     df, x = vecs
     got = knn_join(df, df, k=3, block_col="label").toPandas()
