@@ -49,17 +49,20 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
+def _dot_const_expr(vec_col: str, const_vec) -> "F.Column":
+    """v · c for a literal vector c — the shared JVM-side dot-product idiom
+    (zip_with + fold) used by SRP bucketing and IVF assignment."""
+    v = F.col(vec_col).cast("array<double>")
+    c = F.lit([float(x) for x in const_vec]).cast("array<double>")
+    return F.aggregate(F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+
+
 def srp_bucket_expr(vec_col: str, planes: np.ndarray):
     """Signed-random-projection bucket id: bit i = sign(v · h_i); computed
     JVM-side as a sum of weighted dot-product signs."""
-    v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for i, h in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(v, F.lit([float(x) for x in h]).cast("array<double>"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = _dot_const_expr(vec_col, h)
         bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 
@@ -118,13 +121,34 @@ def ivf_train_centroids(
 
     The sample (≤ sample_rows) fits on the driver by construction — the
     classic IVF recipe (train the codebook on a sample, assign the corpus
-    distributedly). kmeans++-style seeded init, Lloyd iterations in numpy.
+    distributedly). kmeans++ D²-weighted seeded init, Lloyd iterations in
+    numpy. NULL and zero-norm embeddings are excluded from training (they
+    carry no direction on the unit sphere).
     """
-    frac_df = df.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed))).limit(sample_rows)
-    x = np.asarray([np.asarray(r[0], dtype=float) for r in frac_df.collect()])
+    frac_df = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .limit(sample_rows)
+    )
+    rows = [np.asarray(r[0], dtype=float) for r in frac_df.collect()]
+    rows = [v for v in rows if v.ndim == 1 and np.linalg.norm(v) > 0]
+    if not rows:
+        raise ValueError("no non-null, non-zero embeddings available to train IVF centroids")
+    x = np.asarray(rows)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)  # cosine → unit sphere
     rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    k = min(n_centroids, len(x))
+    # kmeans++ seeding: next centroid sampled ∝ squared distance to nearest
+    idx = [int(rng.integers(len(x)))]
+    for _ in range(1, k):
+        d2 = 1.0 - (x @ x[idx].T).max(axis=1)  # cosine distance to nearest seed
+        d2 = np.maximum(d2, 0.0) ** 2
+        if d2.sum() == 0:
+            idx.append(int(rng.integers(len(x))))
+        else:
+            idx.append(int(rng.choice(len(x), p=d2 / d2.sum())))
+    cents = x[idx].copy()
     for _ in range(iters):
         sims = x @ cents.T
         assign = sims.argmax(axis=1)
@@ -140,17 +164,7 @@ def ivf_assign_expr(vec_col: str, centroids: np.ndarray):
     """Nearest-centroid id as a JVM-side expression: k dot products +
     argmax via array_position(array_max). Centroids are unit vectors so
     dot = cosine ranking."""
-    v = F.col(vec_col).cast("array<double>")
-    dots = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(v, F.lit([float(x) for x in c]).cast("array<double>"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
-    )
+    dots = F.array(*[_dot_const_expr(vec_col, c) for c in centroids])
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
@@ -162,18 +176,24 @@ def ivf_ann_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    list_col: str | None = None,
 ) -> DataFrame:
     """IVF probe: score only vectors in the nprobe lists nearest the query.
 
-    At scale the inverted lists are table partitions (`PARTITIONED BY
-    (ivf_list)`) so the probe is partition pruning; here it's a filter.
+    At scale the inverted lists are a materialized table column
+    (`PARTITIONED BY (ivf_list)`) so the probe is partition pruning — pass
+    it as `list_col`. Without it the assignment is computed on the fly
+    (fine for one-off queries, wasteful for repeated ones).
     """
     q = np.asarray(query_vec, dtype=float)
     qn = q / np.linalg.norm(q)
     probes = np.argsort(-(centroids @ qn), kind="stable")[:nprobe].tolist()
-    cand = df.withColumn("_list", ivf_assign_expr(vec_col, centroids)).filter(
-        F.col("_list").isin([int(p) for p in probes])
+    assigned = (
+        df.withColumnRenamed(list_col, "_list")
+        if list_col
+        else df.withColumn("_list", ivf_assign_expr(vec_col, centroids))
     )
+    cand = assigned.filter(F.col("_list").isin([int(p) for p in probes]))
     qlit = F.lit([float(x) for x in q]).cast("array<double>")
     scored = cand.select(
         F.col(id_col).alias("id"),

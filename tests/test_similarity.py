@@ -77,6 +77,36 @@ def test_ivf_ann_recall(vecs):
         np.testing.assert_allclose(r["cos_sim"], cos[int(r["id"])], rtol=1e-6)
 
 
+def test_ivf_robust_to_null_and_zero_vectors(spark):
+    """Review findings: NULL/zero embeddings must not crash training or
+    NaN-poison centroids; precomputed list_col path must match on-the-fly."""
+    from numalogic_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_assign_expr,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(0)
+    vecs = [rng.standard_normal(8).astype(np.float32) for _ in range(50)]
+    vecs[3] = None
+    vecs[7] = np.zeros(8, dtype=np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64), "embedding": vecs})
+    df = spark.createDataFrame(pdf)
+    cents = ivf_train_centroids(df, n_centroids=4, sample_rows=100)
+    assert not np.isnan(cents).any()
+    q = [float(x) for x in vecs[0]]
+    got = ivf_ann_topk(df, q, cents, k=5, nprobe=2).toPandas()
+    assert got["id"].iloc[0] == 0
+    pre = df.withColumn("ivf_list", ivf_assign_expr("embedding", cents))
+    got2 = ivf_ann_topk(pre, q, cents, k=5, nprobe=2, list_col="ivf_list").toPandas()
+    assert got["id"].tolist() == got2["id"].tolist()
+    with pytest.raises(ValueError, match="no non-null"):
+        empty = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [0], "embedding": [np.zeros(8, dtype=np.float32)]})
+        )
+        ivf_train_centroids(empty, n_centroids=2)
+
+
 def test_knn_join_blocked(vecs):
     df, x = vecs
     got = knn_join(df, df, k=3, block_col="label").toPandas()
