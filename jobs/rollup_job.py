@@ -29,21 +29,11 @@ from numalogic_spark.session import get_spark
 
 
 def tier_job(subset):
-    """Per-bucket tier cascade retaining the manifest bucket column."""
+    """Per-bucket 1m tier via the engine's own histogram cascade, with the
+    manifest bucket column carried through as an extra grouping key."""
     cfg = RollupConfig()
-    h1m = (
-        subset.select(
-            BUCKET_COL, F.col(cfg.source_col).alias("source"),
-            F.date_trunc("minute", cfg.ts_col).alias("bucket_ts"),
-            F.col(cfg.value_col).cast("double").alias("v"),
-        )
-        .groupBy(BUCKET_COL, "source", "bucket_ts", "v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return h1m.groupBy(BUCKET_COL, "source", "bucket_ts").agg(
-        F.sum("cnt").alias("count"),
-        F.sum(F.col("v") * F.col("cnt")).cast("long").alias("n_tok_sum"),
-    )
+    h1m = histogram(subset, cfg, "minute", extra_keys=[BUCKET_COL])
+    return tier_from_histogram(h1m, cfg, "1m", extra_keys=[BUCKET_COL])
 
 
 def main() -> None:

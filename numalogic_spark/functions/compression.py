@@ -266,30 +266,34 @@ POINT_SCHEMA = T.StructType(
 
 
 def decompress_blocks(blocks_df: DataFrame) -> DataFrame:
-    """Blocks → (source, tier, bucket_ts, value) points (exact round-trip)."""
+    """Blocks → (source, tier, bucket_ts, value) points (exact round-trip).
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, r in pdf.iterrows():
-            ts = decode_timestamps(bytes(r["ts_block"]))
-            vals = decode_values(bytes(r["val_block"]))
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "source": r["source"],
-                        "tier": r["tier"],
-                        "bucket_ts": pd.to_datetime(ts, unit="s"),
-                        "value": vals,
-                    }
+    Each block decodes independently, so this is mapInPandas — zero shuffle
+    (a groupBy-based kernel would exchange the whole compressed dataset for
+    nothing)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for src, tier, tsb, valb in zip(
+                pdf["source"], pdf["tier"], pdf["ts_block"], pdf["val_block"]
+            ):
+                ts = decode_timestamps(bytes(tsb))
+                vals = decode_values(bytes(valb))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "source": src,
+                            "tier": tier,
+                            "bucket_ts": pd.to_datetime(ts, unit="s"),
+                            "value": vals,
+                        }
+                    )
                 )
-            )
-        return pd.concat(outs) if outs else pd.DataFrame(
-            {
-                "source": pd.Series([], dtype=object),
-                "tier": pd.Series([], dtype=object),
-                "bucket_ts": pd.Series([], dtype="datetime64[ns]"),
-                "value": pd.Series([], dtype=float),
-            }
-        )
+            yield pd.concat(outs, ignore_index=True)
 
-    return blocks_df.groupBy("source", "tier").applyInPandas(kernel, POINT_SCHEMA)
+    return blocks_df.select("source", "tier", "ts_block", "val_block").mapInPandas(
+        kernel, POINT_SCHEMA
+    )

@@ -23,16 +23,18 @@ METRIC_COLS = ["count", "n_tok_sum", "n_tok_mean", "n_tok_p95", "token_rate"]
 
 
 def bucket_spine(tier_df: DataFrame, tier: str) -> DataFrame:
-    """Per-source dense bucket grid spanning [min(bucket_ts), max(bucket_ts)]."""
-    _, secs = TIERS[tier]
+    """Per-source dense bucket grid spanning [min(bucket_ts), max(bucket_ts)].
+
+    Uses the tier's CALENDAR step (INTERVAL 1 DAY, not 86400 SECOND) so the
+    spine stays aligned with date_trunc buckets across DST transitions under
+    non-UTC session timezones."""
+    _, _, step = TIERS[tier]
     return (
         tier_df.groupBy("source")
         .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
         .select(
             "source",
-            F.explode(
-                F.sequence("lo", "hi", F.expr(f"INTERVAL {secs} SECOND"))
-            ).alias("bucket_ts"),
+            F.explode(F.sequence("lo", "hi", F.expr(step))).alias("bucket_ts"),
         )
     )
 
@@ -45,8 +47,12 @@ def gapfill_linear(tier_df: DataFrame, tier: str, metric_cols: list[str] | None 
     """
     metric_cols = metric_cols or METRIC_COLS
     spine = bucket_spine(tier_df, tier)
-    joined = spine.join(tier_df, ["source", "bucket_ts"], "left").withColumn(
-        "_real", F.col(metric_cols[0]).isNotNull()
+    # realness comes from an explicit join marker, NOT from null-ness of a
+    # metric column — a real row with a NULL metric must not be treated as
+    # a gap and overwritten by interpolation
+    marked = tier_df.withColumn("_real", F.lit(True))
+    joined = spine.join(marked, ["source", "bucket_ts"], "left").withColumn(
+        "_real", F.coalesce(F.col("_real"), F.lit(False))
     )
 
     # Both directions use RUNNING frames (unboundedPreceding → current row):

@@ -28,18 +28,15 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-TIERS: dict[str, tuple[str, int]] = {
-    # tier name -> (date_trunc unit, bucket seconds)
-    "1m": ("minute", 60),
-    "1h": ("hour", 3600),
-    "1d": ("day", 86400),
+TIERS: dict[str, tuple[str, int, str]] = {
+    # tier name -> (date_trunc unit, bucket seconds, calendar spine step).
+    # The spine step for 1d is a CALENDAR day, not 86400s: under a non-UTC
+    # session timezone date_trunc('day') buckets are 23/25h apart across
+    # DST transitions and a fixed-second spine would miss real buckets.
+    "1m": ("minute", 60, "INTERVAL 1 MINUTE"),
+    "1h": ("hour", 3600, "INTERVAL 1 HOUR"),
+    "1d": ("day", 86400, "INTERVAL 1 DAY"),
 }
-
-
-# separator for folding (source, metric) into one key — a control char
-# that cannot appear in real identifiers ("\x01" literal kept out of the
-# expression to stay regex-safe in F.split)
-_SEP = chr(1)
 
 
 @dataclass(frozen=True)
@@ -61,23 +58,30 @@ def bucket(ts_col: str | Column, unit: str) -> Column:
     return F.date_trunc(unit, c)
 
 
-def histogram(df: DataFrame, cfg: RollupConfig, unit: str) -> DataFrame:
-    """(source, bucket_ts, v) → cnt — the mergeable exact histogram."""
+def histogram(
+    df: DataFrame, cfg: RollupConfig, unit: str, extra_keys: list[str] | None = None
+) -> DataFrame:
+    """(*extra_keys, source, bucket_ts, v) → cnt — the mergeable exact
+    histogram. `extra_keys` carries orthogonal grouping columns (a metric
+    name, a manifest bucket id) through the whole cascade."""
+    extra_keys = extra_keys or []
     return (
         df.select(
+            *[F.col(k) for k in extra_keys],
             F.col(cfg.source_col).alias("source"),
             bucket(cfg.ts_col, unit).alias("bucket_ts"),
             F.col(cfg.value_col).cast("double").alias("v"),
         )
-        .groupBy("source", "bucket_ts", "v")
+        .groupBy(*extra_keys, "source", "bucket_ts", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def merge_histogram(hist: DataFrame, unit: str) -> DataFrame:
+def merge_histogram(hist: DataFrame, unit: str, extra_keys: list[str] | None = None) -> DataFrame:
     """Re-bucket a finer histogram to a coarser tier (pure merge, no raw scan)."""
+    extra_keys = extra_keys or []
     return (
-        hist.groupBy("source", bucket("bucket_ts", unit).alias("bucket_ts"), "v")
+        hist.groupBy(*extra_keys, "source", bucket("bucket_ts", unit).alias("bucket_ts"), "v")
         .agg(F.sum("cnt").alias("cnt"))
     )
 
@@ -98,17 +102,21 @@ def _percentile_cols(p: float) -> list[Column]:
     return [v_lo.alias("_v_lo"), v_hi.alias("_v_hi"), F.max(frac).alias("_frac")]
 
 
-def tier_from_histogram(hist: DataFrame, cfg: RollupConfig, tier: str) -> DataFrame:
+def tier_from_histogram(
+    hist: DataFrame, cfg: RollupConfig, tier: str, extra_keys: list[str] | None = None
+) -> DataFrame:
     """Histogram → continuous-aggregate tier table.
 
-    Output: (source, bucket_ts, tier, count, n_tok_sum, n_tok_mean,
-    n_tok_p95, token_rate). The window partitioning matches the following
-    groupBy key prefix, so Catalyst reuses one exchange for both.
+    Output: (*extra_keys, source, bucket_ts, tier, count, n_tok_sum,
+    n_tok_mean, n_tok_p95, token_rate). The window partitioning matches the
+    following groupBy key prefix, so Catalyst reuses one exchange for both.
     """
-    _, secs = TIERS[tier]
-    w = Window.partitionBy("source", "bucket_ts").orderBy("v", "cnt")
+    extra_keys = extra_keys or []
+    _, secs, _ = TIERS[tier]
+    keys = [*extra_keys, "source", "bucket_ts"]
+    w = Window.partitionBy(*keys).orderBy("v", "cnt")
     enriched = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "total", F.sum("cnt").over(Window.partitionBy("source", "bucket_ts"))
+        "total", F.sum("cnt").over(Window.partitionBy(*keys))
     )
     if cfg.decimal_sum and not cfg.integral_values:
         vsum = F.sum(F.col("v").cast("decimal(20,6)") * F.col("cnt")).cast("double")
@@ -116,12 +124,13 @@ def tier_from_histogram(hist: DataFrame, cfg: RollupConfig, tier: str) -> DataFr
         vsum = F.sum(F.col("v") * F.col("cnt"))
     if cfg.integral_values:
         vsum = vsum.cast("long")
-    agg = enriched.groupBy("source", "bucket_ts").agg(
+    agg = enriched.groupBy(*keys).agg(
         F.sum("cnt").alias("count"),
         vsum.alias("n_tok_sum"),
         *_percentile_cols(cfg.percentile),
     )
     return agg.select(
+        *extra_keys,
         "source",
         "bucket_ts",
         F.lit(tier).alias("tier"),
@@ -133,7 +142,9 @@ def tier_from_histogram(hist: DataFrame, cfg: RollupConfig, tier: str) -> DataFr
     )
 
 
-def rollup_cascade(df: DataFrame, cfg: RollupConfig | None = None) -> dict[str, DataFrame]:
+def rollup_cascade(
+    df: DataFrame, cfg: RollupConfig | None = None, extra_keys: list[str] | None = None
+) -> dict[str, DataFrame]:
     """Full raw → 1m → 1h → 1d cascade from ONE scan of the raw table.
 
     Returns {"1m": df, "1h": df, "1d": df}. count/sum/mean re-aggregate
@@ -142,13 +153,13 @@ def rollup_cascade(df: DataFrame, cfg: RollupConfig | None = None) -> dict[str, 
     merge quantile sketches — approximate; we are exact).
     """
     cfg = cfg or RollupConfig()
-    h1m = histogram(df, cfg, "minute")
-    h1h = merge_histogram(h1m, "hour")
-    h1d = merge_histogram(h1h, "day")
+    h1m = histogram(df, cfg, "minute", extra_keys)
+    h1h = merge_histogram(h1m, "hour", extra_keys)
+    h1d = merge_histogram(h1h, "day", extra_keys)
     return {
-        "1m": tier_from_histogram(h1m, cfg, "1m"),
-        "1h": tier_from_histogram(h1h, cfg, "1h"),
-        "1d": tier_from_histogram(h1d, cfg, "1d"),
+        "1m": tier_from_histogram(h1m, cfg, "1m", extra_keys),
+        "1h": tier_from_histogram(h1h, cfg, "1h", extra_keys),
+        "1d": tier_from_histogram(h1d, cfg, "1d", extra_keys),
     }
 
 
@@ -166,27 +177,20 @@ def rollup_cascade_multi(
     """
     cfg = cfg or RollupConfig()
     long = df.select(
-        F.col(cfg.source_col), F.col(cfg.ts_col),
+        F.col(cfg.source_col).alias("source"), F.col(cfg.ts_col).alias("event_ts"),
         *[F.col(c) for c in value_cols],
-    ).unpivot([cfg.source_col, cfg.ts_col], value_cols, "metric", "_v")
-    # fold metric into the source key for the shared cascade, split after
-    keyed = long.select(
-        F.concat_ws(_SEP, cfg.source_col, "metric").alias("source"),
-        F.col(cfg.ts_col).alias("event_ts"),
-        F.col("_v").alias("n_tok"),
+    ).unpivot(["source", "event_ts"], value_cols, "metric", "n_tok")
+    tiers = rollup_cascade(
+        long,
+        RollupConfig(percentile=cfg.percentile, integral_values=cfg.integral_values,
+                     decimal_sum=cfg.decimal_sum),
+        extra_keys=["metric"],
     )
-    tiers = rollup_cascade(keyed, RollupConfig(
-        percentile=cfg.percentile, integral_values=cfg.integral_values, decimal_sum=cfg.decimal_sum
-    ))
-    out = {}
-    for tier, t in tiers.items():
-        parts = F.split(F.col("source"), _SEP)
-        out[tier] = t.select(
-            parts.getItem(0).alias("source"),
-            parts.getItem(1).alias("metric"),
-            "bucket_ts", "tier", "count", "n_tok_sum", "n_tok_mean", "n_tok_p95", "token_rate",
-        )
-    return out
+    return {
+        tier: t.select("source", "metric", "bucket_ts", "tier", "count",
+                       "n_tok_sum", "n_tok_mean", "n_tok_p95", "token_rate")
+        for tier, t in tiers.items()
+    }
 
 
 def raw_tier(df: DataFrame, cfg: RollupConfig | None = None) -> DataFrame:

@@ -8,25 +8,31 @@ work level, re-expressed here as content-fingerprinted input buckets.
 
 Design (all content-derived — no wall-clock in the resume decision):
 - work unit = hash bucket of a stable row id: bucket = pmod(xxhash64(id), B)
-- fingerprint per bucket = (row_count, sum(xxhash64(id))) — order-independent,
-  so identical input always fingerprints identically regardless of
-  partitioning/scheduling
+- fingerprint per bucket = (row_count, Σ xxhash64(struct(ALL columns))) —
+  order-independent AND value-sensitive: changing any cell of any row
+  (not just ids) changes the fingerprint and re-runs the bucket
+- the manifest is APPEND-ONLY (it doubles as lineage history); resume
+  consults only the LATEST entry per bucket (run_seq, monotonic per table)
 - the job's output is written parquet-partitioned by bucket with DYNAMIC
-  partition overwrite, so re-processing a bucket is idempotent
-- manifest row per completed bucket: bucket, fingerprint, rows_in, rows_out,
-  min/max ts, wall_sec (metric only). Appended AFTER the bucket's data
-  lands; a crash in between just re-runs that bucket next time.
-- resume = anti-join of current fingerprints vs manifest; changed or absent
-  buckets re-run, completed ones are skipped without touching their data.
+  partition overwrite set per-writer (never via session conf), so
+  re-processing a bucket is idempotent
+- buckets that DISAPPEAR from the input get their output partition removed
+  and a tombstone manifest row (rows_in = 0); a bucket that reappears later
+  fingerprints differently from its tombstone and re-runs
+- manifest row per completed bucket: bucket, run_seq, fingerprint, rows_in,
+  rows_out, min/max ts, wall_sec (metric only), appended AFTER the bucket's
+  data lands; a crash in between just re-runs that bucket next time.
 """
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 BUCKET_COL = "_bucket"
@@ -37,6 +43,7 @@ def bucketize(df: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
 
 
 def bucket_fingerprints(df: DataFrame, id_col: str, ts_col: str, n_buckets: int) -> DataFrame:
+    row_hash = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
     return (
         bucketize(df, id_col, n_buckets)
         .groupBy(BUCKET_COL)
@@ -44,7 +51,7 @@ def bucket_fingerprints(df: DataFrame, id_col: str, ts_col: str, n_buckets: int)
             F.count(F.lit(1)).alias("rows_in"),
             # decimal(38,0) sum: order-independent and cannot overflow even
             # at 10^12 rows (1e12 · 2^63 ≈ 9e30 < 10^38)
-            F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")).alias("fingerprint"),
+            F.sum(row_hash.cast("decimal(38,0)")).alias("fingerprint"),
             F.min(ts_col).alias("min_ts"),
             F.max(ts_col).alias("max_ts"),
         )
@@ -52,12 +59,22 @@ def bucket_fingerprints(df: DataFrame, id_col: str, ts_col: str, n_buckets: int)
 
 
 def load_manifest(spark: SparkSession, manifest_path: str) -> DataFrame | None:
-    if not os.path.exists(manifest_path):
-        return None
+    """Latest entry per bucket. Reads through Spark (works for s3a/hdfs/
+    local alike); a missing or unreadable manifest means a fresh run."""
     try:
-        return spark.read.parquet(manifest_path)
-    except Exception:  # noqa: BLE001 — empty/corrupt manifest dir → full run
+        m = spark.read.parquet(manifest_path)
+    except Exception:  # noqa: BLE001 — missing/empty/corrupt → full run
         return None
+    w = Window.partitionBy(BUCKET_COL).orderBy(F.col("run_seq").desc())
+    return m.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def _drop_bucket_partitions(out_path: str, buckets: list[int]) -> None:
+    """Remove output partitions of vanished buckets (local-fs layout; on a
+    real lakehouse this is an Iceberg partition DELETE)."""
+    for b in buckets:
+        for d in glob.glob(os.path.join(out_path, f"{BUCKET_COL}={b}")):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def run_with_manifest(
@@ -71,32 +88,65 @@ def run_with_manifest(
     n_buckets: int = 32,
 ) -> dict:
     """Run `job` over only the buckets whose input changed; returns a
-    summary dict {processed_buckets, skipped_buckets, rows_out}.
+    summary dict {processed_buckets, skipped_buckets, removed_buckets,
+    rows_out}.
 
     `job` maps the bucketized input subset (with BUCKET_COL attached) to an
     output DataFrame that must retain BUCKET_COL (grouping keys derived per
     bucket keep it naturally).
     """
     fps = bucket_fingerprints(df, id_col, ts_col, n_buckets).persist()
-    manifest = load_manifest(spark, manifest_path)
-    if manifest is not None:
-        done = manifest.select(BUCKET_COL, "fingerprint", "rows_in").distinct()
+    latest = load_manifest(spark, manifest_path)
+    if latest is not None:
+        live = latest.filter(F.col("rows_in") > 0)
+        done = live.select(BUCKET_COL, "fingerprint", "rows_in").distinct()
         todo_df = fps.join(done, [BUCKET_COL, "fingerprint", "rows_in"], "left_anti")
+        run_seq = (latest.agg(F.max("run_seq")).collect()[0][0] or 0) + 1
+        gone = [
+            r[BUCKET_COL]
+            for r in live.select(BUCKET_COL)
+            .join(fps.select(BUCKET_COL), BUCKET_COL, "left_anti")
+            .collect()
+        ]
     else:
         todo_df = fps
+        run_seq = 1
+        gone = []
     todo = sorted(r[BUCKET_COL] for r in todo_df.select(BUCKET_COL).collect())
     all_buckets = sorted(r[BUCKET_COL] for r in fps.select(BUCKET_COL).collect())
     skipped = [b for b in all_buckets if b not in set(todo)]
+
+    if gone:
+        _drop_bucket_partitions(out_path, gone)
+        tombstones = spark.createDataFrame(
+            [(int(b), 0, 0) for b in gone], f"{BUCKET_COL} long, rows_in long, rows_out long"
+        ).select(
+            BUCKET_COL,
+            F.lit(0).cast("decimal(38,0)").alias("fingerprint"),
+            "rows_in",
+            F.lit(None).cast(df.schema[ts_col].dataType).alias("min_ts"),
+            F.lit(None).cast(df.schema[ts_col].dataType).alias("max_ts"),
+            "rows_out",
+            F.lit(0.0).alias("wall_sec"),
+            F.lit(run_seq).alias("run_seq"),
+        )
+        tombstones.write.mode("append").parquet(manifest_path)
+
     if not todo:
         fps.unpersist()
-        return {"processed_buckets": [], "skipped_buckets": skipped, "rows_out": 0}
+        return {"processed_buckets": [], "skipped_buckets": skipped,
+                "removed_buckets": gone, "rows_out": 0}
 
     subset = bucketize(df, id_col, n_buckets).filter(F.col(BUCKET_COL).isin(todo))
     t0 = time.time()
     out = job(subset)
     assert BUCKET_COL in out.columns, "job output must retain the bucket column"
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_path)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")  # per-writer, not session conf
+        .partitionBy(BUCKET_COL)
+        .parquet(out_path)
+    )
     wall = time.time() - t0
 
     rows_out = (
@@ -111,9 +161,13 @@ def run_with_manifest(
         .join(rows_out, BUCKET_COL, "left")
         .na.fill({"rows_out": 0})
         .withColumn("wall_sec", F.lit(float(wall)))
+        .withColumn("run_seq", F.lit(run_seq))
     )
     entries.write.mode("append").parquet(manifest_path)
     fps.unpersist()
-    return {"processed_buckets": todo, "skipped_buckets": skipped, "rows_out": int(
-        sum(r["rows_out"] for r in entries.select("rows_out").collect())
-    )}
+    return {
+        "processed_buckets": todo,
+        "skipped_buckets": skipped,
+        "removed_buckets": gone,
+        "rows_out": int(sum(r["rows_out"] for r in entries.select("rows_out").collect())),
+    }

@@ -8,18 +8,10 @@ from numalogic_spark.plans.skew import hot_keys, salted_repartition
 
 
 def _job(subset):
-    """Per-bucket 1m rollup keeping the bucket column."""
-    from pyspark.sql import functions as F
-
+    """Per-bucket 1m rollup through the engine cascade (extra_keys)."""
     cfg = RollupConfig()
-    h = (
-        subset.select(BUCKET_COL, "source", F.date_trunc("minute", "event_ts").alias("bucket_ts"),
-                      F.col("n_tok").cast("double").alias("v"))
-        .groupBy(BUCKET_COL, "source", "bucket_ts", "v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return h.groupBy(BUCKET_COL, "source", "bucket_ts").agg(
-        F.sum("cnt").alias("count"), F.sum(F.col("v") * F.col("cnt")).cast("long").alias("n_tok_sum")
+    return tier_from_histogram(
+        histogram(subset, cfg, "minute", extra_keys=[BUCKET_COL]), cfg, "1m", extra_keys=[BUCKET_COL]
     )
 
 
@@ -41,6 +33,44 @@ def test_run_skip_resume(spark, tokens_df, tmp_path):
     assert 0 < len(r3["processed_buckets"]) <= 8
     # reprocessed buckets were overwritten in place (dynamic overwrite)
     assert spark.read.parquet(out).select(BUCKET_COL).distinct().count() == 8
+    # latest-wins: reverting to the ORIGINAL input must re-run the buckets
+    # the changed run overwrote (the stale old fingerprint must not match)
+    r4 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
+    assert sorted(r4["processed_buckets"]) == sorted(r3["processed_buckets"])
+
+
+def test_value_change_detected(spark, tokens_df, tmp_path):
+    """Fingerprints are value-sensitive: same ids/counts, different values
+    → affected buckets re-run (review finding)."""
+    from pyspark.sql import functions as F
+
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifest")
+    run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
+    mutated = tokens_df.withColumn(
+        "n_tok", F.when(F.col("source") == "src_002", F.col("n_tok") + 1).otherwise(F.col("n_tok"))
+    )
+    r = run_with_manifest(spark, mutated, _job, out, man, n_buckets=8)
+    assert len(r["processed_buckets"]) > 0  # same doc_ids, same counts — still re-ran
+
+
+def test_vanished_bucket_cleanup(spark, tokens_df, tmp_path):
+    """Buckets that disappear from the input get their output partition
+    removed and a tombstone row (review finding)."""
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifest")
+    run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
+    from numalogic_spark.plans.manifest import bucketize
+
+    keep_buckets = [0, 1, 2, 3]
+    shrunk = bucketize(tokens_df, "doc_id", 8).filter(
+        f"{BUCKET_COL} in (0,1,2,3)"
+    ).drop(BUCKET_COL)
+    r = run_with_manifest(spark, shrunk, _job, out, man, n_buckets=8)
+    assert sorted(r["removed_buckets"]) == [4, 5, 6, 7]
+    got = spark.read.parquet(out).select(BUCKET_COL).distinct()
+    assert sorted(x[0] for x in got.collect()) == keep_buckets  # phantoms gone
+    # tombstoned buckets re-run if they come back
+    r2 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
+    assert sorted(r2["processed_buckets"]) == [4, 5, 6, 7]
 
 
 def test_partial_manifest_resumes(spark, tokens_df, tmp_path):
@@ -49,12 +79,16 @@ def test_partial_manifest_resumes(spark, tokens_df, tmp_path):
     out, man = str(tmp_path / "out"), str(tmp_path / "manifest")
     r1 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
     # drop manifest entries for 3 buckets (as if the job died before them)
-    m = spark.read.parquet(man).toPandas()
-    kept = m[~m[BUCKET_COL].isin([0, 1, 2])]
     import shutil
 
+    m = spark.read.parquet(man)
+    kept = m.filter(~m[BUCKET_COL].isin([0, 1, 2]))
+    kept.persist().count()
+    tmp = man + "_tmp"
+    kept.write.parquet(tmp)
+    kept.unpersist()
     shutil.rmtree(man)
-    spark.createDataFrame(kept).write.parquet(man)
+    shutil.move(tmp, man)
     r2 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=8)
     assert sorted(r2["processed_buckets"]) == [0, 1, 2]
     assert len(r2["skipped_buckets"]) == 5
