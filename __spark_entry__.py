@@ -650,8 +650,8 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_JACCARD_SQL = """
 WITH w AS (
   SELECT doc_id, lang, source,
-         len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS nw,
-         unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS word
+         len(list_filter(list_distinct(string_split_regex(lower(text), '\\s+')), x -> x <> '')) AS nw,
+         unnest(list_filter(list_distinct(string_split_regex(lower(text), '\\s+')), x -> x <> '')) AS word
   FROM documents
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nw AS na, b.nw AS nb, count(*) AS inter
@@ -713,8 +713,8 @@ _TEXT_QUALITY_SQL = r"""
 WITH s AS (
   SELECT doc_id,
     length(text) AS n_chars,
-    len(string_split_regex(lower(text), '\s+')) AS n_words,
-    len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_distinct_words,
+    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_words,
+    len(list_filter(list_distinct(string_split_regex(lower(text), '\s+')), x -> x <> '')) AS n_distinct_words,
     len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
     length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace_removed

@@ -64,17 +64,26 @@ def _source_weights(n_sources: int) -> np.ndarray:
     """Integer weights per source over one assignment cycle.
 
     src_000 gets ~30% of the cycle; the remainder is Zipf(1.05) over the
-    other sources. Cycle length 1000 keeps the closed-form index math cheap.
+    other sources, apportioned with the largest-remainder method so weights
+    are always non-negative and sum exactly (the old max(floor,1) clamp
+    drove the hot weight NEGATIVE for n_sources ≳ 700, silently corrupting
+    the closed-form index math). The cycle scales with n_sources.
     """
-    cycle = 1000
+    cycle = max(1000, 4 * n_sources)
     hot = int(cycle * 0.30)
+    if n_sources == 1:
+        return np.array([cycle], dtype=np.int64)
     k = np.arange(1, n_sources, dtype=np.float64)
     z = 1.0 / np.power(k, 1.05)
-    rest = np.floor(z / z.sum() * (cycle - hot)).astype(np.int64)
-    rest = np.maximum(rest, 1)
-    w = np.concatenate([[hot], rest])
-    w[0] += cycle - w.sum()  # absorb rounding into the hot source
-    return w.astype(np.int64)
+    target = z / z.sum() * (cycle - hot)
+    rest = np.floor(target).astype(np.int64)
+    deficit = (cycle - hot) - int(rest.sum())
+    if deficit > 0:  # give the remainder to the largest fractional parts
+        order = np.argsort(-(target - rest), kind="stable")[:deficit]
+        rest[order] += 1
+    w = np.concatenate([[hot], rest]).astype(np.int64)
+    assert w.sum() == cycle and (w >= 0).all()
+    return w
 
 
 class TokenGenSpec:

@@ -183,6 +183,19 @@ def mahalanobis_scores(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[feature_cols].to_numpy(dtype=float)
+        if len(x) < 2:
+            # a 1-row series has no covariance (np.cov ddof=1 → NaN → pinv
+            # LinAlgError would kill the whole stage); emit nothing, the
+            # engine-level analog of the min-size guard (P5)
+            return pd.DataFrame(
+                {
+                    by: pd.Series([], dtype=object),
+                    id_col: pd.Series([], dtype="datetime64[ns]"),
+                    "md": pd.Series([], dtype=float),
+                    "md_score": pd.Series([], dtype=float),
+                    "md_pred": pd.Series([], dtype="int32"),
+                }
+            )
         mu = x.mean(axis=0)
         cov = np.cov(x, rowvar=False)
         cov_inv = np.linalg.pinv(np.atleast_2d(cov))

@@ -53,7 +53,9 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # --------------------------------------------------------------------------
 
 def _word_set(text_col: str) -> Column:
-    return F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    # array_remove '': leading/trailing whitespace otherwise yields an
+    # empty-string token that becomes a hot shared join key across docs
+    return F.array_remove(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")), "")
 
 
 def jaccard_pairs(
@@ -131,14 +133,20 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs: LSH banding proposes candidates, exact shingle
     Jaccard verifies. bands=16, rows=4 → catches J≈0.8 w.h.p.
     (s-curve: P(candidate) = 1-(1-J^r)^b)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
+        )
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("id"), char_shingles(text_col, shingle_n).alias("sh")
-    ).withColumn("sig", minhash_signature("sh", num_hashes)).persist()
+    ).withColumn("sig", minhash_signature("sh", num_hashes))
     # Slim candidate generation: the band self-join carries ONLY (id, band
     # hash) — shingle arrays must not travel through the n² join. Dedup the
     # candidate id-pairs BEFORE the (expensive) exact-Jaccard verification,
-    # then join the shingle sets back once per pair side.
+    # then join the shingle sets back once per pair side. (No persist: the
+    # two consumers need different columns, and a cached handle would leak
+    # for the application lifetime with no way for callers to release it.)
     slim = base.select(
         "id",
         F.explode(
@@ -205,7 +213,7 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    words = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     return df.select(F.col(id_col).alias("id"), _simhash_from_hashes(hashes).alias("simhash"))
 
@@ -213,9 +221,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band on 4×16-bit chunks (a pair within
-    hamming ≤ 3 must agree on ≥1 chunk — pigeonhole), verify with
-    bit_count(xor) ≤ max_hamming, all JVM-side."""
+    """Near-dup pairs by SimHash: band on (max_hamming+1) chunks — a pair
+    within hamming ≤ max_hamming must agree on ≥1 chunk (pigeonhole), so
+    candidate generation is recall-complete for the requested radius —
+    then verify with bit_count(xor) ≤ max_hamming, all JVM-side."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 16:
+        raise ValueError("max_hamming > 15 would need chunks smaller than 4 bits")
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
     sh = simhash(df, text_col, id_col)
     chunks = sh.select(
         "id",
@@ -225,9 +239,9 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(k).alias("chunk"),
-                        F.shiftrightunsigned("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                        F.shiftrightunsigned("simhash", chunk_bits * k).bitwiseAND(F.lit(mask)).alias("cv"),
                     )
-                    for k in range(4)
+                    for k in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -305,7 +319,11 @@ def embedding_near_pairs_lsh(
     """
     from numalogic_spark.operators.similarity import _hyperplanes, srp_bucket_expr
 
-    dim = len(df.select(vec_col).first()[0])
+    df = df.filter(F.col(vec_col).isNotNull())
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("no non-null embeddings to pair")
+    dim = len(first[0])
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     out = None
     for s in (seed, seed + 1):  # two independent hash tables

@@ -26,7 +26,8 @@ _STOPWORDS = {
 
 
 def words_expr(text_col: str) -> Column:
-    return F.split(F.lower(F.col(text_col)), r"\s+")
+    # drop empty tokens from leading/trailing whitespace
+    return F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

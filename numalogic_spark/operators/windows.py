@@ -180,7 +180,7 @@ def ewm_smooth(
     alpha = 1.0 - beta
     if not 0.0 < alpha < 1.0:
         raise ValueError("beta only accepts values between 0 and 1 (not inclusive)")
-    out_fields = [T.StructField("source", T.StringType()), T.StructField(ts_col, T.TimestampType())]
+    out_fields = [T.StructField(source_col, T.StringType()), T.StructField(ts_col, T.TimestampType())]
     out_fields += [T.StructField(c, T.FloatType()) for c in value_cols]
     schema = T.StructType(out_fields)
 
@@ -193,7 +193,7 @@ def ewm_smooth(
             .mean()
             .astype(np.float32)
         )
-        out = pd.DataFrame({"source": pdf[source_col].to_numpy(), ts_col: pdf[ts_col].to_numpy()})
+        out = pd.DataFrame({source_col: pdf[source_col].to_numpy(), ts_col: pdf[ts_col].to_numpy()})
         for c in value_cols:
             out[c] = sm[c].to_numpy()
         return out

@@ -98,9 +98,10 @@ def streaming_ewm(
     equivalent to the batch kernel operators/windows.ewm_smooth on the
     concatenated stream (verified in tests/test_streaming.py).
     """
+    if not 0.0 < beta < 1.0:
+        raise ValueError("beta only accepts values between 0 and 1 (not inclusive)")
     alpha = 1.0 - beta
-
-    beta_ = 1.0 - alpha
+    beta_ = beta
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         import numpy as np
@@ -111,7 +112,13 @@ def streaming_ewm(
         else:
             num_prev, den_prev, _n = 0.0, 0.0, 0
         outs = []
-        for pdf in pdfs:
+        # a group larger than the Arrow batch size arrives as MULTIPLE
+        # chunks that are NOT globally time-ordered — concatenate first,
+        # sort once, process as one sequence (values are assumed non-null;
+        # impute upstream, e.g. transforms.impute_nan_inf, like the
+        # reference's fillna at udfs/tools.py:52)
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        for pdf in ([whole] if len(whole) else []):
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             vals = pdf[value_col].astype(float).to_numpy()
             if len(vals):
