@@ -117,6 +117,32 @@ def test_expmov_avg_matches_pandas_ewm():
         expmov_avg_np(x, 1.5)
 
 
+def test_expmov_avg_bias_correction_flag():
+    """bias_correction=False: V = (1-β)·Σ β^(n-1-i)·x_i without the
+    /(1-β^n) correction (_movavg.py:66-71)."""
+    x = np.arange(1, 8, dtype=float)
+    beta = 0.4
+    w = np.power(beta, np.arange(len(x) - 1, -1, -1))
+    raw = (1 - beta) * float(w @ x)
+    np.testing.assert_allclose(expmov_avg_np(x, beta, bias_correction=False), raw, rtol=1e-12)
+    np.testing.assert_allclose(expmov_avg_np(x, beta, True), raw / (1 - beta ** len(x)), rtol=1e-12)
+
+
+def test_percentile_scaler_with_min_percentile(spark):
+    """PercentileScaler with explicit min_percentile (the _scaler.py:115-118
+    branch): lo = percentile(x, p_min) instead of min(x)."""
+    from numalogic_spark.functions.scalers import fit_percentile_scaler, transform_percentile_scaler
+
+    rng = np.random.default_rng(5)
+    x = rng.random(300) * 50
+    df = spark.createDataFrame(pd.DataFrame({"i": np.arange(300), "a": x}))
+    stats = fit_percentile_scaler(df, ["a"], max_percentile=98.0, min_percentile=5.0)
+    out = transform_percentile_scaler(df, stats, ["a"]).orderBy("i").toPandas()
+    lo, hi = np.percentile(x, 5.0), np.percentile(x, 98.0)
+    np.testing.assert_allclose(out["a__scaled"], (x - lo) / (hi - lo), rtol=1e-9)
+    assert out["a__scaled"].min() < 0  # values below p5 go negative — faithful
+
+
 def test_window_agg_expr_exp(spark):
     x = np.arange(1, 13, dtype=float)
     df = spark.createDataFrame(pd.DataFrame({"w": [x.tolist()]}))
