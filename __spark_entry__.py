@@ -459,16 +459,44 @@ GROUP BY 1, 2, 3
 def _q_rollup_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same 1m continuous aggregate expressed through the engine's SQL
     surface (spark.sql over a temp view) — Catalyst produces the same plan
-    as the DataFrame path; proves the SQL front-end is first-class."""
+    as the DataFrame path; proves the SQL front-end is first-class.
+
+    p95 goes through the SAME histogram linear interpolation the DataFrame
+    path uses (operators/rollup.py:89-102) — Spark's built-in `percentile`
+    differs from quantile_cont by ULPs that cross the 6-dp rounding
+    boundary, so the SQL surface states the interpolation explicitly."""
     _events(spark, sf_dir).createOrReplaceTempView("events_v")
+    # NOTE: fractional literals are written with a D suffix — Spark SQL
+    # parses bare `0.95` as DECIMAL and decimal arithmetic would silently
+    # retype the whole output column away from DOUBLE.
     return spark.sql("""
-        SELECT event_type AS source,
-               unix_timestamp(date_trunc('minute', ts)) AS bucket_s,
-               count(*) AS cnt,
-               floor(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS val_sum,
-               floor(percentile(value, 0.95) * 1000000 + 0.5) / 1000000.0 AS val_p95
-        FROM events_v
-        GROUP BY 1, 2
+        WITH h AS (
+          SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                 value AS v, count(*) AS cnt,
+                 sum(CAST(value AS DECIMAL(20,6))) AS vsum
+          FROM events_v GROUP BY 1, 2, 3
+        ), e AS (
+          SELECT source, b, v, cnt, vsum,
+                 sum(cnt) OVER (PARTITION BY source, b ORDER BY v) AS cum,
+                 sum(cnt) OVER (PARTITION BY source, b) AS total
+          FROM h
+        ), p AS (
+          SELECT source, b, v, cnt, vsum, cum, total,
+                 CAST(floor(0.95D * CAST(total - 1 AS DOUBLE)) AS BIGINT) AS lo,
+                 least(CAST(floor(0.95D * CAST(total - 1 AS DOUBLE)) AS BIGINT) + 1, total - 1) AS hi,
+                 0.95D * CAST(total - 1 AS DOUBLE)
+                   - CAST(CAST(floor(0.95D * CAST(total - 1 AS DOUBLE)) AS BIGINT) AS DOUBLE) AS frac
+          FROM e
+        )
+        SELECT source, unix_timestamp(b) AS bucket_s,
+               max(total) AS cnt,
+               CAST(floor(CAST(sum(vsum) AS DOUBLE) * 1000000D + 0.5D) AS DOUBLE) / 1000000D AS val_sum,
+               CAST(floor((max(CASE WHEN cum - cnt <= lo AND cum > lo THEN v END)
+                      + max(frac) * (max(CASE WHEN cum - cnt <= hi AND cum > hi THEN v END)
+                                     - max(CASE WHEN cum - cnt <= lo AND cum > lo THEN v END)))
+                     * 1000000D + 0.5D) AS DOUBLE) / 1000000D AS val_p95
+        FROM p
+        GROUP BY source, b
     """)
 
 
@@ -514,6 +542,7 @@ SELECT source,
        CAST(floor(epoch(min(CASE WHEN rn = 12 THEN ts END))) AS BIGINT) AS first_end_s,
        CAST(floor(epoch(min(CASE WHEN rn = 12 + 4 * (floor((n - 12) / 4)) THEN ts END))) AS BIGINT) AS last_end_s
 FROM r
+WHERE n >= 12
 GROUP BY source, n
 """
 

@@ -123,10 +123,16 @@ def score_threshold(
     df: DataFrame, stats: DataFrame, cols: list[str], by: list[str] | None = None
 ) -> DataFrame:
     """score = x / thr, predict = int(x >= thr) — shared by StdDev /
-    MaxPercentile threshold models."""
+    MaxPercentile threshold models.
+
+    The divisor is floored at 1e-12: with min_threshold=0 a constant-zero
+    series fits thr=0 and x/thr would silently emit NULL/NaN scores; the
+    floor makes such a series score 0 (x=0) instead of NaN while leaving
+    every realistic threshold untouched."""
     out = _join_stats(df, stats, by)
     for c in cols:
-        out = out.withColumn(f"{c}__score", F.col(c) / F.col(f"{c}__thr"))
+        thr = F.greatest(F.col(f"{c}__thr"), F.lit(1e-12))
+        out = out.withColumn(f"{c}__score", F.col(c) / thr)
         out = out.withColumn(f"{c}__pred", (F.col(c) >= F.col(f"{c}__thr")).cast("int"))
     return out.drop(*[f"{c}__thr" for c in cols])
 

@@ -116,6 +116,7 @@ def ivf_train_centroids(
     sample_rows: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    presample_fraction: float | None = None,
 ) -> np.ndarray:
     """IVF coarse quantizer: deterministic mini k-means on a seeded sample.
 
@@ -124,13 +125,17 @@ def ivf_train_centroids(
     distributedly). kmeans++ D²-weighted seeded init, Lloyd iterations in
     numpy. NULL and zero-norm embeddings are excluded from training (they
     carry no direction on the unit sphere).
+
+    The xxhash64 TakeOrdered avoids a full shuffle but still scans and
+    hashes the whole corpus; at 10^12 rows pass `presample_fraction`
+    (e.g. 1e-6) so the scan short-circuits at the parquet row-group level
+    (Bernoulli sample pushes down) before the hash-order top-k. Train ONCE
+    and persist the codebook — don't re-train per query.
     """
-    frac_df = (
-        df.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
-        .limit(sample_rows)
-    )
+    src = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    if presample_fraction is not None:
+        src = src.sample(fraction=presample_fraction, seed=seed)
+    frac_df = src.orderBy(F.xxhash64(F.col(vec_col), F.lit(seed))).limit(sample_rows)
     rows = [np.asarray(r[0], dtype=float) for r in frac_df.collect()]
     rows = [v for v in rows if v.ndim == 1 and np.linalg.norm(v) > 0]
     if not rows:
@@ -152,11 +157,11 @@ def ivf_train_centroids(
     for _ in range(iters):
         sims = x @ cents.T
         assign = sims.argmax(axis=1)
-        for k in range(len(cents)):
-            m = assign == k
+        for ci in range(len(cents)):
+            m = assign == ci
             if m.any():
                 c = x[m].mean(axis=0)
-                cents[k] = c / (np.linalg.norm(c) or 1.0)
+                cents[ci] = c / (np.linalg.norm(c) or 1.0)
     return cents
 
 

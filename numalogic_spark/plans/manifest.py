@@ -26,9 +26,6 @@ Design (all content-derived — no wall-clock in the resume decision):
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
 import time
 from collections.abc import Callable
 
@@ -69,12 +66,20 @@ def load_manifest(spark: SparkSession, manifest_path: str) -> DataFrame | None:
     return m.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
 
-def _drop_bucket_partitions(out_path: str, buckets: list[int]) -> None:
-    """Remove output partitions of vanished buckets (local-fs layout; on a
-    real lakehouse this is an Iceberg partition DELETE)."""
+def _drop_bucket_partitions(spark: SparkSession, out_path: str, buckets: list[int]) -> None:
+    """Remove output partitions for the given buckets (on a real lakehouse
+    this is an Iceberg partition DELETE).
+
+    Goes through the Hadoop FileSystem API so s3a/hdfs/file paths all work —
+    a local-only glob would silently no-op on remote URIs while the manifest
+    still recorded the bucket as removed."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for b in buckets:
-        for d in glob.glob(os.path.join(out_path, f"{BUCKET_COL}={b}")):
-            shutil.rmtree(d, ignore_errors=True)
+        p = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{BUCKET_COL}={b}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def run_with_manifest(
@@ -117,7 +122,7 @@ def run_with_manifest(
     skipped = [b for b in all_buckets if b not in set(todo)]
 
     if gone:
-        _drop_bucket_partitions(out_path, gone)
+        _drop_bucket_partitions(spark, out_path, gone)
         tombstones = spark.createDataFrame(
             [(int(b), 0, 0) for b in gone], f"{BUCKET_COL} long, rows_in long, rows_out long"
         ).select(
@@ -141,6 +146,13 @@ def run_with_manifest(
     t0 = time.time()
     out = job(subset)
     assert BUCKET_COL in out.columns, "job output must retain the bucket column"
+    # Drop every todo bucket's old partition up front: dynamic overwrite only
+    # replaces partitions PRESENT in the new output, so a re-run bucket whose
+    # new result is EMPTY would otherwise keep its stale partition (and its
+    # stale rows would be counted into rows_out below). A crash between this
+    # delete and the write is safe — the bucket's manifest entry is only
+    # appended after the data lands, so the next run re-processes it.
+    _drop_bucket_partitions(spark, out_path, todo)
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")  # per-writer, not session conf
