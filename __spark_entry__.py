@@ -796,6 +796,73 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6("jaccard").alias("jaccard"))
 
 
+def _minhash_sql(
+    num_hashes: int = 60,
+    bands: int = 12,
+    threshold: float = 0.8,
+    seed: int = 1,
+    n: int = 3,
+    est_margin: float = 0.1,
+) -> str:
+    """DuckDB replay of the ENTIRE MinHash-LSH pipeline — shingle codes,
+    universal-hash permutations, band folding, candidate self-join, the
+    signature-estimate prefilter and the exact-Jaccard verification —
+    using the same modular-arithmetic hash family as operators/dedup.py
+    (same seeded constants)."""
+    from numalogic_spark.operators.dedup import (
+        BAND_MULT,
+        MERSENNE31,
+        SHINGLE_BASE,
+        _minhash_params,
+    )
+
+    p = MERSENNE31
+    rows = num_hashes // bands
+    code = "CAST(ascii(substr(t, i, 1)) AS BIGINT)"
+    for j in range(1, n):
+        code = f"({code} * {SHINGLE_BASE} + ascii(substr(t, i+{j}, 1)))"
+    sig_entries = ",\n    ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {p}))"
+        for a, b in _minhash_params(num_hashes, seed)
+    )
+    band_structs = []
+    for bi in range(bands):
+        acc = str(bi)
+        for ri in range(rows):
+            acc = f"(({acc}) * {BAND_MULT} + sig[{bi * rows + ri + 1}]) % {p}"
+        band_structs.append("{'band': %d, 'bh': %s}" % (bi, acc))
+    structs = ",\n    ".join(band_structs)
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - {n - 1}, 1)), i -> {code})) AS codes
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+), hs AS (
+  SELECT id, list_transform(codes, c -> c % {p}) AS h FROM docs
+), sig AS (
+  SELECT id, [{sig_entries}] AS sig FROM hs
+), sl AS (
+  SELECT id, sig, u.band AS band, u.bh AS bh
+  FROM (SELECT id, sig, unnest([{structs}]) AS u FROM sig)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sl a JOIN sl b
+    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+   AND len(list_filter(generate_series(1, {num_hashes}), i -> a.sig[i] = b.sig[i]))
+       / {float(num_hashes)} >= {max(threshold - est_margin, 0.0)}
+), pairs AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(da.codes, db.codes)) AS inter,
+         len(da.codes) AS na, len(db.codes) AS nb
+  FROM cand c JOIN docs da ON da.id = c.id_a JOIN docs db ON db.id = c.id_b
+)
+SELECT id_a, id_b,
+       floor((inter * 1.0 / (na + nb - inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= {threshold}
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.dedup import simhash_near_pairs
 
@@ -907,7 +974,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_stats": _SLIDING_SQL,
         "rollup_1m_sql_api": _ROLLUP_SQL_API_ORACLE,
         "multi_metric_rollup_lineitem": _MULTI_ROLLUP_SQL,
-        # minhash/simhash/fingerprint/ann are non-SQL-expressible (seeded
-        # xxhash64 signatures / LSH probing) → rows-only driver check;
-        # exactness is pytest-verified against planted corpora instead.
+        "minhash_near_dup_documents": _minhash_sql(),
+        # ann/ivf are LSH/codebook probes whose result is defined by recall,
+        # not equality → rows-only driver check + pytest recall gates.
     }

@@ -19,11 +19,35 @@ brief, implemented Spark-first:
 
 from __future__ import annotations
 
+import random
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from numalogic_spark.functions.exprs import ensure_parallelism, let_bind
+
+# Portable hash family shared by MinHash / SimHash / fingerprinting: every
+# member is pure 64-bit-safe modular arithmetic, so the exact same numbers
+# are computable in any ANSI-ish SQL engine (the DuckDB correctness oracle
+# recomputes them end-to-end) — unlike engine-private hashes (xxhash64),
+# which would leave candidate generation unverifiable.
+SHINGLE_BASE = 1_114_112  # > max Unicode code point → n-gram encoding is injective
+MERSENNE31 = 2_147_483_647  # 2^31 - 1; a*x+b stays < 2^62 for a,x < 2^31
+BAND_MULT = 1_000_003  # band-hash fold multiplier (p * BAND_MULT < 2^63)
+
+
+def _minhash_params(num_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations
+    h_i(x) = (a_i·x + b_i) mod p. Python's Random is seed-stable across
+    platforms, so the oracle SQL regenerates identical constants."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(MERSENNE31))
+        for _ in range(num_hashes)
+    ]
 
 
 # --------------------------------------------------------------------------
@@ -64,15 +88,62 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: list[str] | None = None,
     threshold: float = 0.0,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All (a, b) pairs with word-set Jaccard ≥ threshold, blocked by
     `block_cols` to bound the candidate space (classic blocking strategy —
     at 10^12 docs the blocks are the parallelism unit; AQE splits skewed
-    blocks)."""
+    blocks).
+
+    With `prefix_filter` (default, requires threshold > 0) candidate
+    generation joins only each doc's PREFIX of |w| − ⌈t·|w|⌉ + 1 rarest
+    tokens under a global (document-frequency, token) order — the PPJoin
+    prefix-filtering principle (Xiao et al., WWW'08): two sets with
+    J ≥ t must share a token inside both prefixes, so the pruning is
+    EXACTLY lossless while a hot shared token ("the") stops being a
+    quadratic join key (it sorts last and falls out of most prefixes).
+    Verification recomputes exact Jaccard from the full word sets.
+    """
     block_cols = block_cols or []
     base = df.select(
         F.col(id_col).alias("id"), *block_cols, _word_set(text_col).alias("words")
     ).withColumn("n_words", F.size("words"))
+    if prefix_filter and threshold > 0.0:
+        tok_all = base.select("id", *block_cols, "n_words", F.explode("words").alias("w"))
+        dfreq = tok_all.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = tok_all.join(dfreq, "w").withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("w").asc())
+            ),
+        )
+        # -1e-9 guards the FP case t·n = k + ε (e.g. 0.2·15) where a spurious
+        # ceil would shorten the prefix and silently break losslessness; an
+        # over-long prefix only costs extra (verified-away) candidates.
+        prefix_len = (
+            F.col("n_words") - F.ceil(F.lit(threshold) * F.col("n_words") - F.lit(1e-9)) + 1
+        )
+        tok = ranked.filter(F.col("_rk") <= prefix_len).select("id", *block_cols, "w")
+        a, b = tok.alias("a"), tok.alias("b")
+        cond = (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id"))
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        cand = (
+            a.join(b, cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        words = base.select("id", "words")
+        pairs = (
+            cand.join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "w_a"), "id_a")
+            .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "w_b"), "id_b")
+        )
+        inter = F.size(F.array_intersect("w_a", "w_b"))
+        jac = pairs.select(
+            "id_a", "id_b", inter.alias("inter"),
+            (inter / (F.size("w_a") + F.size("w_b") - inter)).alias("jaccard"),
+        )
+        return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "inter", "jaccard")
     tok = base.select("id", *block_cols, "n_words", F.explode("words").alias("w"))
     a, b = tok.alias("a"), tok.alias("b")
     cond = (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id"))
@@ -98,26 +169,97 @@ def jaccard_pairs(
 # MinHash + LSH over character shingles
 # --------------------------------------------------------------------------
 
-def char_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct character n-grams, via sequence+transform (JVM-side)."""
-    t = F.lower(F.col(text_col))
+def char_shingle_codes(text_col: str, n: int = 3) -> Column:
+    """Distinct character n-grams, injectively encoded as longs.
+
+    code(s) = Σ codepoint(s[j])·SHINGLE_BASE^(n-1-j): an EXACT integer id of
+    the n-gram (no hash collisions), cheaper than carrying n-char strings
+    through joins, and recomputable in the DuckDB oracle. Needs
+    SHINGLE_BASE^n < 2^63 → n ≤ 3 at full-Unicode base."""
+    if SHINGLE_BASE**n >= 2**63:
+        raise ValueError(f"shingle n={n} overflows the injective long encoding")
+    t = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+    def enc(i: Column) -> Column:
+        c = F.ascii(t.substr(i, F.lit(1))).cast("long")
+        for j in range(1, n):
+            c = c * F.lit(SHINGLE_BASE) + F.ascii(t.substr(i + F.lit(j), F.lit(1)))
+        return c
+
+    return F.array_distinct(F.transform(idx, enc))
 
 
-def minhash_signature(shingles_col: Column | str, num_hashes: int = 64) -> Column:
-    """k-permutation MinHash: sig[i] = min over shingles of xxhash64(h(s), i).
+def minhash_signature(codes_col: Column | str, num_hashes: int = 64, seed: int = 1) -> Column:
+    """k-permutation MinHash over int-encoded shingles:
+    sig[i] = min over shingles of (a_i·(code mod p) + b_i) mod p.
 
-    Each shingle string is hashed to a long ONCE; the k permutations then
-    hash (long, seed) pairs — k× cheaper than re-hashing strings per
-    permutation."""
-    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
-    hashed = F.transform(c, lambda s: F.xxhash64(s))
-    return F.array(
-        *[
-            F.array_min(F.transform(hashed, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    One mult+add+mod per (shingle, permutation) — arithmetic permutations
+    are ~an order of magnitude cheaper than re-hashing per permutation and
+    are reproducible in any SQL engine (universal hashing: Carter-Wegman).
+
+    The (a, b) pairs travel as ONE array literal and the reduced-code array
+    is let-bound, so the shingle encoding is evaluated exactly once per row
+    — spelling the k permutations as k separate expressions would inline
+    (and recompute) the shingling k times after projection collapse."""
+    c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    params = F.lit([[a, b] for a, b in _minhash_params(num_hashes, seed)])
+    return let_bind(
+        F.transform(c, lambda x: x % F.lit(MERSENNE31)),
+        lambda h: F.transform(
+            params,
+            lambda ab: F.array_min(
+                F.transform(
+                    h,
+                    lambda x: (F.element_at(ab, 1) * x + F.element_at(ab, 2))
+                    % F.lit(MERSENNE31),
+                )
+            ),
+        ),
+    )
+
+
+def band_structs_expr(
+    sig_col: Column | str, bands: int, rows: int, include_sig: bool = False
+) -> Column:
+    """All band buckets of a signature as array<struct<band, bh[, sig]>>:
+    bh = fold of the band's slice, acc = (acc·BAND_MULT + sig[j]) mod p,
+    seeded with the band index so identical slices in different bands can't
+    collide across bands. The signature is let-bound — computed once, not
+    once per band; with `include_sig` it rides inside each struct so the
+    exploded band rows carry it into the candidate join (for the
+    signature-estimated Jaccard prefilter) without recomputation."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+
+    def per_band(s: Column):
+        def one(bi: Column) -> Column:
+            acc = bi.cast("long")
+            for ri in range(rows):
+                acc = (
+                    acc * F.lit(BAND_MULT)
+                    + F.element_at(s, (bi * rows + ri + 1).cast("int"))
+                ) % F.lit(MERSENNE31)
+            fields = [bi.cast("int").alias("band"), acc.alias("bh")]
+            if include_sig:
+                fields.append(s.alias("sig"))
+            return F.struct(*fields)
+
+        return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), one)
+
+    return let_bind(sig, per_band)
+
+
+def sig_est_jaccard(sig_a: Column | str, sig_b: Column | str, num_hashes: int) -> Column:
+    """Unbiased MinHash Jaccard estimate: fraction of agreeing signature
+    components (E[sig_a[i] = sig_b[i]] = J).
+
+    zip_with keeps this a single array pass; spelling it as 64 explicit
+    element_at comparisons was measured 7× SLOWER (the when-chain evaluates
+    boxed per-branch while the HOF loop stays primitive)."""
+    a = F.col(sig_a) if isinstance(sig_a, str) else sig_a
+    b = F.col(sig_b) if isinstance(sig_b, str) else sig_b
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m)) / F.lit(
+        float(num_hashes)
     )
 
 
@@ -126,61 +268,84 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 60,
+    bands: int = 12,
     threshold: float = 0.8,
+    seed: int = 1,
+    est_margin: float | None = 0.1,
 ) -> DataFrame:
-    """Near-duplicate pairs: LSH banding proposes candidates, exact shingle
-    Jaccard verifies. bands=16, rows=4 → catches J≈0.8 w.h.p.
-    (s-curve: P(candidate) = 1-(1-J^r)^b)."""
+    """Near-duplicate pairs: LSH banding proposes candidates, a signature-
+    estimated Jaccard prefilter (est ≥ threshold − est_margin) culls them
+    INSIDE the band-join stage, and exact shingle Jaccard verifies the
+    survivors. bands=12, rows=5 → P(candidate) = 1-(1-J^5)^12: 99.2% at
+    J=0.8, 100% at J≥0.9, but only 32% at J=0.5 — the steeper s-curve
+    (vs 16×4's 64% at J=0.5) is the main defense against candidate blowup
+    on template-heavy corpora where the J≈0.5-0.7 pair mass is quadratic.
+
+    Scale shape: on template-heavy corpora the band join emits O(n²·mass)
+    mid-similarity candidates; evaluating the estimate as part of the join
+    output (codegen pipeline, never materialized/shuffled) means only the
+    margin survives to the exact-verify joins. With the default margin the
+    estimate misses a true threshold-boundary pair w.p. ≈ Φ(-margin/σ),
+    σ = sqrt(t(1-t)/num_hashes) ≈ 0.05 — comparable to the banding miss
+    rate itself.
+
+    End-to-end DuckDB-verifiable: shingle codes, permutations, band hashes,
+    estimate and verification are all modular arithmetic (see
+    __spark_entry__._minhash_sql)."""
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
         )
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"), char_shingles(text_col, shingle_n).alias("sh")
-    ).withColumn("sig", minhash_signature("sh", num_hashes))
-    # Slim candidate generation: the band self-join carries ONLY (id, band
-    # hash) — shingle arrays must not travel through the n² join. Dedup the
-    # candidate id-pairs BEFORE the (expensive) exact-Jaccard verification,
-    # then join the shingle sets back once per pair side. (No persist: the
-    # two consumers need different columns, and a cached handle would leak
-    # for the application lifetime with no way for callers to release it.)
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), char_shingle_codes(text_col, shingle_n).alias("codes")
+    )
+    # Candidate generation: the band self-join carries (id, band hash, sig)
+    # — signatures ride along (~num_hashes longs) so the estimate filter
+    # runs inline; the (much larger) shingle arrays never travel through
+    # the n² join. Dedup the candidate id-pairs BEFORE the exact-Jaccard
+    # verification, then join the int-coded shingle sets back once per pair
+    # side (long-array intersection, never strings). (No persist: a cached
+    # handle would leak for the application lifetime with no way for
+    # callers to release it.)
     slim = base.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", bi * rows + ri + 1).cast("string") for ri in range(rows)])
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
+            band_structs_expr(
+                minhash_signature("codes", num_hashes, seed), bands, rows, include_sig=True
             )
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
+        F.col("bb.sig").alias("sig"),
+    )
     a, b = slim.alias("a"), slim.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if est_margin is not None:
+        est_floor = max(threshold - est_margin, 0.0)
+        cond = cond & (
+            sig_est_jaccard(F.col("a.sig"), F.col("b.sig"), num_hashes) >= F.lit(est_floor)
         )
+    cand = (
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = base.select("id", "sh")
+    codes = base
     pairs = (
-        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cand.join(
+            codes.withColumnRenamed("id", "id_a").withColumnRenamed("codes", "c_a"), "id_a"
+        ).join(
+            codes.withColumnRenamed("id", "id_b").withColumnRenamed("codes", "c_b"), "id_b"
+        )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    inter = F.size(F.array_intersect("c_a", "c_b"))
+    union = F.size("c_a") + F.size("c_b") - inter
     return (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
