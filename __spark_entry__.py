@@ -866,13 +866,112 @@ FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= {threshold}
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    out = simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB replay of the full 124-bit SimHash pipeline: per-word char
+    folds → universal hashes → packed contributions → per-bit majority →
+    chunk banding → hamming verification, with the same seeded constants
+    as operators/dedup.py."""
+    from numalogic_spark.operators.dedup import (
+        _CHAR_MULT_1,
+        _CHAR_MULT_2,
+        _PACK,
+        MERSENNE31,
+        _simhash_params,
+    )
+
+    p = MERSENNE31
+    (a1, b1, c1), (a2, b2, c2), (a3, b3, c3), (a4, b4, c4) = _simhash_params()
+
+    def fold(mult: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(generate_series(1, greatest(length(w), 1)), "
+            "i -> CAST(ascii(w[i]) AS BIGINT))), "
+            f"(acc, c) -> (acc * {mult} + c) % {p})"
+        )
+
+    h1, h2 = fold(_CHAR_MULT_1), fold(_CHAR_MULT_2)
+
+    def g(a: int, b: int, c: int) -> str:
+        # products reduced mod p before summing (2^63 overflow guard)
+        return f"((({a} * ({h1})) % {p} + ({b} * ({h2})) % {p} + {c}) % {p})"
+
+    lo = f"{g(a1, b1, c1)} + {g(a2, b2, c2)} * {_PACK}"
+    hi = f"{g(a3, b3, c3)} + {g(a4, b4, c4)} * {_PACK}"
+
+    def majority(col: str) -> str:
+        terms = [
+            f"(CASE WHEN 2 * len(list_filter({col}, v -> ((v >> {b}) & 1) = 1)) > len({col}) "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(62)
+        ]
+        return "CAST(" + "\n      + ".join(terms) + " AS BIGINT)"
+
+    n_chunks = max_hamming + 1
+    per_long = (n_chunks + 1) // 2
+    chunk_structs = []
+
+    def add_chunks(col: str, n: int) -> None:
+        base = 62 // n
+        off = 0
+        for ci in range(n):
+            width = base + (62 - base * n if ci == n - 1 else 0)
+            mask = (1 << width) - 1
+            chunk_structs.append(
+                "{'chunk': %d, 'cv': (%s >> %d) & %d}" % (len(chunk_structs), col, off, mask)
+            )
+            off += width
+
+    add_chunks("sim_lo", per_long)
+    add_chunks("sim_hi", n_chunks - per_long)
+    structs = ",\n    ".join(chunk_structs)
+    return f"""
+WITH words AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), packs AS (
+  SELECT id,
+         list_transform(ws, w -> {lo}) AS plo,
+         list_transform(ws, w -> {hi}) AS phi
+  FROM words
+), sig AS (
+  SELECT id, {majority("plo")} AS sim_lo, {majority("phi")} AS sim_hi FROM packs
+), chunks AS (
+  SELECT id, sim_lo, sim_hi, u.chunk AS chunk, u.cv AS cv
+  FROM (SELECT id, sim_lo, sim_hi, unnest([{structs}]) AS u FROM sig)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
+WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= {max_hamming}
+"""
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.textstats import doc_fingerprint
 
     return doc_fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list_transform(words, w ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, greatest(length(w), 1)),
+                              i -> CAST(ascii(w[i]) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 2147483647))),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+      FROM documents)
+"""
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,6 +1074,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m_sql_api": _ROLLUP_SQL_API_ORACLE,
         "multi_metric_rollup_lineitem": _MULTI_ROLLUP_SQL,
         "minhash_near_dup_documents": _minhash_sql(),
+        "simhash_near_dup_documents": _simhash_sql(),
+        "doc_fingerprint_documents": _FINGERPRINT_SQL,
         # ann/ivf are LSH/codebook probes whose result is defined by recall,
         # not equality → rows-only driver check + pytest recall gates.
     }

@@ -5,16 +5,19 @@ this is the training-data-pipeline capability layer required by the build
 brief, implemented Spark-first:
 
 - exact:      hash-groupBy on normalized text (one shuffle, partial agg)
-- n-gram Jaccard: relational set-similarity — explode distinct tokens,
-  equi-join on token within blocking keys, count intersections; pure
-  joins/aggs, no UDF, scales with AQE skew handling
-- MinHash+LSH: k seeded hash functions over character shingles (JVM-side
-  higher-order functions), banded signatures → candidate buckets →
-  exact-Jaccard verification join
-- SimHash:    64-bit signature via Arrow-vectorized pandas UDF (bit-level
-  majority vote needs numpy), near-dups via 16-bit chunk banding +
-  popcount(xor) verification (F.bit_count, JVM-side)
+- n-gram Jaccard: relational set-similarity with lossless PPJoin prefix
+  filtering — join each doc's rarest-token prefix under a global DF order,
+  verify exact Jaccard on full word sets; pure joins/aggs, no UDF
+- MinHash+LSH: universal-hash permutations over int-encoded character
+  shingles (JVM-side higher-order functions), banded signatures →
+  candidate buckets → signature-estimate prefilter → exact-Jaccard verify
+- SimHash:    124-bit signature (two 62-bit longs) from per-word character
+  folds + bit-majority vote — all JVM expressions — with 31-bit chunk
+  banding and popcount(xor) hamming verification
 - embedding near-dup: cosine over `array<float>` with zip_with dot products
+
+MinHash/SimHash/fingerprint share one portable modular-arithmetic hash
+family, so the driver's DuckDB oracle replays every stage end-to-end.
 """
 
 from __future__ import annotations
@@ -22,10 +25,8 @@ from __future__ import annotations
 import random
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from numalogic_spark.functions.exprs import ensure_parallelism, let_bind
 
@@ -357,60 +358,175 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-@F.pandas_udf(T.LongType())
-def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
-    """Arrow-vectorized 64-bit SimHash from per-word hash arrays: per-bit
-    majority vote (numpy unpackbits over uint64 views — no per-row loop
-    beyond the ragged boundary bookkeeping)."""
-    out = np.zeros(len(hashes), dtype=np.int64)
-    for i, hs in enumerate(hashes):  # ragged rows; each step fully vectorized
-        if hs is None or len(hs) == 0:
-            continue
-        u = np.asarray(hs, dtype=np.int64).view(np.uint64)
-        bits = np.unpackbits(u.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1, bitorder="big")
-        votes = bits.sum(axis=0) * 2 - len(u)  # majority per bit column
-        sim = np.uint64(0)
-        setbits = np.nonzero(votes > 0)[0]
-        for bpos in setbits:
-            sim |= np.uint64(1) << np.uint64(63 - bpos)
-        out[i] = np.int64(sim.astype(np.uint64).view(np.int64))
-    return pd.Series(out)
+# SimHash constants: two seeded (a, b, c) triples per signature word define
+# g_j(w) = (a_j·h1(w) + b_j·h2(w) + c_j) mod p, where h1/h2 are two
+# independent character folds of the word; each signature long packs two
+# 31-bit g values (bits 0..61) so a 124-bit signature lives in two BIGINTs.
+SIMHASH_SEED = 7
+SIMHASH_BITS = 124  # 2 longs × 62 bits
+_CHAR_MULT_1, _CHAR_MULT_2 = 131, 137
+_PACK = 1 << 31
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _simhash_params(seed: int = SIMHASH_SEED) -> list[tuple[int, int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(1, MERSENNE31), rng.randrange(MERSENNE31))
+        for _ in range(4)
+    ]
+
+
+def _word_char_fold(w: Column, mult: int) -> Column:
+    """Polynomial character fold of one word: acc = (acc·mult + codepoint) mod p."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1))),
+        lambda i: F.ascii(w.substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: (acc * F.lit(mult) + c) % F.lit(MERSENNE31)
+    )
+
+
+def simhash_word_packs(text_col: str, seed: int = SIMHASH_SEED) -> Column:
+    """Per-word packed contributions as array<struct<lo, hi>>: four
+    universal hashes of the word's two character folds, packed two per
+    long (62 meaningful bits each)."""
     words = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    return df.select(F.col(id_col).alias("id"), _simhash_from_hashes(hashes).alias("simhash"))
+    (a1, b1, c1), (a2, b2, c2), (a3, b3, c3), (a4, b4, c4) = _simhash_params(seed)
+
+    def pack(w: Column) -> Column:
+        return let_bind(
+            F.struct(
+                _word_char_fold(w, _CHAR_MULT_1).alias("h1"),
+                _word_char_fold(w, _CHAR_MULT_2).alias("h2"),
+            ),
+            # each product is reduced mod p BEFORE the sum: a·h1 + b·h2 with
+            # a,b,h < 2^31 can reach 2^63 and wrap negative as a raw long
+            lambda hs: F.struct(
+                (
+                    ((F.lit(a1) * hs["h1"]) % F.lit(MERSENNE31)
+                     + (F.lit(b1) * hs["h2"]) % F.lit(MERSENNE31)
+                     + F.lit(c1)) % F.lit(MERSENNE31)
+                    + (((F.lit(a2) * hs["h1"]) % F.lit(MERSENNE31)
+                        + (F.lit(b2) * hs["h2"]) % F.lit(MERSENNE31)
+                        + F.lit(c2)) % F.lit(MERSENNE31))
+                    * F.lit(_PACK)
+                ).alias("lo"),
+                (
+                    ((F.lit(a3) * hs["h1"]) % F.lit(MERSENNE31)
+                     + (F.lit(b3) * hs["h2"]) % F.lit(MERSENNE31)
+                     + F.lit(c3)) % F.lit(MERSENNE31)
+                    + (((F.lit(a4) * hs["h1"]) % F.lit(MERSENNE31)
+                        + (F.lit(b4) * hs["h2"]) % F.lit(MERSENNE31)
+                        + F.lit(c4)) % F.lit(MERSENNE31))
+                    * F.lit(_PACK)
+                ).alias("hi"),
+            ),
+        )
+
+    return F.transform(words, pack)
+
+
+def _majority_sig(arr: Column, n: Column) -> Column:
+    """62-bit majority signature of an array of packed word hashes:
+    one aggregate pass accumulates per-bit one-counts (static shifts — no
+    data-dependent shift exists as an expression), then bit b is set iff
+    2·ones_b > n. Pure JVM expressions: no Python anywhere, so the
+    signature can sit under joins/filters without UDF-extraction limits."""
+    counts = F.aggregate(
+        arr,
+        F.array_repeat(F.lit(0).cast("long"), 62),
+        lambda acc, v: F.zip_with(
+            acc,
+            F.array(*[F.shiftright(v, b).bitwiseAND(F.lit(1)) for b in range(62)]),
+            lambda x, y: x + y,
+        ),
+    )
+
+    def build(cs: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(62):
+            sig = sig + F.when(
+                F.lit(2) * F.element_at(cs, b + 1) > n, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return let_bind(counts, build)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = SIMHASH_SEED
+) -> DataFrame:
+    """124-bit SimHash per doc: (id, sim_lo, sim_hi). Entirely JVM-side
+    portable arithmetic (char folds → universal hashes → bit-majority), so
+    the DuckDB oracle replays it bit for bit and no Python touches the
+    scan path."""
+    packs = simhash_word_packs(text_col, seed)
+    sig = let_bind(
+        packs,
+        lambda pk: let_bind(
+            F.size(pk),
+            lambda n: F.struct(
+                _majority_sig(F.transform(pk, lambda s: s["lo"]), n).alias("lo"),
+                _majority_sig(F.transform(pk, lambda s: s["hi"]), n).alias("hi"),
+            ),
+        ),
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), sig.alias("_sig"))
+        .select("id", F.col("_sig.lo").alias("sim_lo"), F.col("_sig.hi").alias("sim_hi"))
+    )
+
+
+def _chunk_exprs(col_name: str, word_bits: int, n_chunks: int) -> list[Column]:
+    """Split one signature long's low `word_bits` bits into n_chunks values."""
+    out = []
+    base = word_bits // n_chunks
+    off = 0
+    for ci in range(n_chunks):
+        width = base + (word_bits - base * n_chunks if ci == n_chunks - 1 else 0)
+        mask = (1 << width) - 1
+        out.append(F.shiftright(F.col(col_name), off).bitwiseAND(F.lit(mask)))
+        off += width
+    return out
 
 
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band on (max_hamming+1) chunks — a pair
-    within hamming ≤ max_hamming must agree on ≥1 chunk (pigeonhole), so
-    candidate generation is recall-complete for the requested radius —
-    then verify with bit_count(xor) ≤ max_hamming, all JVM-side."""
+    """Near-dup pairs by 124-bit SimHash: band on (max_hamming+1) chunks —
+    a pair within hamming ≤ max_hamming must agree on ≥1 chunk
+    (pigeonhole), so candidate generation is recall-complete for the
+    requested radius — then verify hamming = Σ bit_count(xor) ≤ max_hamming
+    JVM-side.
+
+    At the default radius the chunks are 31 bits wide (2^31 distinct bucket
+    values per chunk), so candidate generation stays sub-quadratic far past
+    10^9 docs — the round-1 64-bit/16-bit-chunk variant capped at 65536
+    buckets per chunk and went quadratic around 10^6."""
     n_chunks = max_hamming + 1
-    if n_chunks > 16:
-        raise ValueError("max_hamming > 15 would need chunks smaller than 4 bits")
-    chunk_bits = 64 // n_chunks
-    mask = (1 << chunk_bits) - 1
+    per_long = (n_chunks + 1) // 2
+    if 62 // per_long < 4:
+        raise ValueError("max_hamming too large: chunks need >= 4 bits")
     sh = simhash(df, text_col, id_col)
+    chunk_vals = _chunk_exprs("sim_lo", 62, per_long) + _chunk_exprs("sim_hi", 62, n_chunks - per_long)
+    # The self-join condition must reference only equi-keys: a cross-side
+    # hamming predicate would be substituted with the (pandas-UDF-derived)
+    # signature expressions inside the join condition, where Python UDFs
+    # cannot be evaluated. Verify hamming after the slim candidate dedup by
+    # joining the small (id, sig) frame back per side.
     chunks = sh.select(
         "id",
-        "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(k).alias("chunk"),
-                        F.shiftrightunsigned("simhash", chunk_bits * k).bitwiseAND(F.lit(mask)).alias("cv"),
-                    )
-                    for k in range(n_chunks)
+                    F.struct(F.lit(k).alias("chunk"), cv.alias("cv"))
+                    for k, cv in enumerate(chunk_vals)
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    ).select("id", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -419,14 +535,28 @@ def simhash_near_pairs(
             & (F.col("a.cv") == F.col("b.cv"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.withColumn("hamming", ham).filter(ham <= max_hamming).select("id_a", "id_b", "hamming")
+    pairs = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sim_lo").alias("lo_a"),
+                      F.col("sim_hi").alias("hi_a")),
+            "id_a",
+        ).join(
+            sh.select(F.col("id").alias("id_b"), F.col("sim_lo").alias("lo_b"),
+                      F.col("sim_hi").alias("hi_b")),
+            "id_b",
+        )
+    )
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 # --------------------------------------------------------------------------

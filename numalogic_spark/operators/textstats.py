@@ -85,14 +85,18 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling polynomial hash over the word stream:
     fp = Σ h(w_i)·B^(n-1-i) mod M, computed as a left fold
-    fp_i = (fp_{i-1}·B + h(w_i)) mod M with M=2^31-1, B=131 (products stay
-    < 2^63 → safe under ANSI arithmetic). Same-words-different-order docs
-    get different fingerprints, unlike the word-set hash."""
-    M, B = 2147483647, 131
+    fp_i = (fp_{i-1}·B + h(w_i)) mod M with M=2^31-1, B=1000003 (products
+    stay < 2^63 → safe under ANSI arithmetic). h is the portable character
+    fold shared with the dedup hash family, so the driver's DuckDB oracle
+    recomputes fingerprints exactly. Same-words-different-order docs get
+    different fingerprints, unlike the word-set hash."""
+    from numalogic_spark.operators.dedup import _CHAR_MULT_1, _word_char_fold
+
+    M, B = 2147483647, 1000003
     words = words_expr(text_col)
     fp = F.aggregate(
         words,
         F.lit(0).cast("long"),
-        lambda acc, w: (acc * B + F.pmod(F.xxhash64(w), F.lit(M))) % M,
+        lambda acc, w: (acc * B + _word_char_fold(w, _CHAR_MULT_1)) % M,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -85,6 +85,36 @@ def test_simhash_near_pairs(spark, corpus):
     assert (pairs["hamming"] <= 3).all()
 
 
+def test_simhash_planted_precision_recall(spark):
+    """124-bit SimHash at hamming<=3 on a planted corpus: every duplicate
+    and word-order-shuffled duplicate is recovered (simhash is bag-of-words
+    → hamming 0), and NO pair crosses clusters or touches the unrelated
+    docs (the round-1 64-bit/16-bit-chunk variant matched 45% of ALL pairs
+    on the driver corpus — this gate keeps precision honest)."""
+    import random as _random
+
+    rng = _random.Random(9)
+    rows = []
+    n_clusters = 8
+    for k in range(n_clusters):
+        words = [f"c{k}word{j}" for j in range(120)]
+        rows.append({"doc_id": f"k{k}_orig", "text": " ".join(words)})
+        shuffled = words[:]
+        rng.shuffle(shuffled)
+        rows.append({"doc_id": f"k{k}_shuf", "text": " ".join(shuffled)})
+    for i in range(40):
+        rows.append(
+            {"doc_id": f"u{i}", "text": " ".join(f"u{i}word{j}" for j in range(60))}
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = simhash_near_pairs(df, max_hamming=3).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    expected = {(f"k{k}_orig", f"k{k}_shuf") for k in range(n_clusters)}
+    assert expected <= found  # recall 1.0 on order-shuffled duplicates
+    # precision: nothing outside the planted clusters
+    assert found == expected, f"spurious pairs: {found - expected}"
+
+
 def test_embedding_near_pairs_lsh_recall(spark):
     """SRP-bucketed near-dup (no block column) recovers planted near-copies."""
     from numalogic_spark.operators.dedup import embedding_near_pairs_lsh
