@@ -548,44 +548,129 @@ GROUP BY source, n
 
 
 def _q_ewm_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 per-series EWM smoothing (pandas ewm semantics, float32) —
-    non-SQL (unbounded adjusted weights); exactness pytest-gated."""
-    from numalogic_spark.operators.windows import ewm_smooth
+    """W4 EWM smoothing, windowed variant (trailing L=12, bias-corrected) —
+    bounded state per series, oracle-exact via lag expansion. The
+    full-history pandas-parity `ewm_smooth` stays pytest-gated (float32
+    recursion has no SQL form)."""
+    from numalogic_spark.operators.windows import ewm_smooth_windowed
 
     df = _events(spark, sf_dir).select(
-        F.col("event_type").alias("source"), F.col("ts").alias("event_ts"),
-        F.col("value").cast("float").alias("value"),
+        F.col("event_type").alias("source"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        "value",
     )
-    out = ewm_smooth(df, ["value"], beta=0.5, source_col="source", ts_col="event_ts")
-    return out.select("source", F.unix_timestamp("event_ts").alias("ts_s"), _r6("value").alias("ewm_value"))
+    out = ewm_smooth_windowed(
+        df, "value", seq_len=12, beta=0.5, source_col="source",
+        order_cols=["ts_s", "event_id"], out_col="ewm_value",
+    )
+    return out.select("source", "ts_s", "event_id", _r6("ewm_value").alias("ewm_value"))
+
+
+def _ewm_smooth_sql(seq_len: int = 12, beta: float = 0.5) -> str:
+    # oldest-first term order matches the engine's fold exactly; missing
+    # lags coalesce to 0 (adding leading zeros is float-exact)
+    terms = " + ".join(
+        f"pow({beta}, {d}) * coalesce(lag(value, {d}) OVER w, 0.0)"
+        for d in range(seq_len - 1, -1, -1)
+    )
+    return f"""
+WITH r AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, value,
+         row_number() OVER w AS rn,
+         ({terms}) AS wsum
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id)
+)
+SELECT source, ts_s, event_id,
+       floor((wsum * {1.0 - beta} / (1.0 - pow({beta}, least(rn, {seq_len})))) * 1000000 + 0.5) / 1000000.0 AS ewm_value
+FROM r
+"""
 
 
 def _q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F14 Mahalanobis threshold per series over a 2-feature matrix —
-    matrix math (pinv) is non-SQL; formula pytest-gated vs numpy."""
-    from numalogic_spark.functions.scalers import mahalanobis_scores
+    """F14 Mahalanobis threshold per series over a 2-feature matrix — the
+    d=2 closed-form expression lowering (no Python, oracle-exact); the
+    general-d pinv kernel path stays pytest-gated vs numpy.
+
+    Features are integer-quantized engineered columns (2dp-scaled value and
+    its mod-1000 component) so every covariance moment is an exact integer
+    sum on both engines."""
+    from numalogic_spark.functions.scalers import mahalanobis_scores_2f
 
     df = _events(spark, sf_dir).select(
-        F.col("event_type").alias("source"), F.col("ts").alias("event_ts"),
-        F.col("value").alias("f0"), F.log(F.col("value") + F.lit(2.0)).alias("f1"),
+        F.col("event_type").alias("source"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).alias("f0"),
+    ).withColumn("f1", F.col("f0") % F.lit(1000))
+    out = mahalanobis_scores_2f(df, "f0", "f1", by="source", keep_cols=["ts_s", "event_id"])
+    return out.select(
+        "source", "ts_s", "event_id",
+        _r6("md").alias("md"), _r6("md_score").alias("md_score"), "md_pred",
     )
-    out = mahalanobis_scores(df, ["f0", "f1"], by="source", id_col="event_ts")
-    return out.select("source", F.unix_timestamp("event_ts").alias("ts_s"),
-                      _r6("md_score").alias("md_score"), "md_pred")
+
+
+def _mahalanobis_sql(max_outlier_prob: float = 0.1) -> str:
+    import math
+
+    k = repr(1.0 / math.sqrt(max_outlier_prob))
+    return f"""
+WITH f AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS f0
+  FROM events
+), f2 AS (
+  SELECT source, ts_s, event_id, f0, f0 % 1000 AS f1 FROM f
+), st AS (
+  SELECT source,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(f0) AS DOUBLE) AS s1,
+         CAST(sum(f1) AS DOUBLE) AS s2,
+         CAST(sum(f0 * f0) AS DOUBLE) AS s11,
+         CAST(sum(f0 * f1) AS DOUBLE) AS s12,
+         CAST(sum(f1 * f1) AS DOUBLE) AS s22
+  FROM f2 GROUP BY source HAVING count(*) >= 2
+), md_t AS (
+  SELECT f2.source, f2.ts_s, f2.event_id,
+         CASE WHEN (s11 - s1 * s1 / n) / (n - 1.0) * ((s22 - s2 * s2 / n) / (n - 1.0))
+                   - (s12 - s1 * s2 / n) / (n - 1.0) * ((s12 - s1 * s2 / n) / (n - 1.0)) <= 0.0
+              THEN 0.0
+              ELSE sqrt(greatest(
+                ((CAST(f0 AS DOUBLE) - s1 / n) * (CAST(f0 AS DOUBLE) - s1 / n) * ((s22 - s2 * s2 / n) / (n - 1.0))
+                 - 2.0 * (CAST(f0 AS DOUBLE) - s1 / n) * (CAST(f1 AS DOUBLE) - s2 / n) * ((s12 - s1 * s2 / n) / (n - 1.0))
+                 + (CAST(f1 AS DOUBLE) - s2 / n) * (CAST(f1 AS DOUBLE) - s2 / n) * ((s11 - s1 * s1 / n) / (n - 1.0)))
+                / ((s11 - s1 * s1 / n) / (n - 1.0) * ((s22 - s2 * s2 / n) / (n - 1.0))
+                   - (s12 - s1 * s2 / n) / (n - 1.0) * ((s12 - s1 * s2 / n) / (n - 1.0))), 0.0))
+         END AS md
+  FROM f2 JOIN st ON f2.source = st.source
+), q AS (
+  SELECT source, ts_s, event_id, md, CAST(floor(md * 1000000.0 + 0.5) AS BIGINT) AS qv FROM md_t
+), ts2 AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS qn,
+         CAST(sum(qv) AS DOUBLE) AS q1, CAST(sum(qv * qv) AS DOUBLE) AS q2
+  FROM q GROUP BY source
+)
+SELECT q.source, q.ts_s, q.event_id,
+       floor(md * 1000000 + 0.5) / 1000000.0 AS md,
+       floor((md / ((q1 / qn + {k} * sqrt(greatest(q2 / qn - (q1 / qn) * (q1 / qn), 0.0))) / 1000000.0)) * 1000000 + 0.5) / 1000000.0 AS md_score,
+       CAST(md >= (q1 / qn + {k} * sqrt(greatest(q2 / qn - (q1 / qn) * (q1 / qn), 0.0))) / 1000000.0 AS BIGINT) AS md_pred
+FROM q JOIN ts2 ON q.source = ts2.source
+"""
 
 
 def _q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline backtest (PromBacktester analog): thresholds fit on the head
-    67% of each series, tail scored through the window pipeline. Non-SQL
-    entry (rows-only); exactness vs the reference flow is pytest-gated
-    (tests/test_backtest.py)."""
+    67% of each series (exact-decimal moments), tail scored through the
+    window pipeline — fully DuckDB-oracle-gated by composing the split SQL
+    with the score-pipeline lag expansion."""
     from numalogic_spark.operators.backtest import backtest
     from numalogic_spark.operators.pipeline import ScoreConfig
 
     df = _events(spark, sf_dir).select("event_type", "ts", "event_id", F.col("value").alias("value"))
     out = backtest(
         df,
-        ScoreConfig(metrics=["value"], seq_len=12, static_limit=150.0),
+        ScoreConfig(metrics=["value"], seq_len=12, static_limit=150.0, decimal_fit=True),
         test_ratio=0.33,
         min_train_size=30,
         source_col="event_type",
@@ -595,6 +680,46 @@ def _q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", F.unix_timestamp("end_ts").alias("end_s"),
                       _r6("unified_score").alias("unified_score"),
                       _r6("adjusted_score").alias("adjusted_score"))
+
+
+def _backtest_sql(seq_len: int = 12, beta: float = 0.5, test_ratio: float = 0.33,
+                  min_train: int = 30, static_limit: float = 150.0) -> str:
+    terms = " + ".join(
+        f"pow({beta}, {seq_len - 1 - j}) * lag(s, {seq_len - 1 - j}) OVER w"
+        for j in range(seq_len)
+    )
+    tanh = "((exp(2.0 * (wagg / 10.0)) - 1.0) / (exp(2.0 * (wagg / 10.0)) + 1.0))"
+    return f"""
+WITH elig AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1 HAVING count(*) >= {min_train}
+), r AS (
+  SELECT e.event_id, e.event_type, e.ts, e.value, elig.n,
+         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts DESC, e.event_id DESC) AS rnd
+  FROM events e JOIN elig ON e.event_type = elig.event_type
+), st AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*)
+              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))
+                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))) AS sigma
+  FROM r WHERE rnd > floor(n * {test_ratio}) GROUP BY event_type
+), sc AS (
+  SELECT t.event_id, t.event_type, t.ts, t.value,
+         t.value / greatest(st.mu + 3.0 * st.sigma, 0.0) AS s
+  FROM (SELECT * FROM r WHERE rnd <= floor(n * {test_ratio})) t
+  JOIN st ON t.event_type = st.event_type
+), agg AS (
+  SELECT event_id, event_type, ts, value,
+         row_number() OVER w AS rn,
+         (({terms}) * {1.0 - beta}) / (1.0 - pow({beta}, {seq_len})) AS wagg
+  FROM sc
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS end_s,
+  floor((10.0 * {tanh}) * 1000000 + 0.5) / 1000000.0 AS unified_score,
+  floor((greatest(CASE WHEN value >= {static_limit} THEN 10.0 ELSE 0.5 END, 10.0 * {tanh})) * 1000000 + 0.5) / 1000000.0 AS adjusted_score
+FROM agg WHERE rn >= {seq_len}
+"""
 
 
 def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,6 +1201,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_documents": _minhash_sql(),
         "simhash_near_dup_documents": _simhash_sql(),
         "doc_fingerprint_documents": _FINGERPRINT_SQL,
+        "mahalanobis_events": _mahalanobis_sql(),
+        "ewm_smooth_events": _ewm_smooth_sql(),
+        "backtest_events": _backtest_sql(),
         # ann/ivf are LSH/codebook probes whose result is defined by recall,
         # not equality → rows-only driver check + pytest recall gates.
     }

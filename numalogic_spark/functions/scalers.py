@@ -109,13 +109,30 @@ def fit_stddev_threshold(
     by: list[str] | None = None,
     std_factor: float = 3.0,
     min_threshold: float = 0.0,
+    decimal_stats: bool = False,
 ) -> DataFrame:
-    aggs = [
-        F.greatest(
-            F.avg(c) + F.lit(std_factor) * F.stddev_pop(c), F.lit(float(min_threshold))
-        ).alias(f"{c}__thr")
-        for c in cols
-    ]
+    """thr = mean + k·std_pop (floored at min_threshold) per group.
+
+    `decimal_stats` computes the moments via exact decimal(20,4) sums —
+    order-independent under distributed aggregation, so the fitted
+    threshold is bit-reproducible across engines/runs (the oracle-gated
+    backtest path); the default uses Spark's native avg/stddev_pop."""
+    aggs = []
+    for c in cols:
+        if decimal_stats:
+            d = F.col(c).cast("decimal(20,4)")
+            n = F.count(F.lit(1))
+            s1 = F.sum(d).cast("double")
+            s2 = F.sum(d * d).cast("double")
+            mu = s1 / n
+            sigma = F.sqrt(s2 / n - (s1 / n) * (s1 / n))
+        else:
+            mu, sigma = F.avg(c), F.stddev_pop(c)
+        aggs.append(
+            F.greatest(mu + F.lit(std_factor) * sigma, F.lit(float(min_threshold))).alias(
+                f"{c}__thr"
+            )
+        )
     return df.groupBy(*(by or [])).agg(*aggs)
 
 
@@ -156,6 +173,81 @@ def fit_max_percentile_threshold(
         for c in cols
     ]
     return df.groupBy(*(by or [])).agg(*aggs)
+
+
+def mahalanobis_scores_2f(
+    df: DataFrame,
+    f0_col: str,
+    f1_col: str,
+    by: str = "source",
+    max_outlier_prob: float = 0.1,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Closed-form 2-feature Mahalanobis fit-and-score as pure column
+    expressions — the d=2 lowering of `mahalanobis_scores` (2×2 covariance
+    inverts in closed form, so no applyInPandas task per series and no
+    Python anywhere; the scale unit stops being "one series per task").
+
+    Determinism contract (what makes this DuckDB-oracle-exact):
+    - f0/f1 must be INTEGER-valued columns (quantize upstream) so every
+      moment is an exact integer sum — order-independent under distributed
+      aggregation;
+    - distances are quantized to 6dp integers before the threshold fit, so
+      the mean/std of md are exact sums too;
+    - every double expression is written in one canonical form replicated
+      verbatim by the oracle SQL.
+
+    Same statistical contract as the kernel path: cov with ddof=1,
+    thr = mean(md) + k·std_pop(md), k = 1/sqrt(max_outlier_prob)
+    (ref: models/threshold/_mahalanobis.py:28-185).
+    """
+    import math
+
+    if not 0.0 < max_outlier_prob < 1.0:
+        raise ValueError("max_outlier_prob should be in range (0, 1)")
+    k = 1.0 / math.sqrt(max_outlier_prob)
+    keep_cols = keep_cols or []
+    x0, x1 = F.col(f0_col).cast("long"), F.col(f1_col).cast("long")
+    stats = df.groupBy(by).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x0).cast("double").alias("_s1"),
+        F.sum(x1).cast("double").alias("_s2"),
+        F.sum(x0 * x0).cast("double").alias("_s11"),
+        F.sum(x0 * x1).cast("double").alias("_s12"),
+        F.sum(x1 * x1).cast("double").alias("_s22"),
+    ).filter(F.col("_n") >= 2)
+    j = df.join(F.broadcast(stats), by)
+    n, s1, s2 = F.col("_n"), F.col("_s1"), F.col("_s2")
+    c00 = (F.col("_s11") - s1 * s1 / n) / (n - F.lit(1.0))
+    c01 = (F.col("_s12") - s1 * s2 / n) / (n - F.lit(1.0))
+    c11 = (F.col("_s22") - s2 * s2 / n) / (n - F.lit(1.0))
+    d0 = x0.cast("double") - s1 / n
+    d1 = x1.cast("double") - s2 / n
+    det = c00 * c11 - c01 * c01
+    md2 = (d0 * d0 * c11 - F.lit(2.0) * d0 * d1 * c01 + d1 * d1 * c00) / det
+    md = F.when(det <= F.lit(0.0), F.lit(0.0)).otherwise(
+        F.sqrt(F.greatest(md2, F.lit(0.0)))
+    )
+    scored = j.select(by, *keep_cols, md.alias("md")).withColumn(
+        "_q", F.floor(F.col("md") * F.lit(1000000.0) + F.lit(0.5))
+    )
+    thr_stats = scored.groupBy(by).agg(
+        F.count(F.lit(1)).cast("double").alias("_qn"),
+        F.sum("_q").cast("double").alias("_q1"),
+        F.sum(F.col("_q") * F.col("_q")).cast("double").alias("_q2"),
+    )
+    out = scored.join(F.broadcast(thr_stats), by)
+    qn, q1, q2 = F.col("_qn"), F.col("_q1"), F.col("_q2")
+    thr = (
+        q1 / qn + F.lit(k) * F.sqrt(F.greatest(q2 / qn - (q1 / qn) * (q1 / qn), F.lit(0.0)))
+    ) / F.lit(1000000.0)
+    return out.select(
+        by,
+        *keep_cols,
+        "md",
+        (F.col("md") / thr).alias("md_score"),
+        (F.col("md") >= thr).cast("long").alias("md_pred"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -40,6 +40,7 @@ class ScoreConfig:
     static_limit: float | None = None  # O3 adjust when set
     static_outlier: float = 10.0
     static_inlier: float = 0.5
+    decimal_fit: bool = False          # exact-decimal threshold moments (A9)
 
 
 def score_pipeline(
@@ -60,7 +61,8 @@ def score_pipeline(
     # 1. fit per-series thresholds once, broadcast back (A9 discipline)
     stats = fit_stddev_threshold(
         fit_df if fit_df is not None else df,
-        cfg.metrics, by=[source_col], std_factor=cfg.std_factor, min_threshold=cfg.min_threshold
+        cfg.metrics, by=[source_col], std_factor=cfg.std_factor,
+        min_threshold=cfg.min_threshold, decimal_stats=cfg.decimal_fit,
     )
     scored = df.join(F.broadcast(stats), source_col)
     for m in cfg.metrics:

@@ -165,6 +165,37 @@ def stride2_feature_recovery_np(x: np.ndarray, seq_len: int) -> np.ndarray:
     return np.hstack([ra, rb])
 
 
+def ewm_smooth_windowed(
+    df: DataFrame,
+    value_col: str,
+    seq_len: int = 12,
+    beta: float = 0.5,
+    source_col: str = "source",
+    order_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing-window EWM smoothing: bias-corrected EXP aggregation (A7
+    closed form) over each row's last min(rn, seq_len) values per series.
+
+    The bounded-state sibling of `ewm_smooth` (which reproduces pandas'
+    full-history ewm exactly): state per series is seq_len values, so it
+    maps 1:1 onto the streaming EWM operator and onto a DuckDB
+    lag-expansion oracle — full-history float32 recursion can do neither.
+    With beta=β the two differ by at most β^seq_len relative weight.
+    All JVM-side: one sort per series, zero Python."""
+    from pyspark.sql import Window
+
+    from numalogic_spark.functions.aggregators import window_agg_expr
+
+    order_cols = order_cols or ["event_ts"]
+    out_col = out_col or f"{value_col}_ewm"
+    w = Window.partitionBy(source_col).orderBy(*order_cols)
+    frame = w.rowsBetween(-(seq_len - 1), 0)
+    return df.withColumn(
+        out_col, window_agg_expr(F.collect_list(F.col(value_col)).over(frame), "EXP", beta)
+    )
+
+
 def ewm_smooth(
     df: DataFrame,
     value_cols: list[str],
