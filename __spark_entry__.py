@@ -705,7 +705,7 @@ WITH elig AS (
   FROM r WHERE rnd > floor(n * {test_ratio}) GROUP BY event_type
 ), sc AS (
   SELECT t.event_id, t.event_type, t.ts, t.value,
-         t.value / greatest(st.mu + 3.0 * st.sigma, 0.0) AS s
+         t.value / greatest(greatest(st.mu + 3.0 * st.sigma, 0.0), 1e-12) AS s
   FROM (SELECT * FROM r WHERE rnd <= floor(n * {test_ratio})) t
   JOIN st ON t.event_type = st.event_type
 ), agg AS (

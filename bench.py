@@ -151,6 +151,8 @@ def main() -> None:
     #   the scaled resource, matching the cluster claim
     # - shuffle goes to tmpfs (the NVMe-local-shuffle analog)
     # - page cache warmed, min of 2 runs (run 1 includes JIT)
+    # reps: min-of-N absorbs scheduler/GC noise in the shared sandbox — a
+    # single noisy 4c rep otherwise misreports the engine's scaling by 20%+
     lo_cores, hi_cores = 1, 4
     scale_conf = {
         "spark.sql.inMemoryColumnarStorage.compressed": "false",
@@ -161,7 +163,7 @@ def main() -> None:
     }
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     scaling: dict[str, float] = {}
-    for cores, key, reps in ((lo_cores, "n", 2), (hi_cores, "4n", 3)):
+    for cores, key, reps in ((lo_cores, "n", 3), (hi_cores, "4n", 4)):
         s = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=8, extra_conf=scale_conf)
         s.read.parquet(token_path).select(F.sum(F.size("tokens"))).collect()  # cache warm
         wall = min(run_full_job(s, token_path) for _ in range(reps))

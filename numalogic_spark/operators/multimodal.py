@@ -2,16 +2,23 @@
 
 Image/audio/video are treated as `binary` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched kernels over mapInPandas.
-The actual media decode is STUBBED (codec libraries are not available in
-this container): `decode_stub` raises NotImplementedError unless
-`fake=True`, in which case it produces deterministic hash-derived features
-so the Spark-side plumbing — schema, batching, partitioning, UDF signature
-— is real and testable end-to-end.
+
+Decode support (pure numpy, no codec libraries needed):
+- image/ppm  — binary PPM (P6), any maxval ≤ 255
+- image/bmp  — uncompressed 24-bit BITMAPINFOHEADER
+- audio/wav  — RIFF PCM 16-bit
+
+Container formats needing real codecs (JPEG/PNG/MP4/...) go through
+`decode_stub`, which raises NotImplementedError — swap in PIL/ffmpeg on a
+cluster that has them. `extract_features(..., encoder="fake")` keeps a
+deterministic hash-derived path for plumbing tests that don't care about
+pixels.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -76,30 +83,183 @@ def _fake_features(payloads: pd.Series) -> list[np.ndarray]:
 
 
 def decode_stub(payload: bytes, modality: str):
-    """Real media decode would go here (PIL/torchaudio/ffmpeg). Not
-    available in this environment — see module docstring."""
+    """Compressed-container decode (JPEG/PNG/MP4/...) would go here
+    (PIL/torchaudio/ffmpeg) — not available in this environment. The
+    uncompressed formats below decode for real."""
     raise NotImplementedError(
         f"media decode for {modality} requires codec libraries not present in this container"
     )
 
 
-def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Pure numpy; handles comments and
+    arbitrary header whitespace per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: magic, width, height, maxval; '#' starts a comment
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) → (h, w, 3) uint8 RGB.
+    Rows are 4-byte padded and stored bottom-up, channels BGR."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h), offset=data_off)
+    img = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up storage
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF WAV with 16-bit PCM → (samples[int16, mono-mixed], sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, channels, rate, bits, data = 12, None, None, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", payload, i + 8)
+            bits = struct.unpack_from("<H", payload, i + 22)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM 16-bit WAV supported")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=i + 8)
+        i += 8 + size + (size & 1)
+    if data is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    if channels and channels > 1:
+        data = data[: len(data) // channels * channels].reshape(-1, channels).mean(axis=1)
+        data = data.astype(np.int16)
+    return data, rate
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather (no interpolation libs)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """16-dim deterministic image descriptor: per-channel mean/std,
+    luminance mean/std, 2×2 grid luminance means, shape stats."""
+    x = img.astype(np.float64) / 255.0
+    lum = x @ np.array([0.299, 0.587, 0.114])
+    h, w = lum.shape
+    g = resize_nearest(lum[:, :, None], 2, 2)[:, :, 0] if min(h, w) >= 1 else np.zeros((2, 2))
+    grid = [
+        lum[: max(h // 2, 1), : max(w // 2, 1)].mean(),
+        lum[: max(h // 2, 1), max(w // 2, 1) :].mean() if w > 1 else g[0, 1],
+        lum[max(h // 2, 1) :, : max(w // 2, 1)].mean() if h > 1 else g[1, 0],
+        lum[max(h // 2, 1) :, max(w // 2, 1) :].mean() if h > 1 and w > 1 else g[1, 1],
+    ]
+    feats = np.array(
+        [
+            *x.reshape(-1, 3).mean(axis=0),
+            *x.reshape(-1, 3).std(axis=0),
+            lum.mean(),
+            lum.std(),
+            *[v if np.isfinite(v) else 0.0 for v in grid],
+            min(h, 4096) / 4096.0,
+            min(w, 4096) / 4096.0,
+            h / w if w else 0.0,
+            1.0,
+        ],
+        dtype=np.float32,
+    )
+    return feats
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """16-dim audio descriptor: amplitude stats, zero-crossing rate, and a
+    10-band coarse log-magnitude spectrum."""
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, 10)
+    band_feats = [float(np.log1p(b.mean())) if len(b) else 0.0 for b in bands]
+    feats = np.array(
+        [
+            x.mean(),
+            x.std(),
+            float(np.sqrt(np.mean(x * x))),
+            zcr,
+            x.min(),
+            x.max(),
+            *band_feats,
+        ],
+        dtype=np.float32,
+    )
+    return feats
+
+
+def decode_features(payload: bytes, mime: str) -> np.ndarray:
+    """Dispatch a real decode + feature extraction by mime type."""
+    if mime in ("image/ppm", "image/x-portable-pixmap"):
+        return image_features(decode_ppm(bytes(payload)))
+    if mime == "image/bmp":
+        return image_features(decode_bmp(bytes(payload)))
+    if mime in ("audio/wav", "audio/x-wav"):
+        return audio_features(*decode_wav_pcm16(bytes(payload)))
+    return decode_stub(bytes(payload), mime)
+
+
+def extract_features(media_df: DataFrame, encoder: str = "real") -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, fixed-dim float
-    vectors out. Batch shape and schema are the real contract; swap
-    `_fake_features` for a real encoder on a cluster with codecs."""
+    vectors out.
+
+    encoder="real" decodes payloads by meta.mime (PPM/BMP/WAV natively;
+    compressed containers raise via decode_stub). encoder="fake" keeps the
+    deterministic hash-derived features for plumbing tests."""
 
     def kernel(batches):
         for pdf in batches:
-            if not fake:
-                decode_stub(b"", str(pdf["modality"].iloc[0]) if len(pdf) else "unknown")
             if len(pdf) == 0:
                 continue
+            if encoder == "fake":
+                feats = _fake_features(pdf["payload"])
+            else:
+                feats = [
+                    decode_features(p, m)
+                    for p, m in zip(pdf["payload"], pdf["meta"].map(lambda s: s["mime"]))
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
                     "payload_bytes": pdf["payload"].map(len).astype("int32"),
-                    "features": _fake_features(pdf["payload"]),
+                    "features": feats,
                 }
             )
 

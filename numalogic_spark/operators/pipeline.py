@@ -66,7 +66,11 @@ def score_pipeline(
     )
     scored = df.join(F.broadcast(stats), source_col)
     for m in cfg.metrics:
-        scored = scored.withColumn(f"{m}__score", F.col(m) / F.col(f"{m}__thr"))
+        # divisor floored at 1e-12: a constant-zero train series fits thr=0
+        # (with min_threshold=0) and x/thr would throw under ANSI / emit NaN
+        scored = scored.withColumn(
+            f"{m}__score", F.col(m) / F.greatest(F.col(f"{m}__thr"), F.lit(1e-12))
+        )
 
     # 2. sliding window of scores + EWM aggregation per feature (W1 + A6/A7)
     w = Window.partitionBy(source_col).orderBy(*order_cols)

@@ -10,10 +10,20 @@ neighbors w.h.p. (Charikar 2002 SimHash-for-cosine construction).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from numalogic_spark.operators.dedup import cosine_expr
+
+# Plane/centroid matrices up to this many floats are inlined as literal
+# expression trees (pure JVM, zero Python); above it the plan would blow up
+# (k·dim literals at dim=1536, k=4096 is ~6M expression nodes — codegen and
+# plan serialization both fall over), so bucketing/assignment switch to an
+# Arrow-vectorized kernel whose matrix ships once inside the serialized UDF
+# (one copy per executor, BLAS matmul per batch).
+_LITERAL_BUDGET = 2048
 
 
 def brute_force_topk(
@@ -58,13 +68,32 @@ def _dot_const_expr(vec_col: str, const_vec) -> "F.Column":
 
 
 def srp_bucket_expr(vec_col: str, planes: np.ndarray):
-    """Signed-random-projection bucket id: bit i = sign(v · h_i); computed
-    JVM-side as a sum of weighted dot-product signs."""
+    """Signed-random-projection bucket id: bit i = sign(v · h_i).
+
+    Small plane matrices are inlined JVM-side (sum of weighted dot-product
+    signs); large ones use the Arrow kernel (see _LITERAL_BUDGET). Vectors
+    must be non-null (filter upstream)."""
+    planes = np.asarray(planes, dtype=float)
+    if planes.size > _LITERAL_BUDGET:
+        return _srp_bucket_kernel(vec_col, planes)
     bucket = F.lit(0).cast("long")
     for i, h in enumerate(planes):
         dot = _dot_const_expr(vec_col, h)
         bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def _srp_bucket_kernel(vec_col: str, planes: np.ndarray):
+    """Arrow path for big plane matrices: one BLAS matmul per batch."""
+    weights = (np.int64(1) << np.arange(planes.shape[0], dtype=np.int64))
+    planes_t = planes.T.copy()
+
+    @F.pandas_udf(T.LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        return pd.Series(((m @ planes_t) >= 0) @ weights)
+
+    return bucket(F.col(vec_col))
 
 
 def lsh_bucketed_ann(
@@ -166,11 +195,28 @@ def ivf_train_centroids(
 
 
 def ivf_assign_expr(vec_col: str, centroids: np.ndarray):
-    """Nearest-centroid id as a JVM-side expression: k dot products +
-    argmax via array_position(array_max). Centroids are unit vectors so
-    dot = cosine ranking."""
+    """Nearest-centroid id: k dot products + argmax (first max wins).
+    Centroids are unit vectors so dot = cosine ranking. Small codebooks are
+    inlined JVM-side via array_position(array_max); large ones use the
+    Arrow kernel (see _LITERAL_BUDGET)."""
+    centroids = np.asarray(centroids, dtype=float)
+    if centroids.size > _LITERAL_BUDGET:
+        return _ivf_assign_kernel(vec_col, centroids)
     dots = F.array(*[_dot_const_expr(vec_col, c) for c in centroids])
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def _ivf_assign_kernel(vec_col: str, centroids: np.ndarray):
+    """Arrow path for big codebooks: batch matmul + argmax (first max wins,
+    matching the literal path's array_position semantics)."""
+    cents_t = centroids.T.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        return pd.Series((m @ cents_t).argmax(axis=1).astype(np.int32))
+
+    return assign(F.col(vec_col))
 
 
 def ivf_ann_topk(

@@ -18,7 +18,8 @@ def _oracle(pdf, cfg, test_ratio):
         n_test = int(np.floor(n * test_ratio))
         train, test = g.iloc[: n - n_test], g.iloc[n - n_test :]
         x_tr = train[["value"]].to_numpy(dtype=float)
-        thr = max(x_tr.mean() + cfg.std_factor * x_tr.std(), cfg.min_threshold)
+        # 1e-12 floor mirrors the engine's constant-zero-series guard
+        thr = max(x_tr.mean() + cfg.std_factor * x_tr.std(), cfg.min_threshold, 1e-12)
         s = test["value"].to_numpy(dtype=float) / thr
         for end in range(cfg.seq_len - 1, len(test)):
             win = s[end - cfg.seq_len + 1 : end + 1]
@@ -53,6 +54,36 @@ def test_backtest_matches_reference_flow(spark):
         on=["source", "end_ts"],
     )
     assert m[m.is_anomaly]["unified_score"].mean() > m[~m.is_anomaly]["unified_score"].mean()
+
+
+def test_backtest_reference_golden_csv(spark):
+    """Backtest over the reference's own multivariate golden fixture
+    (numalogic tests/resources/data/prom_mv.csv, Apache-2.0; the reference
+    drives PromBacktester over it in tests/test_backtest.py). Asserts the
+    reference test's structural contract — scores cover the test tail —
+    plus exact score parity with the literal per-window reference loop on
+    real (not synthetic) data, multi-metric."""
+    import os
+
+    csv = os.path.join(os.path.dirname(__file__), "resources", "prom_mv.csv")
+    pdf = pd.read_csv(csv, parse_dates=["timestamp"])
+    metrics = [c for c in pdf.columns if c != "timestamp"]
+    long = pdf.melt(id_vars=["timestamp"], value_vars=metrics,
+                    var_name="source", value_name="value").rename(
+        columns={"timestamp": "event_ts"})
+    cfg = ScoreConfig(metrics=["value"], seq_len=12, beta=0.5)
+    test_ratio = 0.33
+    df = spark.createDataFrame(long)
+    got = backtest(df, cfg, test_ratio=test_ratio, min_train_size=50).orderBy(
+        "source", "end_ts").toPandas()
+    n = (pdf.shape[0] // 1)
+    n_test = int(np.floor(n * test_ratio))
+    # one row per full window per metric series (reference: scores span the
+    # test tail; our window pipeline drops the first seq_len-1 partials)
+    assert len(got) == len(metrics) * (n_test - cfg.seq_len + 1)
+    exp = _oracle(long.rename(columns={"source": "series"}), cfg, test_ratio)
+    exp = exp.sort_values(["source", "end_ts"], ignore_index=True)
+    np.testing.assert_allclose(got["unified_score"], exp["unified_score"], rtol=1e-9)
 
 
 def test_backtest_short_series_dropped(spark):

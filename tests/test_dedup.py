@@ -63,6 +63,48 @@ def test_jaccard_pairs_oracle(spark, corpus):
         np.testing.assert_allclose(gotmap[k], exp[k], rtol=1e-12)
 
 
+def test_jaccard_prefix_filter_lossless_and_prunes(spark):
+    """PPJoin prefix filtering must return EXACTLY the brute-force pairs
+    (losslessness at the threshold) while generating far fewer candidates
+    on a corpus with a hot shared token ('the' in every doc would otherwise
+    be a quadratic join key)."""
+    import random as _random
+
+    rng = _random.Random(3)
+    rows = []
+    for i in range(120):
+        # every doc shares the hot token; the rest is mostly distinct
+        words = ["the"] + [f"w{i}_{j}" for j in range(12)]
+        if i % 10 == 0:  # a few true near-dup pairs
+            words = ["the"] + [f"dup{j}" for j in range(12)] + [f"w{i}_x"]
+        rng.shuffle(words)
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    t = 0.5
+    fast = jaccard_pairs(df, threshold=t, prefix_filter=True).toPandas()
+    brute = jaccard_pairs(df, threshold=t, prefix_filter=False).toPandas()
+    key = lambda p: {(int(a), int(b)) for a, b in zip(p["id_a"], p["id_b"])}  # noqa: E731
+    assert key(fast) == key(brute) and len(fast) > 0
+    jf = fast.set_index(["id_a", "id_b"])["jaccard"].sort_index()
+    jb = brute.set_index(["id_a", "id_b"])["jaccard"].sort_index()
+    np.testing.assert_allclose(jf.to_numpy(), jb.to_numpy(), rtol=1e-12)
+
+    # candidate volume: full token join pairs every doc with every doc via
+    # "the" (~n²/2); the DF-ordered prefix drops "the" from most prefixes
+    from pyspark.sql import functions as F
+
+    words = F.array_remove(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")), "")
+    tok = df.select(F.col("doc_id").alias("id"), F.explode(words).alias("w"))
+    full_cands = (
+        tok.alias("a")
+        .join(tok.alias("b"), (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id").distinct().count()
+    )
+    assert full_cands >= 120 * 119 / 2 * 0.9  # hot token ≈ quadratic
+    # prefix path's exact output (= true pairs) is tiny in comparison
+    assert len(fast) <= 0.02 * full_cands
+
+
 def test_minhash_lsh_recovers_planted(spark, corpus):
     df, _ = corpus
     pairs = minhash_lsh_pairs(df, threshold=0.8).toPandas()

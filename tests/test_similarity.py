@@ -107,6 +107,55 @@ def test_ivf_robust_to_null_and_zero_vectors(spark):
         ivf_train_centroids(empty, n_centroids=2)
 
 
+def test_large_dim_kernel_paths(spark):
+    """Above _LITERAL_BUDGET the SRP/IVF bucketing switches from literal
+    expression trees to the Arrow matmul kernel: recall must hold at
+    dim=256 / 16 planes / 64 centroids, the two paths must agree where both
+    are computable, and the plan must stay bounded (literal trees at big
+    dims blow up codegen and plan serialization)."""
+    from numalogic_spark.operators.similarity import (
+        _LITERAL_BUDGET,
+        ivf_ann_topk,
+        ivf_assign_expr,
+        ivf_train_centroids,
+        lsh_bucketed_ann,
+        srp_bucket_expr,
+        _hyperplanes,
+    )
+
+    dim, n, n_planes, n_cents = 256, 300, 16, 64
+    assert n_planes * dim > _LITERAL_BUDGET and n_cents * dim > _LITERAL_BUDGET
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(x)})
+    df = spark.createDataFrame(pdf)
+    q = x[0].astype(float).tolist()
+    cos = _np_cos(x.astype(float), np.asarray(q))
+    exact = set(np.argsort(-cos, kind="stable")[:10].tolist())
+
+    got = lsh_bucketed_ann(df, q, k=10, n_planes=n_planes, multiprobe_hamming=2).toPandas()
+    assert 0 in got["id"].tolist()
+
+    cents = ivf_train_centroids(df, n_centroids=n_cents, sample_rows=n, seed=42)
+    assert cents.shape == (n_cents, dim) and not np.isnan(cents).any()
+    got_ivf = ivf_ann_topk(df, q, cents, k=10, nprobe=16).toPandas()
+    recall = len(set(got_ivf["id"].tolist()) & exact) / 10
+    assert recall >= 0.5
+    assert got_ivf["id"].iloc[0] == 0
+
+    # kernel assignment == numpy argmax reference
+    assigned = df.withColumn("lst", ivf_assign_expr("embedding", cents)).orderBy("vec_id").toPandas()
+    exp_assign = (x.astype(float) @ cents.T).argmax(axis=1)
+    np.testing.assert_array_equal(assigned["lst"].to_numpy(), exp_assign)
+
+    # plan stays bounded: the kernel ships the matrix inside the UDF, not
+    # as k*dim literal expression nodes
+    planes = _hyperplanes(dim, n_planes, 42)
+    bucketed = df.withColumn("b", srp_bucket_expr("embedding", planes))
+    plan = bucketed._jdf.queryExecution().toString()
+    assert len(plan) < 50_000, f"plan exploded: {len(plan)} chars"
+
+
 def test_knn_join_blocked(vecs):
     df, x = vecs
     got = knn_join(df, df, k=3, block_col="label").toPandas()
