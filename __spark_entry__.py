@@ -1121,6 +1121,41 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", _r6("cos_sim").alias("cos_sim"))
 
 
+def _q_prometheus_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 Prometheus connector frame: events reshaped into the connector's
+    response shape (metric rows carrying (ts, value-string) arrays), then
+    normalized through read_prometheus_frame — explode → float cast →
+    multi-metric columns → per-timestamp mean (prometheus.py:113-118,
+    193-205)."""
+    from numalogic_spark.sources.connectors import read_prometheus_frame
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    resp = _events(spark, sf_dir).groupBy(F.col("event_type").alias("metric_name")).agg(
+        F.collect_list(
+            F.struct(
+                F.unix_timestamp("ts").alias("ts"),
+                F.col("value").cast("string").alias("value"),
+            )
+        ).alias("values")
+    )
+    wide = read_prometheus_frame(resp, types, aggregate=True)
+    return wide.select(
+        F.unix_timestamp("timestamp").alias("ts_s"),
+        *[_r6(F.col(t)).alias(t) for t in types],
+    )
+
+
+_PROM_FRAME_SQL = """
+SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+  floor(avg(CASE WHEN event_type = 'click' THEN value END) * 1000000 + 0.5) / 1000000.0 AS click,
+  floor(avg(CASE WHEN event_type = 'error' THEN value END) * 1000000 + 0.5) / 1000000.0 AS error,
+  floor(avg(CASE WHEN event_type = 'purchase' THEN value END) * 1000000 + 0.5) / 1000000.0 AS purchase,
+  floor(avg(CASE WHEN event_type = 'signup' THEN value END) * 1000000 + 0.5) / 1000000.0 AS signup,
+  floor(avg(CASE WHEN event_type = 'view' THEN value END) * 1000000 + 0.5) / 1000000.0 AS view
+FROM events GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rollup cascade over the synthetic token table at
     smoke scale — union of all tiers (the engine's continuous aggregates)."""
@@ -1169,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_metric_rollup_lineitem": _q_multi_rollup_lineitem,
         "ewm_smooth_events": _q_ewm_smooth,
         "mahalanobis_events": _q_mahalanobis,
+        "prometheus_frame_events": _q_prometheus_frame,
     }
 
 
@@ -1204,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "mahalanobis_events": _mahalanobis_sql(),
         "ewm_smooth_events": _ewm_smooth_sql(),
         "backtest_events": _backtest_sql(),
+        "prometheus_frame_events": _PROM_FRAME_SQL,
         # ann/ivf are LSH/codebook probes whose result is defined by recall,
         # not equality → rows-only driver check + pytest recall gates.
     }
