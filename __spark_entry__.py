@@ -1121,6 +1121,36 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", _r6("cos_sim").alias("cos_sim"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → connected components →
+    (id, cluster_id = min id of the component). The transitive-closure
+    step is what turns pair lists into an actual dedup decision."""
+    from numalogic_spark.operators.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return near_dup_clusters(pairs).select("id", "cluster_id")
+
+
+def _dedup_clusters_sql() -> str:
+    """Recursive-CTE replay: same MinHash pairs (shared SQL), then
+    min-label reachability closure."""
+    mh = _minhash_sql()
+    return f"""
+WITH RECURSIVE mh AS ({mh}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh
+  UNION
+  SELECT id_b, id_a FROM mh
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def _q_prometheus_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 Prometheus connector frame: events reshaped into the connector's
     response shape (metric rows carrying (ts, value-string) arrays), then
@@ -1205,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_smooth_events": _q_ewm_smooth,
         "mahalanobis_events": _q_mahalanobis,
         "prometheus_frame_events": _q_prometheus_frame,
+        "dedup_clusters_documents": _q_dedup_clusters,
     }
 
 
@@ -1241,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "ewm_smooth_events": _ewm_smooth_sql(),
         "backtest_events": _backtest_sql(),
         "prometheus_frame_events": _PROM_FRAME_SQL,
+        "dedup_clusters_documents": _dedup_clusters_sql(),
         # ann/ivf are LSH/codebook probes whose result is defined by recall,
         # not equality → rows-only driver check + pytest recall gates.
     }

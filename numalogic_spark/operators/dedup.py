@@ -560,6 +560,82 @@ def simhash_near_pairs(
 
 
 # --------------------------------------------------------------------------
+# near-dup clustering: pairs → connected components → canonical keeper
+# --------------------------------------------------------------------------
+
+def near_dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph:
+    (id, cluster_id = min id in the component).
+
+    Pair lists aren't a dedup decision — transitively-linked docs must
+    collapse to ONE keeper (A~B, B~C ⇒ {A,B,C} is one cluster even if A≁C).
+    Iterative min-label propagation: each round joins current labels across
+    edges and keeps the min; converges in O(component diameter) rounds —
+    near-dup clusters are template-shaped (tiny diameter), so a handful of
+    rounds suffices even at 10^12 docs (for adversarial long-chain graphs
+    swap in large-star/small-star). One count() action per round checks
+    convergence; intermediate labels are persisted and released per round
+    so lineage doesn't snowball."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                        "label"
+                    ),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.withColumnRenamed("label", "new_label")
+                .join(labels, "id")
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # localCheckpoint: materialize + truncate lineage so the returned
+        # frame survives the unpersist below without recomputing the whole
+        # propagation chain
+        return labels.select("id", F.col("label").alias("cluster_id")).localCheckpoint()
+    finally:
+        edges.unpersist()
+        labels.unpersist()
+
+
+def drop_near_dups(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical doc per near-dup cluster (the min id) plus every
+    doc that appears in no pair — the end-to-end dedup decision."""
+    clusters = near_dup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 

@@ -219,6 +219,27 @@ def _ivf_assign_kernel(vec_col: str, centroids: np.ndarray):
     return assign(F.col(vec_col))
 
 
+def ivf_build_index(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    presample_fraction: float | None = None,
+) -> tuple[np.ndarray, DataFrame]:
+    """Train the codebook ONCE and attach the inverted-list assignment as a
+    column: returns (centroids, df + list_col). Write the result
+    `partitionBy(list_col)` so ivf_ann_topk's nprobe filter becomes
+    partition pruning — the intended at-rest layout for repeated queries
+    (re-training / re-assigning per query is the anti-pattern)."""
+    cents = ivf_train_centroids(
+        df, n_centroids=n_centroids, vec_col=vec_col, sample_rows=sample_rows,
+        seed=seed, presample_fraction=presample_fraction,
+    )
+    return cents, df.withColumn(list_col, ivf_assign_expr(vec_col, cents))
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query_vec: list[float],

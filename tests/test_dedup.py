@@ -157,6 +157,29 @@ def test_simhash_planted_precision_recall(spark):
     assert found == expected, f"spurious pairs: {found - expected}"
 
 
+def test_near_dup_clusters_and_drop(spark):
+    """Connected components over pairs: transitively-linked chains collapse
+    to one cluster labeled by the min id; drop_near_dups keeps exactly one
+    canonical doc per cluster plus all unpaired docs."""
+    from numalogic_spark.operators.dedup import drop_near_dups, near_dup_clusters
+
+    # chain 1-2-3-4 (diameter 3), pair 10-11, isolated edge-free docs 20, 21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = near_dup_clusters(pairs).toPandas().set_index("id")["cluster_id"].to_dict()
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 20, 21], "text": ["x"] * 8})
+    )
+    kept = sorted(drop_near_dups(docs, pairs).toPandas()["doc_id"].tolist())
+    assert kept == [1, 10, 20, 21]
+    # empty pair set → everything kept
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert near_dup_clusters(empty).count() == 0
+    assert drop_near_dups(docs, empty).count() == 8
+
+
 def test_embedding_near_pairs_lsh_recall(spark):
     """SRP-bucketed near-dup (no block column) recovers planted near-copies."""
     from numalogic_spark.operators.dedup import embedding_near_pairs_lsh

@@ -156,6 +156,22 @@ def test_large_dim_kernel_paths(spark):
     assert len(plan) < 50_000, f"plan exploded: {len(plan)} chars"
 
 
+def test_ivf_build_index(vecs):
+    """Index build: codebook trained once + list assignment attached; the
+    list_col probe path returns the same answer as on-the-fly assignment."""
+    from numalogic_spark.operators.similarity import ivf_ann_topk, ivf_build_index
+
+    df, x = vecs
+    cents, indexed = ivf_build_index(df, n_centroids=8, sample_rows=400, seed=42)
+    assert "ivf_list" in indexed.columns
+    lists = indexed.select("ivf_list").distinct().count()
+    assert 1 < lists <= 8
+    q = x[0].astype(float).tolist()
+    via_index = ivf_ann_topk(indexed, q, cents, k=10, nprobe=4, list_col="ivf_list").toPandas()
+    on_the_fly = ivf_ann_topk(df, q, cents, k=10, nprobe=4).toPandas()
+    assert via_index["id"].tolist() == on_the_fly["id"].tolist()
+
+
 def test_knn_join_blocked(vecs):
     df, x = vecs
     got = knn_join(df, df, k=3, block_col="label").toPandas()
