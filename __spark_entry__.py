@@ -1108,6 +1108,47 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", _r6("cos_sim").alias("cos_sim"))
 
 
+def _ann_sql(k: int = 10, n_planes: int = 8, seed: int = 42, dim: int = 64, hamming: int = 2) -> str:
+    """DuckDB replay of the SRP-bucketed ANN probe: the seeded plane matrix
+    is embedded as literals (repr round-trips doubles exactly), buckets are
+    sign-bit sums, and the multiprobe set 'all buckets within hamming≤2 of
+    the query bucket' becomes a bit_count(xor) filter. dim is fixed by the
+    embeddings testdata (TESTDATA.md)."""
+    from numalogic_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+    def bucket(vcol: str) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({vcol}, {lit(p)}) >= 0.0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "(" + "\n     + ".join(terms) + ")"
+
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), qb AS (
+  SELECT qv, {bucket("qv")} AS qbucket FROM q
+), b AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+         {bucket("e.embedding::DOUBLE[]")} AS bucket
+  FROM embeddings e
+), cand AS (
+  SELECT b.id, b.v, qb.qv
+  FROM b, qb
+  WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(qb.qbucket AS BIGINT))) <= {hamming}
+)
+SELECT id, floor(list_cosine_similarity(v, qv) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+FROM cand
+ORDER BY list_cosine_similarity(v, qv) DESC, id
+LIMIT {k}
+"""
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: seeded k-means codebook + nprobe list probing (the scale
     path where lists are table partitions). Rows-only; recall vs brute
@@ -1273,6 +1314,8 @@ def oracle_sql() -> dict[str, str]:
         "backtest_events": _backtest_sql(),
         "prometheus_frame_events": _PROM_FRAME_SQL,
         "dedup_clusters_documents": _dedup_clusters_sql(),
-        # ann/ivf are LSH/codebook probes whose result is defined by recall,
-        # not equality → rows-only driver check + pytest recall gates.
+        "ann_topk_embeddings": _ann_sql(),
+        # ivf stays rows-only: its codebook is trained (k-means on a seeded
+        # sample) at query time, which a static SQL string cannot replay;
+        # recall vs brute force is pytest-gated instead.
     }
