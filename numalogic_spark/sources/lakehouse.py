@@ -73,12 +73,16 @@ def expire_tier(
             f"DELETE FROM {table_or_path} WHERE tier = '{tier}' AND bucket_ts < TIMESTAMP '{older_than_day}'"
         )
         return
-    import glob
-    import os
-    import shutil
-
+    # Hadoop FileSystem API so s3a/hdfs tier tables expire too (a local
+    # glob would silently no-op on remote URIs)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     cutoff = older_than_day[:10]
-    for d in glob.glob(os.path.join(table_or_path, f"tier={tier}", "_day=*")):
-        day = os.path.basename(d).split("=", 1)[1]
-        if day < cutoff:
-            shutil.rmtree(d)
+    tier_path = jvm.org.apache.hadoop.fs.Path(f"{table_or_path}/tier={tier}")
+    fs = tier_path.getFileSystem(hconf)
+    if not fs.exists(tier_path):
+        return
+    for status in fs.listStatus(tier_path):
+        name = status.getPath().getName()
+        if name.startswith("_day=") and name.split("=", 1)[1] < cutoff:
+            fs.delete(status.getPath(), True)

@@ -180,6 +180,39 @@ def test_near_dup_clusters_and_drop(spark):
     assert drop_near_dups(docs, empty).count() == 8
 
 
+def test_simhash_banding_recall_complete(spark):
+    """Pigeonhole guarantee: EVERY pair within hamming <= max_hamming of
+    124-bit signatures must be produced by the banded pipeline — verified
+    against a brute-force all-pairs hamming over the signatures themselves
+    (exercises the uneven 31/31-bit chunk split too)."""
+    import random as _random
+
+    rng = _random.Random(17)
+    vocab = [f"tok{j}" for j in range(40)]
+    rows = []
+    for i in range(60):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(5, 30))]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    from numalogic_spark.operators.dedup import simhash
+
+    for mh in (1, 3):
+        sigs = simhash(df).toPandas().set_index("id")
+        brute = set()
+        ids = sorted(sigs.index)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = sigs.loc[ids[x]], sigs.loc[ids[y]]
+                ham = bin(int(a.sim_lo) ^ int(b.sim_lo)).count("1") + bin(
+                    int(a.sim_hi) ^ int(b.sim_hi)
+                ).count("1")
+                if ham <= mh:
+                    brute.add((ids[x], ids[y]))
+        got = simhash_near_pairs(df, max_hamming=mh).toPandas()
+        found = {tuple(sorted((int(a), int(b)))) for a, b in zip(got["id_a"], got["id_b"])}
+        assert found == brute, f"max_hamming={mh}: banded {found} != brute {brute}"
+
+
 def test_embedding_near_pairs_lsh_recall(spark):
     """SRP-bucketed near-dup (no block column) recovers planted near-copies."""
     from numalogic_spark.operators.dedup import embedding_near_pairs_lsh
