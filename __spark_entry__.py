@@ -234,12 +234,13 @@ def _dec_stats(df: DataFrame, by: str, col: str) -> DataFrame:
     """Per-group mean/std via exact decimal sums (order-independent, so the
     Spark result is bit-identical to the DuckDB oracle's)."""
     d = F.col(col).cast("decimal(20,4)")
-    n = F.count(F.lit(1))
+    n = F.count(d)
     s1 = F.sum(d).cast("double")
     s2 = F.sum(d * d).cast("double")
+    # greatest(...,0): constant series cancel to a tiny negative variance
     return df.groupBy(by).agg(
         (s1 / n).alias("mu"),
-        F.sqrt(s2 / n - (s1 / n) * (s1 / n)).alias("sigma"),
+        F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0))).alias("sigma"),
         n.alias("n"),
     )
 
@@ -263,10 +264,10 @@ def _q_tanh_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TANH_SCALER_SQL = """
 WITH s AS (
   SELECT event_type,
-         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS mu,
-         sqrt(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*)
-              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))
-                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))) AS sigma
+         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value) AS mu,
+         sqrt(greatest(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value)
+              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value))
+                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value)), 0.0)) AS sigma
   FROM events GROUP BY event_type
 )
 SELECT e.event_id,
@@ -392,10 +393,10 @@ def _score_pipeline_sql() -> str:
     return f"""
 WITH st AS (
   SELECT event_type,
-         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS mu,
-         sqrt(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*)
-              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))
-                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))) AS sigma
+         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value) AS mu,
+         sqrt(greatest(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value)
+              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value))
+                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value)), 0.0)) AS sigma
   FROM events GROUP BY event_type
 ), sc AS (
   SELECT e.event_id, e.event_type, e.ts, e.value,
@@ -653,7 +654,7 @@ WITH f AS (
 )
 SELECT q.source, q.ts_s, q.event_id,
        floor(md * 1000000 + 0.5) / 1000000.0 AS md,
-       floor((md / ((q1 / qn + {k} * sqrt(greatest(q2 / qn - (q1 / qn) * (q1 / qn), 0.0))) / 1000000.0)) * 1000000 + 0.5) / 1000000.0 AS md_score,
+       floor((md / greatest((q1 / qn + {k} * sqrt(greatest(q2 / qn - (q1 / qn) * (q1 / qn), 0.0))) / 1000000.0, 1e-12)) * 1000000 + 0.5) / 1000000.0 AS md_score,
        CAST(md >= (q1 / qn + {k} * sqrt(greatest(q2 / qn - (q1 / qn) * (q1 / qn), 0.0))) / 1000000.0 AS BIGINT) AS md_pred
 FROM q JOIN ts2 ON q.source = ts2.source
 """
@@ -698,10 +699,10 @@ WITH elig AS (
   FROM events e JOIN elig ON e.event_type = elig.event_type
 ), st AS (
   SELECT event_type,
-         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS mu,
-         sqrt(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*)
-              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))
-                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*))) AS sigma
+         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value) AS mu,
+         sqrt(greatest(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value)
+              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value))
+                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value)), 0.0)) AS sigma
   FROM r WHERE rnd > floor(n * {test_ratio}) GROUP BY event_type
 ), sc AS (
   SELECT t.event_id, t.event_type, t.ts, t.value,
@@ -1041,6 +1042,8 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     chunk_structs = []
 
     def add_chunks(col: str, n: int) -> None:
+        if n <= 0:  # max_hamming=0 → single chunk on sim_lo only
+            return
         base = 62 // n
         off = 0
         for ci in range(n):
@@ -1209,20 +1212,24 @@ def _q_prometheus_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("values")
     )
-    wide = read_prometheus_frame(resp, types, aggregate=True)
+    wide = read_prometheus_frame(resp, types, aggregate=True, decimal_mean=True)
     return wide.select(
         F.unix_timestamp("timestamp").alias("ts_s"),
         *[_r6(F.col(t)).alias(t) for t in types],
     )
 
 
-_PROM_FRAME_SQL = """
+def _prom_frame_sql() -> str:
+    # decimal-sum mean mirrors read_prometheus_frame(decimal_mean=True):
+    # plain double avg() is FP-order-dependent across engines
+    cols = ",\n  ".join(
+        f"floor((CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE)"
+        f" / count(CASE WHEN event_type = '{t}' THEN value END)) * 1000000 + 0.5) / 1000000.0 AS {t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    return f"""
 SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-  floor(avg(CASE WHEN event_type = 'click' THEN value END) * 1000000 + 0.5) / 1000000.0 AS click,
-  floor(avg(CASE WHEN event_type = 'error' THEN value END) * 1000000 + 0.5) / 1000000.0 AS error,
-  floor(avg(CASE WHEN event_type = 'purchase' THEN value END) * 1000000 + 0.5) / 1000000.0 AS purchase,
-  floor(avg(CASE WHEN event_type = 'signup' THEN value END) * 1000000 + 0.5) / 1000000.0 AS signup,
-  floor(avg(CASE WHEN event_type = 'view' THEN value END) * 1000000 + 0.5) / 1000000.0 AS view
+  {cols}
 FROM events GROUP BY 1
 """
 
@@ -1312,7 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         "mahalanobis_events": _mahalanobis_sql(),
         "ewm_smooth_events": _ewm_smooth_sql(),
         "backtest_events": _backtest_sql(),
-        "prometheus_frame_events": _PROM_FRAME_SQL,
+        "prometheus_frame_events": _prom_frame_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
         "ann_topk_embeddings": _ann_sql(),
         # ivf stays rows-only: its codebook is trained (k-means on a seeded

@@ -47,25 +47,31 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
-    exact_kept = drop_exact_dups(docs, args.text_col, args.id_col)
-    pairs = minhash_lsh_pairs(
-        exact_kept, args.text_col, args.id_col, threshold=args.threshold
-    )
-    clusters = near_dup_clusters(pairs)
-    if args.clusters:
-        clusters.write.mode("overwrite").parquet(args.clusters)
-    losers = clusters.filter("id != cluster_id").selectExpr(f"id AS {args.id_col}")
-    kept = exact_kept.join(losers, args.id_col, "left_anti")
-    kept.write.mode("overwrite").parquet(args.output)
-    n_out = spark.read.parquet(args.output).count()
+    # persist: exact_kept feeds the pair generation AND the final anti-join
+    # AND the summary count — without it the exact-dedup stage re-runs 3×
+    exact_kept = drop_exact_dups(docs, args.text_col, args.id_col).persist()
+    try:
+        n_exact = exact_kept.count()
+        pairs = minhash_lsh_pairs(
+            exact_kept, args.text_col, args.id_col, threshold=args.threshold
+        )
+        clusters = near_dup_clusters(pairs)
+        if args.clusters:
+            clusters.write.mode("overwrite").parquet(args.clusters)
+        losers = clusters.filter("id != cluster_id").selectExpr(f"id AS {args.id_col}")
+        kept = exact_kept.join(losers, args.id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+    finally:
+        exact_kept.unpersist()
 
     print(
         json.dumps(
             {
                 "rows_in": n_in,
                 "rows_kept": n_out,
-                "exact_dropped": n_in - exact_kept.count(),
-                "near_dup_dropped": exact_kept.count() - n_out,
+                "exact_dropped": n_in - n_exact,
+                "near_dup_dropped": n_exact - n_out,
                 "wall_sec": round(time.time() - t0, 2),
             }
         )

@@ -121,11 +121,13 @@ def fit_stddev_threshold(
     for c in cols:
         if decimal_stats:
             d = F.col(c).cast("decimal(20,4)")
-            n = F.count(F.lit(1))
+            n = F.count(d)  # non-null count, like avg/stddev_pop
             s1 = F.sum(d).cast("double")
             s2 = F.sum(d * d).cast("double")
             mu = s1 / n
-            sigma = F.sqrt(s2 / n - (s1 / n) * (s1 / n))
+            # greatest(...,0): FP cancellation on constant series yields a
+            # tiny negative variance -> NaN sigma without the clamp
+            sigma = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
         else:
             mu, sigma = F.avg(c), F.stddev_pop(c)
         aggs.append(
@@ -241,11 +243,13 @@ def mahalanobis_scores_2f(
     thr = (
         q1 / qn + F.lit(k) * F.sqrt(F.greatest(q2 / qn - (q1 / qn) * (q1 / qn), F.lit(0.0)))
     ) / F.lit(1000000.0)
+    # score divisor floored at 1e-12: a fully degenerate series (det<=0 on
+    # every row → md=0 everywhere) fits thr=0 and md/thr would be NULL
     return out.select(
         by,
         *keep_cols,
         "md",
-        (F.col("md") / thr).alias("md_score"),
+        (F.col("md") / F.greatest(thr, F.lit(1e-12))).alias("md_score"),
         (F.col("md") >= thr).cast("long").alias("md_pred"),
     )
 

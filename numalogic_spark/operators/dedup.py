@@ -492,6 +492,8 @@ def simhash(
 
 def _chunk_exprs(col_name: str, word_bits: int, n_chunks: int) -> list[Column]:
     """Split one signature long's low `word_bits` bits into n_chunks values."""
+    if n_chunks <= 0:  # max_hamming=0 → a single chunk lives on sim_lo only
+        return []
     out = []
     base = word_bits // n_chunks
     off = 0
@@ -531,11 +533,12 @@ def simhash_near_pairs(
         # (id, 2×long) signature table once
         sh = sh.localCheckpoint()
     chunk_vals = _chunk_exprs("sim_lo", 62, per_long) + _chunk_exprs("sim_hi", 62, n_chunks - per_long)
-    # The self-join condition must reference only equi-keys: a cross-side
-    # hamming predicate would be substituted with the (pandas-UDF-derived)
-    # signature expressions inside the join condition, where Python UDFs
-    # cannot be evaluated. Verify hamming after the slim candidate dedup by
-    # joining the small (id, sig) frame back per side.
+    # At max_hamming=0 the single 62-bit chunk on sim_lo is not a complete
+    # key for 124-bit equality, so verification below is still required.
+    # The self-join carries only (id, chunk, chunk-value): hamming is
+    # verified after the slim candidate dedup by joining the small
+    # (id, sig) frame back per side — carrying both signature longs through
+    # the n² join would only inflate the shuffle.
     chunks = sh.select(
         "id",
         F.explode(
@@ -591,56 +594,69 @@ def near_dup_clusters(
 
     Pair lists aren't a dedup decision — transitively-linked docs must
     collapse to ONE keeper (A~B, B~C ⇒ {A,B,C} is one cluster even if A≁C).
-    Iterative min-label propagation: each round joins current labels across
-    edges and keeps the min; converges in O(component diameter) rounds —
-    near-dup clusters are template-shaped (tiny diameter), so a handful of
-    rounds suffices even at 10^12 docs (for adversarial long-chain graphs
-    swap in large-star/small-star). One count() action per round checks
-    convergence; intermediate labels are persisted and released per round
-    so lineage doesn't snowball."""
+    Each round does min-label propagation across edges PLUS one pointer-
+    jumping hop (labels chase their label's label, since labels are node
+    ids) — the compression step makes label distances halve, so rounds are
+    O(log diameter) even on adversarial chain graphs, not O(diameter).
+    One count() action per round checks convergence. Each round's labels
+    are localCheckpoint'ed: persist alone caches execution but leaves the
+    LOGICAL plan growing (the self-join doubles it per round) until
+    analysis itself dominates — checkpointing truncates the lineage so
+    every round plans against a flat frame. Raises if max_iters rounds
+    pass without converging — returning silently-split components would
+    corrupt the dedup decision."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
-    try:
-        for _ in range(max_iters):
-            nbr_min = (
-                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.min("label").alias("nbr_label"))
+    ).localCheckpoint()
+    changed = 0
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        propagated = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jumping: label ← label(label); labels are node ids, so
+        # one hop halves every node's distance to its component min
+        parents = propagated.select(
+            F.col("id").alias("label"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            propagated.join(parents, "label", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias(
+                    "label"
+                ),
             )
-            new_labels = (
-                labels.join(nbr_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                        "label"
-                    ),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.withColumnRenamed("label", "new_label")
-                .join(labels, "id")
-                .filter(F.col("new_label") != F.col("label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        # localCheckpoint: materialize + truncate lineage so the returned
-        # frame survives the unpersist below without recomputing the whole
-        # propagation chain
-        return labels.select("id", F.col("label").alias("cluster_id")).localCheckpoint()
-    finally:
-        edges.unpersist()
-        labels.unpersist()
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters"
+        )
+    return labels.select("id", F.col("label").alias("cluster_id"))
 
 
 def drop_near_dups(

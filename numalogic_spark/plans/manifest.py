@@ -161,13 +161,18 @@ def run_with_manifest(
     )
     wall = time.time() - t0
 
-    rows_out = (
-        spark.read.parquet(out_path)
-        .filter(F.col(BUCKET_COL).isin(todo))
-        .groupBy(BUCKET_COL)
-        .count()
-        .withColumnRenamed("count", "rows_out")
-    )
+    try:
+        rows_out = (
+            spark.read.parquet(out_path)
+            .filter(F.col(BUCKET_COL).isin(todo))
+            .groupBy(BUCKET_COL)
+            .count()
+            .withColumnRenamed("count", "rows_out")
+        )
+    except Exception:  # noqa: BLE001 — an all-empty output leaves no data
+        # files to infer a schema from (every todo partition was dropped up
+        # front and the write emitted nothing); record zero rows per bucket
+        rows_out = spark.createDataFrame([], f"{BUCKET_COL} long, rows_out long")
     entries = (
         fps.filter(F.col(BUCKET_COL).isin(todo))
         .join(rows_out, BUCKET_COL, "left")

@@ -35,6 +35,7 @@ def read_prometheus_frame(
     values_col: str = "values",
     return_labels: list[str] | None = None,
     aggregate: bool = True,
+    decimal_mean: bool = False,
 ) -> DataFrame:
     """Prometheus response rows → the reference's connector frame.
 
@@ -42,7 +43,10 @@ def read_prometheus_frame(
     value:string>>) — the shape of a json-normalized query_range response
     landed in a table. Output: (timestamp[, *return_labels], <one double
     column per metric>), with `aggregate` collapsing to the per-timestamp
-    mean of each metric (ref: prometheus.py:193-195).
+    mean of each metric (ref: prometheus.py:193-195). `decimal_mean`
+    computes that mean via exact decimal(20,6) sums — order-independent
+    under distributed aggregation (for reproducibility-gated pipelines;
+    quantizes values to 6dp).
     """
     labels = return_labels or []
     long = df.select(
@@ -58,10 +62,15 @@ def read_prometheus_frame(
     if aggregate:
         # join-then-mean collapses label combinations per timestamp
         # (ref _agg_df) — one pivot with avg expresses both steps
+        mean = (
+            (F.sum(F.col("_value").cast("decimal(20,6)")).cast("double") / F.count("_value"))
+            if decimal_mean
+            else F.avg("_value")
+        )
         return (
             long.groupBy("timestamp")
             .pivot("_metric", metric_names)
-            .agg(F.avg("_value"))
+            .agg(mean)
             .orderBy("timestamp")
         )
     return (

@@ -180,6 +180,28 @@ def test_near_dup_clusters_and_drop(spark):
     assert drop_near_dups(docs, empty).count() == 8
 
 
+def test_near_dup_clusters_long_chain(spark):
+    """Pointer jumping keeps rounds O(log diameter): a 60-link chain must
+    converge within the default max_iters (plain propagation would need 60
+    rounds and previously returned silently-split components)."""
+    from numalogic_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(60)], "id_a long, id_b long")
+    got = near_dup_clusters(pairs).toPandas()
+    assert (got["cluster_id"] == 0).all() and len(got) == 61
+
+
+def test_simhash_hamming_zero(spark, corpus):
+    """max_hamming=0 (exact-signature duplicates) must work — regression:
+    the chunk split divided by zero."""
+    df, _ = corpus
+    pairs = simhash_near_pairs(df, max_hamming=0).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(len(BASE)):
+        assert (f"d{i:03d}_copy", f"d{i:03d}_orig") in found
+    assert (pairs["hamming"] == 0).all()
+
+
 def test_simhash_banding_recall_complete(spark):
     """Pigeonhole guarantee: EVERY pair within hamming <= max_hamming of
     124-bit signatures must be produced by the banded pipeline — verified

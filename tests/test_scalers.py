@@ -112,3 +112,60 @@ def test_per_group_fit(spark):
         thr = xs.mean() + 3.0 * xs.std()
         got = out[out["source"] == g].sort_values("i")["a__score"].to_numpy()
         np.testing.assert_allclose(got, xs / thr, rtol=1e-9)
+
+
+def test_decimal_fit_constant_and_null_series(spark):
+    """Regressions: decimal_stats must clamp FP-cancelled negative variance
+    (constant series -> NaN sigma otherwise) and count only non-null rows
+    like avg/stddev_pop."""
+    pdf = pd.DataFrame(
+        {
+            "source": ["c"] * 10 + ["n"] * 10,
+            "a": [0.1] * 10 + [float(i) for i in range(5)] + [None] * 5,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    stats = fit_stddev_threshold(df, ["a"], by=["source"], decimal_stats=True).toPandas()
+    stats = stats.set_index("source")["a__thr"]
+    assert np.isfinite(stats["c"]) and stats["c"] == pytest.approx(0.1)
+    xs = np.arange(5, dtype=float)
+    assert stats["n"] == pytest.approx(xs.mean() + 3.0 * xs.std())
+
+
+def test_mahalanobis_2f_degenerate_series(spark):
+    """Perfectly collinear features (det = 0 on every row) must yield
+    md=0 / score=0 / finite outputs, not NULL scores."""
+    from numalogic_spark.functions.scalers import mahalanobis_scores_2f
+
+    pdf = pd.DataFrame({"source": ["s"] * 20, "i": range(20),
+                        "f0": list(range(20)), "f1": list(range(20))})
+    out = mahalanobis_scores_2f(
+        spark.createDataFrame(pdf), "f0", "f1", by="source", keep_cols=["i"]
+    ).toPandas()
+    assert len(out) == 20
+    assert (out["md"] == 0.0).all()
+    assert np.isfinite(out["md_score"]).all() and (out["md_score"] == 0.0).all()
+
+
+def test_mahalanobis_2f_matches_kernel(spark):
+    """The d=2 closed-form expression path must agree with the general-d
+    pinv kernel on a well-conditioned series (same cov ddof=1, same
+    Chebyshev threshold rule, modulo the 6dp distance quantization)."""
+    from numalogic_spark.functions.scalers import mahalanobis_scores, mahalanobis_scores_2f
+
+    rng = np.random.default_rng(8)
+    n = 400
+    f0 = rng.integers(0, 1000, n)
+    f1 = (f0 + rng.integers(0, 500, n)) % 997
+    pdf = pd.DataFrame({
+        "source": ["s"] * n,
+        "event_ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+        "f0": f0.astype(float), "f1": f1.astype(float),
+    })
+    df = spark.createDataFrame(pdf)
+    closed = mahalanobis_scores_2f(df, "f0", "f1", by="source", keep_cols=["event_ts"]) \
+        .orderBy("event_ts").toPandas()
+    kernel = mahalanobis_scores(df, ["f0", "f1"], by="source", id_col="event_ts") \
+        .orderBy("event_ts").toPandas()
+    np.testing.assert_allclose(closed["md"], kernel["md"], rtol=1e-9)
+    np.testing.assert_allclose(closed["md_score"], kernel["md_score"], rtol=1e-5)
