@@ -176,19 +176,31 @@ def char_shingle_codes(text_col: str, n: int = 3) -> Column:
     code(s) = Σ codepoint(s[j])·SHINGLE_BASE^(n-1-j): an EXACT integer id of
     the n-gram (no hash collisions), cheaper than carrying n-char strings
     through joins, and recomputable in the DuckDB oracle. Needs
-    SHINGLE_BASE^n < 2^63 → n ≤ 3 at full-Unicode base."""
+    SHINGLE_BASE^n < 2^63 → n ≤ 3 at full-Unicode base.
+
+    The text is split into a codepoint array ONCE (let-bound), then each
+    shingle reads it with O(1) element lookups — substr(t, i, 1) seeks from
+    the string start per call (UTF-8), which made shingling O(len²) and
+    dominated the whole pipeline. Out-of-range lookups (texts shorter than
+    n) coalesce to 0, matching ascii('') = 0 of the substr formulation."""
     if SHINGLE_BASE**n >= 2**63:
         raise ValueError(f"shingle n={n} overflows the injective long encoding")
     t = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    chars = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
 
-    def enc(i: Column) -> Column:
-        c = F.ascii(t.substr(i, F.lit(1))).cast("long")
-        for j in range(1, n):
-            c = c * F.lit(SHINGLE_BASE) + F.ascii(t.substr(i + F.lit(j), F.lit(1)))
-        return c
+    def codes(arr: Column) -> Column:
+        def enc(i: Column) -> Column:
+            c = F.coalesce(F.try_element_at(arr, i), F.lit(0).cast("long"))
+            for j in range(1, n):
+                c = c * F.lit(SHINGLE_BASE) + F.coalesce(
+                    F.try_element_at(arr, i + F.lit(j)), F.lit(0).cast("long")
+                )
+            return c
 
-    return F.array_distinct(F.transform(idx, enc))
+        return F.array_distinct(F.transform(idx, enc))
+
+    return let_bind(chars, codes)
 
 
 def minhash_signature(codes_col: Column | str, num_hashes: int = 64, seed: int = 1) -> Column:
