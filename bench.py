@@ -136,7 +136,8 @@ def main() -> None:
     for name in ("rollup_1m_events", "rollup_1d_events", "gapfill_1m_events",
                  "stateless_transforms", "difference_transform",
                  "dedup_exact_documents", "text_quality_documents",
-                 "embedding_cosine_scores", "minhash_near_dup_documents"):
+                 "embedding_cosine_scores", "minhash_near_dup_documents",
+                 "simhash_near_dup_documents", "dedup_clusters_documents"):
         fn = E.queries()[name]
         t0 = time.time()
         _noop(fn(spark, SF_DIR))
@@ -151,8 +152,13 @@ def main() -> None:
     #   the scaled resource, matching the cluster claim
     # - shuffle goes to tmpfs (the NVMe-local-shuffle analog)
     # - page cache warmed, min of 2 runs (run 1 includes JIT)
-    # reps: min-of-N absorbs scheduler/GC noise in the shared sandbox — a
-    # single noisy 4c rep otherwise misreports the engine's scaling by 20%+
+    # PAIRED interleaved rounds: this sandbox is shared, and sustained
+    # external load during one phase of a sequential N-then-4N protocol
+    # poisons the ratio (observed: a loaded window inflated the 4N walls 26%
+    # and reported 0.73 where calm reruns give 0.87-0.91). Running each
+    # round as back-to-back (N, 4N) measurements puts both sides of the
+    # ratio under the same machine state; the reported numbers come from
+    # the least-interfered round (minimum combined wall).
     lo_cores, hi_cores = 1, 4
     scale_conf = {
         "spark.sql.inMemoryColumnarStorage.compressed": "false",
@@ -163,16 +169,27 @@ def main() -> None:
     }
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     scaling: dict[str, float] = {}
-    for cores, key, reps in ((lo_cores, "n", 3), (hi_cores, "4n", 4)):
-        s = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=8, extra_conf=scale_conf)
-        s.read.parquet(token_path).select(F.sum(F.size("tokens"))).collect()  # cache warm
-        wall = min(run_full_job(s, token_path) for _ in range(reps))
-        scaling[f"wall_sec_{key}_{cores}c"] = wall
-        scaling[f"tokens_per_sec_{key}_{cores}c"] = total_tokens / wall
-        s.stop()
-    thr_n = [v for k, v in scaling.items() if k.startswith("tokens_per_sec_n")][0]
-    thr_4n = [v for k, v in scaling.items() if k.startswith("tokens_per_sec_4n")][0]
-    scaling["efficiency"] = (thr_4n / thr_n) / (hi_cores / lo_cores)
+    s_lo = get_spark(f"bench_scale_{lo_cores}", cores=lo_cores, shuffle_partitions=8, extra_conf=scale_conf)
+    s_lo.read.parquet(token_path).select(F.sum(F.size("tokens"))).collect()  # cache warm
+    run_full_job(s_lo, token_path)  # JIT warm
+    s_hi = get_spark(f"bench_scale_{hi_cores}", cores=hi_cores, shuffle_partitions=8, extra_conf=scale_conf)
+    run_full_job(s_hi, token_path)  # JIT warm
+    rounds = []
+    for _ in range(3):
+        w_lo = run_full_job(s_lo, token_path)
+        w_hi = run_full_job(s_hi, token_path)
+        rounds.append((w_lo, w_hi))
+    s_lo.stop()
+    s_hi.stop()
+    best_lo, best_hi = min(rounds, key=lambda r: r[0] + r[1])
+    scaling[f"wall_sec_n_{lo_cores}c"] = best_lo
+    scaling[f"tokens_per_sec_n_{lo_cores}c"] = total_tokens / best_lo
+    scaling[f"wall_sec_4n_{hi_cores}c"] = best_hi
+    scaling[f"tokens_per_sec_4n_{hi_cores}c"] = total_tokens / best_hi
+    scaling["efficiency"] = (best_lo / best_hi) / (hi_cores / lo_cores)
+    scaling["efficiency_per_round"] = [
+        round((wl / wh) / (hi_cores / lo_cores), 3) for wl, wh in rounds
+    ]
 
     out = {
         "metric": "full_job_wall_sec",
@@ -183,7 +200,9 @@ def main() -> None:
         "input_rows": rows,
         "input_tokens": total_tokens,
         "tokens_per_sec": round(total_tokens / queries["tokens_full_job"], 1),
-        "scaling": {k: round(v, 3) for k, v in scaling.items()},
+        "scaling": {
+            k: (round(v, 3) if isinstance(v, float) else v) for k, v in scaling.items()
+        },
     }
     print(json.dumps(out))
 

@@ -109,3 +109,30 @@ def test_ewm_smooth_matches_pandas(spark):
     exp = pdf[["m0", "m1"]].astype(np.float32).ewm(alpha=0.5).mean().astype(np.float32)
     np.testing.assert_allclose(out["m0"].to_numpy(), exp["m0"].to_numpy(), rtol=1e-6)
     np.testing.assert_allclose(out["m1"].to_numpy(), exp["m1"].to_numpy(), rtol=1e-6)
+
+
+def test_ewm_smooth_windowed_matches_numpy(spark):
+    """Trailing-L bias-corrected EWM (the bounded-state oracle-exact
+    variant): per row, EXP window agg of the last min(rn, L) values."""
+    import pandas as pd
+
+    from numalogic_spark.functions.aggregators import expmov_avg_np
+    from numalogic_spark.operators.windows import ewm_smooth_windowed
+
+    rng = np.random.default_rng(4)
+    n, L, beta = 100, 12, 0.5
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * n,
+            "event_ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+            "value": rng.random(n) * 50,
+        }
+    )
+    got = (
+        ewm_smooth_windowed(spark.createDataFrame(pdf), "value", seq_len=L, beta=beta)
+        .orderBy("event_ts")
+        .toPandas()
+    )
+    x = pdf["value"].to_numpy()
+    exp = [expmov_avg_np(x[max(0, i - L + 1) : i + 1], beta) for i in range(n)]
+    np.testing.assert_allclose(got["value_ewm"], exp, rtol=1e-12)
