@@ -915,6 +915,57 @@ FROM h
 """
 
 
+def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.textstats import lang_id_ngram
+
+    out = lang_id_ngram(_docs(spark, sf_dir), "text", "doc_id")
+    langs = ["en", "de", "fr", "es"]
+    return out.select(
+        "doc_id", "lang_pred", *[_r6(F.col(f"score_{la}")).alias(f"score_{la}") for la in langs]
+    )
+
+
+def _lang_id_ngram_sql() -> str:
+    """DuckDB replay of the char-trigram profile scorer: same shingle
+    codes, same literal profiles, same containment fractions and
+    tie-break order."""
+    from numalogic_spark.operators.dedup import SHINGLE_BASE
+    from numalogic_spark.operators.textstats import _lang_profiles
+
+    profiles = _lang_profiles()
+    langs = list(profiles)
+    b = SHINGLE_BASE
+    score_cols = ",\n    ".join(
+        f"len(list_filter(sh, s -> list_contains([{', '.join(map(str, prof))}], s)))"
+        f" / CAST(greatest(len(sh), 1) AS DOUBLE) AS score_{la}"
+        for la, prof in profiles.items()
+    )
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = (
+        f"CASE WHEN {best} <= 0.0 THEN 'und' "
+        + " ".join(f"WHEN score_{la} = {best} THEN '{la}'" for la in langs)
+        + " ELSE 'und' END"
+    )
+    r6 = "floor(score_{la} * 1000000 + 0.5) / 1000000.0 AS score_{la}"
+    rounded = ", ".join(r6.format(la=la) for la in langs)
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(t) - 2, 1)),
+           i -> (coalesce(arr[i], 0) * {b} + coalesce(arr[i+1], 0)) * {b} + coalesce(arr[i+2], 0)) AS sh
+  FROM (SELECT doc_id, lower(text) AS t,
+               list_transform(string_split(lower(text), ''), c -> CAST(ascii(c) AS BIGINT)) AS arr
+        FROM documents)
+), sc AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM docs
+)
+SELECT doc_id, {case} AS lang_pred, {rounded}
+FROM sc
+"""
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1268,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": _q_embedding_pairs,
         "text_quality_documents": _q_text_quality,
         "lang_id_documents": _q_lang_id,
+        "lang_id_ngram_documents": _q_lang_id_ngram,
         "minhash_near_dup_documents": _q_minhash,
         "simhash_near_dup_documents": _q_simhash,
         "doc_fingerprint_documents": _q_fingerprint,
@@ -1307,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_pairs": _EMB_PAIRS_SQL,
         "text_quality_documents": _TEXT_QUALITY_SQL,
         "lang_id_documents": _langid_sql(),
+        "lang_id_ngram_documents": _lang_id_ngram_sql(),
         "score_pipeline_events": _score_pipeline_sql(),
         "pivot_metrics_1m": _PIVOT_SQL,
         "train_val_split_events": _SPLIT_SQL,

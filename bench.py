@@ -169,18 +169,26 @@ def main() -> None:
     }
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     scaling: dict[str, float] = {}
-    s_lo = get_spark(f"bench_scale_{lo_cores}", cores=lo_cores, shuffle_partitions=8, extra_conf=scale_conf)
-    s_lo.read.parquet(token_path).select(F.sum(F.size("tokens"))).collect()  # cache warm
-    run_full_job(s_lo, token_path)  # JIT warm
-    s_hi = get_spark(f"bench_scale_{hi_cores}", cores=hi_cores, shuffle_partitions=8, extra_conf=scale_conf)
-    run_full_job(s_hi, token_path)  # JIT warm
+
+    # one SparkContext per process: each measurement gets a FRESH session
+    # (stop → create) so the core count actually applies — two live
+    # sessions silently share one context and the second master is ignored.
+    # The JVM survives across sessions, so Spark-core JIT stays warm; round
+    # 0 is a discarded warm-up (first-ever JIT + page cache + codegen).
+    def measure(cores: int) -> float:
+        s = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=8,
+                      extra_conf=scale_conf)
+        try:
+            return run_full_job(s, token_path)
+        finally:
+            s.stop()
+    measure(lo_cores)
+    measure(hi_cores)
     rounds = []
-    for _ in range(3):
-        w_lo = run_full_job(s_lo, token_path)
-        w_hi = run_full_job(s_hi, token_path)
+    for _ in range(4):
+        w_lo = measure(lo_cores)
+        w_hi = measure(hi_cores)
         rounds.append((w_lo, w_hi))
-    s_lo.stop()
-    s_hi.stop()
     best_lo, best_hi = min(rounds, key=lambda r: r[0] + r[1])
     scaling[f"wall_sec_n_{lo_cores}c"] = best_lo
     scaling[f"tokens_per_sec_n_{lo_cores}c"] = total_tokens / best_lo

@@ -82,6 +82,114 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(*cols)
 
 
+# --------------------------------------------------------------------------
+# character-n-gram language ID (Cavnar-Trenkle-style profiles)
+# --------------------------------------------------------------------------
+
+# seed text per language: a few sentences dominated by function words —
+# the signal char-ngram language ID actually keys on. Profiles are the
+# top trigram codes of these seeds, computed at import time (pure python,
+# deterministic), then shipped as literal arrays.
+_SEED_TEXT = {
+    "en": "the quick brown fox jumps over the lazy dog and then it runs away "
+          "because there was nothing else for it to do in that place with the "
+          "other animals that were watching it from the edge of the forest "
+          "and it was not the first time that this had happened to them there",
+    "de": "der schnelle braune fuchs springt über den faulen hund und dann "
+          "läuft er weg weil es für ihn nichts anderes zu tun gab an diesem "
+          "ort mit den anderen tieren die ihn vom rand des waldes beobachteten "
+          "es war nicht das erste mal dass ihnen dort so etwas passiert war "
+          "und sie wussten auch dass es nicht das letzte mal sein würde",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et puis "
+          "il s'enfuit parce qu'il n'y avait rien d'autre à faire pour lui à "
+          "cet endroit avec les autres animaux qui le regardaient depuis la "
+          "lisière ce n'était pas la première fois que cela leur arrivait là "
+          "et ils savaient aussi que ce ne serait pas la dernière fois",
+    "es": "el rápido zorro marrón salta sobre el perro perezoso y luego se "
+          "escapa porque no había nada más que hacer para él en ese lugar con "
+          "los otros animales que lo miraban desde el borde del bosque no era "
+          "la primera vez que eso les pasaba allí y también sabían que no "
+          "sería la última vez",
+}
+_PROFILE_SIZE = 150
+
+
+def _trigram_codes_py(text: str) -> list[int]:
+    """Python twin of dedup.char_shingle_codes (multiplicity kept)."""
+    from numalogic_spark.operators.dedup import SHINGLE_BASE
+
+    t = text.lower()
+    out = []
+    for i in range(max(len(t) - 2, 1)):
+        c = 0
+        for j in range(3):
+            c = c * SHINGLE_BASE + (ord(t[i + j]) if i + j < len(t) else 0)
+        out.append(c)
+    return out
+
+
+def _lang_profiles() -> dict[str, list[int]]:
+    from collections import Counter
+
+    return {
+        lang: [c for c, _ in Counter(_trigram_codes_py(seed)).most_common(_PROFILE_SIZE)]
+        for lang, seed in _SEED_TEXT.items()
+    }
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Char-trigram language ID: score(lang) = fraction of the doc's
+    trigram OCCURRENCES that appear in the language's profile (top trigrams
+    of a seed corpus — Cavnar-Trenkle's profile idea with a containment
+    score instead of rank distance, which keeps it one JVM array pass per
+    language). argmax over languages; 'und' when nothing matches.
+
+    The trigram encoding is the shared portable shingle code, so the
+    DuckDB oracle replays scoring exactly."""
+    from numalogic_spark.functions.exprs import let_bind
+    from numalogic_spark.operators.dedup import SHINGLE_BASE
+
+    t = F.lower(F.col(text_col))
+    chars = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1)))
+
+    def codes(arr: Column) -> Column:
+        def enc(i: Column) -> Column:
+            c = F.coalesce(F.try_element_at(arr, i), F.lit(0).cast("long"))
+            for j in range(1, 3):
+                c = c * F.lit(SHINGLE_BASE) + F.coalesce(
+                    F.try_element_at(arr, i + F.lit(j)), F.lit(0).cast("long")
+                )
+            return c
+
+        return F.transform(idx, enc)  # multiplicity kept — NOT distinct
+
+    profiles = _lang_profiles()
+
+    def scored(sh: Column) -> Column:
+        n = F.greatest(F.size(sh), F.lit(1))
+        fields = []
+        for lang, prof in profiles.items():
+            hits = F.size(F.filter(sh, lambda s: F.array_contains(F.lit(prof), s)))
+            fields.append((hits / n).alias(f"score_{lang}"))
+        return F.struct(*fields)
+
+    out = df.select(
+        F.col(id_col), let_bind(let_bind(chars, codes), scored).alias("_s")
+    )
+    langs = list(profiles)
+    best = F.greatest(*[F.col(f"_s.score_{la}") for la in langs])
+    pred = F.lit("und")
+    for la in reversed(langs):  # earlier langs win ties
+        pred = F.when(F.col(f"_s.score_{la}") == best, F.lit(la)).otherwise(pred)
+    pred = F.when(best <= F.lit(0.0), F.lit("und")).otherwise(pred)
+    return out.select(
+        id_col,
+        pred.alias("lang_pred"),
+        *[F.col(f"_s.score_{la}").alias(f"score_{la}") for la in langs],
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling polynomial hash over the word stream:
     fp = Σ h(w_i)·B^(n-1-i) mod M, computed as a left fold

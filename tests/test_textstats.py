@@ -56,3 +56,31 @@ def test_fingerprint_semantics(spark):
     assert got["x"] == got["z"]  # identical text → identical fp
     assert got["x"] != got["y"]  # order-sensitive (unlike word-set hashes)
     assert 0 <= got["x"] < 2147483647
+
+
+def test_lang_id_ngram_real_languages(spark):
+    """Char-trigram profile language ID classifies real sentences in the
+    four profiled languages (the briefed 'n-gram heuristic'; the stopword
+    lang_id stays as the cheap fallback)."""
+    import pandas as pd
+
+    from numalogic_spark.operators.textstats import lang_id_ngram
+
+    samples = [
+        ("e1", "en", "it was the best of times and it was the worst of times for all of them"),
+        ("e2", "en", "she said that there would be another meeting in the morning before the others arrived"),
+        ("d1", "de", "es war einmal ein kleines mädchen das mit seiner mutter in einem haus am wald wohnte"),
+        ("d2", "de", "ich habe nicht gewusst dass der zug schon um acht uhr fährt und wir deshalb früher gehen müssen"),
+        ("f1", "fr", "il était une fois une petite fille qui vivait avec sa mère dans une maison près de la forêt"),
+        ("f2", "fr", "je ne savais pas que le train partait déjà à huit heures et que nous devions partir plus tôt"),
+        ("s1", "es", "había una vez una niña pequeña que vivía con su madre en una casa cerca del bosque"),
+        ("s2", "es", "no sabía que el tren salía ya a las ocho y que por eso teníamos que salir más temprano"),
+    ]
+    pdf = pd.DataFrame(samples, columns=["doc_id", "lang", "text"])
+    out = lang_id_ngram(spark.createDataFrame(pdf[["doc_id", "text"]])).toPandas()
+    got = out.set_index("doc_id")["lang_pred"].to_dict()
+    exp = pdf.set_index("doc_id")["lang"].to_dict()
+    assert got == exp
+    # scores are containment fractions in [0, 1]
+    for la in ("en", "de", "fr", "es"):
+        assert out[f"score_{la}"].between(0.0, 1.0).all()
