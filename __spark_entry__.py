@@ -77,6 +77,35 @@ GROUP BY 1, 2
 """
 
 
+def _q_rollup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three tiers in one exchange + one window chain (the batch-optimal
+    fused plan; row-identical to the cascade union)."""
+    from numalogic_spark.operators.rollup import histogram, rollup_tiers_fused
+
+    fused = rollup_tiers_fused(
+        histogram(_events(spark, sf_dir), EVENTS_CFG, "minute"), EVENTS_CFG
+    )
+    return fused.select(
+        "tier",
+        "source",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("count").alias("cnt"),
+        _r6("n_tok_sum").alias("val_sum"),
+        _r6("n_tok_mean").alias("val_mean"),
+        _r6("n_tok_p95").alias("val_p95"),
+        _r6("token_rate").alias("rate"),
+    )
+
+
+def _rollup_fused_sql() -> str:
+    from numalogic_spark.operators.rollup import TIERS
+
+    return "\nUNION ALL\n".join(
+        f"SELECT q.*, '{t}' AS tier FROM ({_rollup_sql(unit, secs)}) q"
+        for t, (unit, secs, _) in TIERS.items()
+    )
+
+
 def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = rollup_cascade(_events(spark, sf_dir), EVENTS_CFG)
     gf = gapfill_linear(tiers["1m"], "1m")
@@ -1290,9 +1319,10 @@ def entry(spark: SparkSession) -> DataFrame:
     smoke scale — union of all tiers (the engine's continuous aggregates)."""
     from numalogic_spark.datagen import gen_tokens_spark
 
+    from numalogic_spark.operators.rollup import histogram, rollup_tiers_fused
+
     df = gen_tokens_spark(spark, 10_000, n_sources=20)
-    tiers = rollup_cascade(df, RollupConfig())
-    out = tiers["1m"].unionByName(tiers["1h"]).unionByName(tiers["1d"])
+    out = rollup_tiers_fused(histogram(df, RollupConfig(), "minute"), RollupConfig())
     return out.select(
         "source", F.unix_timestamp("bucket_ts").alias("bucket_s"), "tier",
         "count", "n_tok_sum", "n_tok_mean", "n_tok_p95", "token_rate",
@@ -1304,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m_events": _q_rollup("1m"),
         "rollup_1h_events": _q_rollup("1h"),
         "rollup_1d_events": _q_rollup("1d"),
+        "rollup_tiers_fused_events": _q_rollup_fused,
         "gapfill_1m_events": _q_gapfill,
         "stateless_transforms": _q_log_transform,
         "score_norms": _q_score_norm,
@@ -1344,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m_events": _rollup_sql("minute", 60),
         "rollup_1h_events": _rollup_sql("hour", 3600),
         "rollup_1d_events": _rollup_sql("day", 86400),
+        "rollup_tiers_fused_events": _rollup_fused_sql(),
         "gapfill_1m_events": _GAPFILL_SQL,
         "stateless_transforms": _LOG_SQL,
         "score_norms": _SCORE_SQL,

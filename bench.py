@@ -1,10 +1,9 @@
 """Benchmark harness.
 
 The benched job is the ENGINE'S FULL JOB over the synthetic token table:
-  1. per-row token-array invariant fingerprint over the raw tier (full
-     token-column scan — the I/O-heavy, embarrassingly-parallel stage)
-  2. rollup cascade raw→1m→1h→1d (histograms persisted: ONE raw scan,
-     tiers written in a single union action)
+  1. per-row token-array invariant fingerprint, folded into the same raw
+     scan as the rollup (tokens column read exactly once)
+  2. all-tier rollup 1m/1h/1d via the fused histogram→tiers chain
   3. linear gap-fill of the 1m tier
   4. Gorilla-style compression of the 1m tier
 Throughput = input tokens / wall. Also times the driver-facing queries at
@@ -30,7 +29,7 @@ from pyspark.sql import functions as F
 from numalogic_spark.datagen import gen_tokens_spark
 from numalogic_spark.functions.compression import compress_tier
 from numalogic_spark.operators.gapfill import gapfill_linear
-from numalogic_spark.operators.rollup import RollupConfig, rollup_cascade
+from numalogic_spark.operators.rollup import RollupConfig
 from numalogic_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,49 +59,46 @@ def ensure_token_table(path: str, rows: int) -> None:
 
 
 def run_full_job(spark, path: str) -> float:
-    """Invariant pass + cascade + gap-fill + compression; returns wall sec.
+    """Invariant pass + all-tier rollup + gap-fill + compression; wall sec.
 
-    Structure for scale: the cascade hangs off ONE persisted histogram (one
-    raw scan), and the three sink jobs (tier union, gap-fill, compression)
-    are submitted CONCURRENTLY — their per-action scheduling/analysis
-    latency overlaps instead of summing, exactly like a real pipeline
-    writing three tier tables in parallel on a cluster.
+    Structure for scale — ONE raw scan, minimal barriers:
+      * the invariant fingerprint is folded INTO the minute histogram scan
+        (histogram_with_fingerprint): the tokens column — the dominant I/O
+        at 10^12 rows — is read exactly once;
+      * all three retention tiers come from rollup_tiers_fused: one
+        exchange + one window chain instead of five small per-tier jobs
+        whose scheduling latency would serialize;
+      * the remaining sinks (tier dump, gap-fill, compression) and the
+        invariant re-aggregation are submitted CONCURRENTLY over the
+        persisted tier frame, exactly like a real pipeline writing tier
+        tables in parallel on a cluster.
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from numalogic_spark.operators.rollup import histogram, merge_histogram, tier_from_histogram
+    from numalogic_spark.operators.rollup import (
+        histogram_with_fingerprint,
+        invariant_from_histogram,
+        rollup_tiers_fused,
+    )
 
     df = spark.read.parquet(path)
     t0 = time.time()
-    # 1. raw-tier token invariant fingerprint (order-independent, one pass).
-    # bit_xor instead of a decimal sum: decimal aggregation allocates
-    # BigDecimals per row and contends at high parallelism; xor+count+sum
-    # is just as order-independent and stays in codegen.
-    df.select(
-        F.bit_xor(F.xxhash64("tokens")).alias("fp"),
-        F.count(F.lit(1)).alias("rows"),
-        F.sum("n_tok").alias("tokens"),
-    ).collect()
-    # 2. one raw scan → minute histogram → 1m tier, both persisted
     cfg = RollupConfig()
-    h1m = histogram(df, cfg, "minute").persist()
-    t1m = tier_from_histogram(h1m, cfg, "1m").persist()
-    t1m.count()  # materialize h1m + t1m once
-    h1h = merge_histogram(h1m, "hour").persist()
-    # 3-5. three independent sinks, submitted concurrently
-    coarse = tier_from_histogram(h1h, cfg, "1h").unionByName(
-        tier_from_histogram(merge_histogram(h1h, "day"), cfg, "1d")
-    )
-    with ThreadPoolExecutor(max_workers=3) as ex:
+    h1m = histogram_with_fingerprint(df, cfg, "minute").persist()
+    tiers = rollup_tiers_fused(h1m, cfg).persist()
+    tiers.count()  # one job materializes histogram + every tier
+    t1m = tiers.filter(F.col("tier") == "1m")
+    with ThreadPoolExecutor(max_workers=4) as ex:
         futs = [
-            ex.submit(_noop, coarse),
+            ex.submit(lambda: invariant_from_histogram(h1m).collect()),
+            ex.submit(_noop, tiers),
             ex.submit(_noop, gapfill_linear(t1m, "1m")),
             ex.submit(_noop, compress_tier(t1m, "n_tok_mean")),
         ]
         for f in futs:
             f.result()
     wall = time.time() - t0
-    for d in (h1m, h1h, t1m):
+    for d in (h1m, tiers):
         d.unpersist()
     return wall
 
@@ -173,19 +169,27 @@ def main() -> None:
     # one SparkContext per process: each measurement gets a FRESH session
     # (stop → create) so the core count actually applies — two live
     # sessions silently share one context and the second master is ignored.
-    # The JVM survives across sessions, so Spark-core JIT stays warm; round
-    # 0 is a discarded warm-up (first-ever JIT + page cache + codegen).
+    # Each fresh session pays per-session cold costs (codegen compile,
+    # Python-worker spawn, broadcast setup) that are NOT the quantity under
+    # test; a SMALL-INPUT run of the same job inside the session warms them
+    # SYMMETRICALLY on both sides before the measured run.
+    warm_rows = max(rows // 100, 10_000)
+    warm_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", f"tokens_warm_r{warm_rows}.parquet"
+    )
+    ensure_token_table(warm_path, warm_rows)
+
     def measure(cores: int) -> float:
         s = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=8,
                       extra_conf=scale_conf)
         try:
+            run_full_job(s, warm_path)
             return run_full_job(s, token_path)
         finally:
             s.stop()
-    measure(lo_cores)
-    measure(hi_cores)
     rounds = []
-    for _ in range(4):
+    n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
+    for _ in range(n_rounds):
         w_lo = measure(lo_cores)
         w_hi = measure(hi_cores)
         rounds.append((w_lo, w_hi))

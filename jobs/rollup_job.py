@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 from numalogic_spark.functions.compression import compress_tier
 from numalogic_spark.operators.gapfill import gapfill_linear
-from numalogic_spark.operators.rollup import RollupConfig, histogram, merge_histogram, tier_from_histogram
+from numalogic_spark.operators.rollup import (
+    RollupConfig,
+    histogram,
+    histogram_with_fingerprint,
+    invariant_from_histogram,
+    merge_histogram,
+    tier_from_histogram,
+)
 from numalogic_spark.plans.manifest import BUCKET_COL, run_with_manifest
 from numalogic_spark.session import get_spark
 
@@ -53,18 +60,31 @@ def main() -> None:
         gen_tokens_spark(spark, args.gen_rows, n_sources=20).write.mode("overwrite").parquet(args.input)
 
     df = spark.read.parquet(args.input)
-    fp = df.select(
-        F.bit_xor(F.xxhash64("tokens")).alias("fp"),
-        F.count(F.lit(1)).alias("rows"),
-        F.sum("n_tok").alias("tokens"),
-    ).collect()[0]
+
+    # ONE fingerprinted histogram scan yields the global invariant, the 1m
+    # tier, AND per-resume-bucket invariant lineage — the tokens column
+    # (the dominant I/O at 10^12 rows) is read once here instead of three
+    # separate passes (fp scan / lineage scan / tier scan).
+    cfg = RollupConfig()
+    from numalogic_spark.plans.manifest import bucketize
+
+    hb = histogram_with_fingerprint(
+        bucketize(df, "doc_id", args.buckets), cfg, "minute", extra_keys=[BUCKET_COL]
+    ).persist()
+    fp = invariant_from_histogram(hb).collect()[0]
+    # per-bucket invariant lineage: any resumed bucket can be re-verified
+    # against the raw table without a full-table rescan
+    hb.groupBy(BUCKET_COL).agg(
+        F.bit_xor("fp").alias("token_fingerprint"),
+        F.sum("cnt").alias("rows"),
+        F.sum(F.col("v") * F.col("cnt")).cast("long").alias("tokens"),
+    ).write.mode("overwrite").parquet(args.manifest + "_bucket_invariants")
 
     summary = run_with_manifest(
         spark, df, tier_job, args.output, args.manifest, n_buckets=args.buckets
     )
 
-    cfg = RollupConfig()
-    h1m = histogram(df, cfg, "minute").persist()
+    h1m = merge_histogram(hb, "minute")  # drop the bucket key: global 1m histogram
     t1m = tier_from_histogram(h1m, cfg, "1m").persist()
 
     # every downstream stage writes its own per-partition manifest too —

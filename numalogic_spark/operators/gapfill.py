@@ -40,54 +40,75 @@ def bucket_spine(tier_df: DataFrame, tier: str) -> DataFrame:
 
 
 def gapfill_linear(tier_df: DataFrame, tier: str, metric_cols: list[str] | None = None) -> DataFrame:
-    """Spine left-join + linear interpolation between nearest real buckets.
+    """Linear interpolation of interior gaps between consecutive real buckets.
 
     Returns the tier schema with metric columns as double plus
     ``is_interpolated: boolean``.
+
+    Plan shape: ONE exchange (partitionBy source) + ONE sort feeding a
+    ``lead()`` window, then a single ``explode`` that emits each real row
+    TOGETHER with the interpolated buckets of the gap that follows it (the
+    two endpoint values are already on the row) — no spine table, no
+    spine⋈tier join, no union of branches that would evaluate the upstream
+    tier twice. (The previous shape — dense-spine left-join + forward/
+    backward running frames — carried 4 exchanges and 3 sorts; at 1000
+    executors those extra barriers serialize small tiers.) Realness stays
+    positional: a real row is never rewritten, whatever its metric values,
+    and only strictly interior buckets are generated, so no extrapolation
+    by construction.
     """
     metric_cols = metric_cols or METRIC_COLS
-    spine = bucket_spine(tier_df, tier)
-    # realness comes from an explicit join marker, NOT from null-ness of a
-    # metric column — a real row with a NULL metric must not be treated as
-    # a gap and overwritten by interpolation
-    marked = tier_df.withColumn("_real", F.lit(True))
-    joined = spine.join(marked, ["source", "bucket_ts"], "left").withColumn(
-        "_real", F.coalesce(F.col("_real"), F.lit(False))
-    )
-
-    # Both directions use RUNNING frames (unboundedPreceding → current row):
-    # Spark evaluates those incrementally in O(n) per partition, whereas an
-    # ignoreNulls aggregate over a (current → unboundedFollowing) frame falls
-    # back to an O(n²) re-scan — the "next neighbor" is therefore a running
-    # last() over the DESCENDING order instead.
-    w_prev = (
-        Window.partitionBy("source")
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_next = (
-        Window.partitionBy("source")
-        .orderBy(F.col("bucket_ts").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    real = F.col("_real")
-    ts_s = F.unix_timestamp("bucket_ts")
-    prev_ts = F.last(F.when(real, ts_s), ignorenulls=True).over(w_prev)
-    next_ts = F.last(F.when(real, ts_s), ignorenulls=True).over(w_next)
-    frac = (ts_s - prev_ts) / (next_ts - prev_ts)
-
-    out = joined
-    for c in metric_cols:
-        dc = F.col(c).cast("double")
-        prev_v = F.last(F.when(real, dc), ignorenulls=True).over(w_prev)
-        next_v = F.last(F.when(real, dc), ignorenulls=True).over(w_next)
-        out = out.withColumn(
-            c, F.when(real, dc).otherwise(prev_v + frac * (next_v - prev_v))
-        )
-    return out.select(
+    _, _, step = TIERS[tier]
+    w = Window.partitionBy("source").orderBy("bucket_ts")
+    nxt = tier_df.select(
         "source",
         "bucket_ts",
+        *[F.col(c).cast("double").alias(c) for c in metric_cols],
+    ).select(
+        "*",
+        F.lead("bucket_ts").over(w).alias("_nxt_ts"),
+        *[F.lead(c).over(w).alias(f"_nxt_{c}") for c in metric_cols],
+    )
+    own = F.struct(
+        F.col("bucket_ts").alias("bucket_ts"),
+        *[F.col(c).alias(c) for c in metric_cols],
+        F.lit(False).alias("is_interpolated"),
+    )
+    t0 = F.unix_timestamp("bucket_ts")
+    t1 = F.unix_timestamp("_nxt_ts")
+
+    def interp(b):
+        frac = (F.unix_timestamp(b) - t0) / (t1 - t0)
+        return F.struct(
+            b.alias("bucket_ts"),
+            *[
+                (F.col(c) + frac * (F.col(f"_nxt_{c}") - F.col(c))).alias(c)
+                for c in metric_cols
+            ],
+            F.lit(True).alias("is_interpolated"),
+        )
+
+    has_gap = F.col("_nxt_ts").isNotNull() & (
+        F.col("bucket_ts") + F.expr(step) < F.col("_nxt_ts")
+    )
+    rows = F.when(
+        has_gap,
+        F.concat(
+            F.array(own),
+            F.transform(
+                F.sequence(
+                    F.col("bucket_ts") + F.expr(step),
+                    F.col("_nxt_ts") - F.expr(step),
+                    F.expr(step),
+                ),
+                interp,
+            ),
+        ),
+    ).otherwise(F.array(own))
+    return nxt.select("source", F.explode(rows).alias("_r")).select(
+        "source",
+        F.col("_r.bucket_ts").alias("bucket_ts"),
         F.lit(tier).alias("tier"),
-        *metric_cols,
-        (~real).alias("is_interpolated"),
+        *[F.col(f"_r.{c}").alias(c) for c in metric_cols],
+        F.col("_r.is_interpolated").alias("is_interpolated"),
     )

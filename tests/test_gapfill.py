@@ -27,3 +27,48 @@ def test_gapfill_no_extrapolation(spark, tokens_df):
         assert not g.iloc[0]["is_interpolated"]
         assert not g.iloc[-1]["is_interpolated"]
     assert gf[["count", "n_tok_mean"]].notna().all().all()
+
+
+def test_gapfill_edge_cases(spark):
+    """Hand-built edge battery: single-row series, adjacent buckets, a
+    1-bucket gap (midpoint), a long gap (exact linear ramp), and source
+    isolation — the single-pass lead()+sequence plan must handle all."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from numalogic_spark.operators.gapfill import gapfill_linear
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(src, minute, v):
+        return {
+            "source": src,
+            "bucket_ts": t0 + dt.timedelta(minutes=minute),
+            "count": float(v), "n_tok_sum": float(v), "n_tok_mean": float(v),
+            "n_tok_p95": float(v), "token_rate": float(v),
+        }
+
+    rows = [
+        row("lonely", 0, 5.0),          # single-row series
+        row("dense", 0, 1.0), row("dense", 1, 2.0),   # adjacent, no gap
+        row("mid", 0, 10.0), row("mid", 2, 20.0),     # one missing bucket
+        row("ramp", 0, 0.0), row("ramp", 10, 100.0),  # nine missing buckets
+    ]
+    out = gapfill_linear(
+        spark.createDataFrame(pd.DataFrame(rows)), "1m"
+    ).toPandas().sort_values(["source", "bucket_ts"], ignore_index=True)
+
+    by = {s: g.reset_index(drop=True) for s, g in out.groupby("source")}
+    assert len(by["lonely"]) == 1 and not by["lonely"]["is_interpolated"].any()
+    assert len(by["dense"]) == 2 and not by["dense"]["is_interpolated"].any()
+    m = by["mid"]
+    assert len(m) == 3 and list(m["is_interpolated"]) == [False, True, False]
+    assert m.loc[1, "n_tok_mean"] == 15.0  # exact midpoint
+    r = by["ramp"]
+    assert len(r) == 11 and r["is_interpolated"].sum() == 9
+    assert list(r["n_tok_mean"]) == [float(10 * i) for i in range(11)]  # exact ramp
+    # no cross-source leakage: every source keeps its own bucket range
+    assert out.groupby("source")["bucket_ts"].min().to_dict() == {
+        s: t0 for s in ("lonely", "dense", "mid", "ramp")
+    }

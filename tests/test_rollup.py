@@ -54,3 +54,55 @@ def test_token_array_invariant(spark, tokens_df):
     )
     assert bad == 0
     assert out.count() == tokens_df.count()
+
+
+def test_fused_tiers_equal_cascade(spark, tokens_df):
+    """rollup_tiers_fused must be row-identical to the cascade's tier union
+    (same exact histogram → same exact percentiles), just computed in one
+    exchange + one window chain."""
+    import pandas as pd
+
+    from numalogic_spark.operators.rollup import histogram, rollup_tiers_fused
+
+    cfg = RollupConfig()
+    fused = rollup_tiers_fused(histogram(tokens_df, cfg, "minute"), cfg).toPandas()
+    tiers = rollup_cascade(tokens_df, cfg)
+    casc = pd.concat(
+        [tiers[t].toPandas() for t in ("1m", "1h", "1d")], ignore_index=True
+    )
+    assert_frames_match(
+        fused,
+        casc,
+        sort_cols=["tier", "source", "bucket_ts"],
+        float_cols=("n_tok_mean", "n_tok_p95", "token_rate"),
+        atol=0.0,
+    )
+
+
+def test_fingerprinted_histogram(spark, tokens_df):
+    """histogram_with_fingerprint: same histogram as histogram(), and the
+    derived global invariant equals a direct raw-tier aggregation."""
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.rollup import (
+        histogram,
+        histogram_with_fingerprint,
+        invariant_from_histogram,
+    )
+
+    cfg = RollupConfig()
+    hf = histogram_with_fingerprint(tokens_df, cfg, "minute")
+    assert_frames_match(
+        hf.drop("fp").toPandas(),
+        histogram(tokens_df, cfg, "minute").toPandas(),
+        sort_cols=["source", "bucket_ts", "v"],
+        float_cols=("v",),
+        atol=0.0,
+    )
+    got = invariant_from_histogram(hf).collect()[0]
+    exp = tokens_df.select(
+        F.bit_xor(F.xxhash64("tokens")).alias("fp"),
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_tok").alias("tokens"),
+    ).collect()[0]
+    assert (got["fp"], got["rows"], got["tokens"]) == (exp["fp"], exp["rows"], exp["tokens"])
