@@ -232,6 +232,44 @@ def minhash_signature(codes_col: Column | str, num_hashes: int = 64, seed: int =
     )
 
 
+def minhash_signature_kernel(num_hashes: int = 64, seed: int = 1):
+    """Arrow-vectorized twin of minhash_signature: same Carter-Wegman
+    permutations, same values bit-for-bit (int64 modular arithmetic;
+    a·x < 2^62 so no overflow), computed as one flattened numpy pass with
+    ``np.minimum.reduceat`` per document instead of k interpreted
+    higher-order-function array passes.
+
+    Catalyst HOFs (transform/aggregate/array_min) run INTERPRETED — they
+    never enter whole-stage codegen — which makes the pure-expression
+    signature the hot spot of the LSH pipeline (~5 s warm at 5k docs / 60
+    perms). The kernel does the identical arithmetic vectorized (~10×).
+    Returns a pandas_udf: array<long> codes → array<long> signature."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    params = np.array(_minhash_params(num_hashes, seed), dtype=np.int64)
+    A, B = params[:, 0], params[:, 1]
+
+    def sig(codes):
+        arrs = [np.asarray(a, dtype=np.int64) for a in codes]
+        if not arrs:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        # char_shingle_codes always yields >= 1 code (empty text -> [0]),
+        # so every segment is non-empty and reduceat is well-defined
+        flat = np.concatenate(arrs) % MERSENNE31
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        out = np.empty((len(arrs), len(A)), dtype=np.int64)
+        for i in range(len(A)):
+            out[:, i] = np.minimum.reduceat((A[i] * flat + B[i]) % MERSENNE31, starts)
+        return pd.Series(list(out))
+
+    # `from __future__ import annotations` stringifies hints, which pyspark
+    # cannot resolve here — set the pandas eval-type annotations explicitly
+    sig.__annotations__ = {"codes": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "array<long>")
+
+
 def band_structs_expr(
     sig_col: Column | str, bands: int, rows: int, include_sig: bool = False
 ) -> Column:
@@ -287,6 +325,7 @@ def minhash_lsh_pairs(
     seed: int = 1,
     est_margin: float | None = 0.1,
     materialize: bool = True,
+    use_kernel: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding proposes candidates, a signature-
     estimated Jaccard prefilter (est ≥ threshold − est_margin) culls them
@@ -331,12 +370,21 @@ def minhash_lsh_pairs(
     # side (long-array intersection, never strings). (No persist: a cached
     # handle would leak for the application lifetime with no way for
     # callers to release it.)
+    # signature path (identical values either way — tested bit-for-bit):
+    # the interpreted-HOF expression wins at default k (no Arrow round-trip,
+    # no first-batch Python cost); the vectorized kernel wins once k·|codes|
+    # grows past what interpreted lambdas sustain (production k >= 128).
+    # Same auto-switch idiom as similarity.py's large-dim kernels.
+    if use_kernel is None:
+        use_kernel = num_hashes >= 128
+    if use_kernel:
+        sig_col = minhash_signature_kernel(num_hashes, seed)(F.col("codes"))
+    else:
+        sig_col = minhash_signature("codes", num_hashes, seed)
     slim = base.select(
         "id",
         F.explode(
-            band_structs_expr(
-                minhash_signature("codes", num_hashes, seed), bands, rows, include_sig=True
-            )
+            band_structs_expr(sig_col, bands, rows, include_sig=True)
         ).alias("bb"),
     ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),

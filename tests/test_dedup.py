@@ -269,3 +269,25 @@ def test_embedding_near_pairs(spark):
         a, b = vecs[int(r.id_a)].astype(float), vecs[int(r.id_b)].astype(float)
         c = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         np.testing.assert_allclose(r.cos_sim, c, rtol=1e-9)
+
+
+def test_minhash_kernel_equals_expression(spark, corpus):
+    """The Arrow signature kernel must produce bit-identical signatures to
+    the interpreted-HOF expression path (same Carter-Wegman arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.dedup import (
+        char_shingle_codes,
+        minhash_signature,
+        minhash_signature_kernel,
+    )
+
+    df, _ = corpus
+    base = df.select("doc_id", char_shingle_codes("text").alias("codes"))
+    both = base.select(
+        "doc_id",
+        minhash_signature("codes", 60, 1).alias("e"),
+        minhash_signature_kernel(60, 1)(F.col("codes")).alias("k"),
+    )
+    assert both.filter(F.col("e") != F.col("k")).count() == 0
+    assert both.count() > 0
