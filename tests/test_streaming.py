@@ -91,3 +91,52 @@ def test_streaming_ewm_matches_batch_kernel(spark, stream_dir):
     expdf = pd.concat(exp).sort_values(["source", "event_ts"], ignore_index=True)
     assert len(got) == len(expdf)
     np.testing.assert_allclose(got["ewm"].to_numpy(), expdf["ewm"].to_numpy(), rtol=1e-9)
+
+
+def test_streaming_exact_dedup_first_seen(spark, tmp_path):
+    """Stateful streaming dedup: across 3 micro-batches, exactly one row
+    per distinct text passes through — the FIRST arrival — and the
+    survivor set matches batch exact-dedup over the concatenated stream."""
+    import datetime as dt
+
+    from numalogic_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    texts = [f"document body number {i % 7}" for i in range(21)]  # 7 distinct, 3× each
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:03d}" for i in range(21)],
+            "text": texts,
+            "event_ts": [t0 + dt.timedelta(minutes=i) for i in range(21)],
+        }
+    )
+    schema = "doc_id string, text string, event_ts timestamp"
+    d = tmp_path / "dedup_src"
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 3)):
+        spark.createDataFrame(pdf.iloc[chunk], schema).repartition(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch: the
+        # duplicate of a batch-1 doc arriving in batch 2/3 must hit STATE,
+        # not within-batch dedup
+        .parquet(str(d) + "/part*")
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream").toPandas()
+    # one survivor per distinct text; first arrival (min ts) wins
+    assert len(got) == 7
+    exp_first = pdf.sort_values(["event_ts", "doc_id"]).groupby("text").head(1)
+    assert set(got["doc_id"]) == set(exp_first["doc_id"])
+    # survivor set matches the batch dedup keeper semantics on arrival order
+    assert set(got["doc_id"]) == {f"d{i:03d}" for i in range(7)}
