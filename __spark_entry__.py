@@ -995,6 +995,72 @@ FROM sc
 """
 
 
+def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies over whitespace word tokens."""
+    from numalogic_spark.operators.tokens import token_frequencies
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_remove(F.split(F.lower("text"), r"\s+"), "").alias("tokens"),
+    )
+    return token_frequencies(docs)
+
+
+_TOKEN_FREQ_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS tokens
+  FROM documents
+), tf AS (
+  SELECT t.token, count(*) AS term_freq
+  FROM d, unnest(d.tokens) AS t(token)
+  GROUP BY 1
+), dfq AS (
+  SELECT t.token, count(*) AS doc_freq
+  FROM (SELECT list_distinct(tokens) AS tokens FROM d) u, unnest(u.tokens) AS t(token)
+  GROUP BY 1
+)
+SELECT tf.token, tf.term_freq, dfq.doc_freq
+FROM tf JOIN dfq USING (token)
+"""
+
+
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk pack plan (512-token training sequences) over the
+    documents' word tokens, deterministic doc_id order per source."""
+    from numalogic_spark.operators.tokens import sequence_pack_plan
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("n_tok"),
+    )
+    return sequence_pack_plan(docs, 512)
+
+
+_SEQ_PACK_SQL = r"""
+WITH d AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS n_tok
+  FROM documents
+), b AS (
+  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         sum(CAST(n_tok AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tok AS "offset"
+  FROM d WHERE n_tok > 0
+), e AS (
+  SELECT source, doc_id, n_tok, "offset",
+         unnest(generate_series(CAST(floor("offset" / 512) AS BIGINT),
+                                CAST(floor(("offset" + n_tok - 1) / 512) AS BIGINT))) AS pack_id
+  FROM b
+)
+SELECT source, pack_id, doc_id, "offset",
+       greatest(pack_id * 512 - "offset", 0) AS tok_start,
+       least((pack_id + 1) * 512 - "offset", n_tok) AS tok_end
+FROM e
+"""
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1351,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_documents": _q_text_quality,
         "lang_id_documents": _q_lang_id,
         "lang_id_ngram_documents": _q_lang_id_ngram,
+        "token_frequencies_documents": _q_token_freq,
+        "sequence_pack_documents": _q_sequence_pack,
         "minhash_near_dup_documents": _q_minhash,
         "simhash_near_dup_documents": _q_simhash,
         "doc_fingerprint_documents": _q_fingerprint,
@@ -1392,6 +1460,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_documents": _TEXT_QUALITY_SQL,
         "lang_id_documents": _langid_sql(),
         "lang_id_ngram_documents": _lang_id_ngram_sql(),
+        "token_frequencies_documents": _TOKEN_FREQ_SQL,
+        "sequence_pack_documents": _SEQ_PACK_SQL,
         "score_pipeline_events": _score_pipeline_sql(),
         "pivot_metrics_1m": _PIVOT_SQL,
         "train_val_split_events": _SPLIT_SQL,

@@ -133,7 +133,8 @@ def main() -> None:
                  "stateless_transforms", "difference_transform",
                  "dedup_exact_documents", "text_quality_documents",
                  "embedding_cosine_scores", "minhash_near_dup_documents",
-                 "simhash_near_dup_documents", "dedup_clusters_documents"):
+                 "simhash_near_dup_documents", "dedup_clusters_documents",
+                 "token_frequencies_documents", "sequence_pack_documents"):
         fn = E.queries()[name]
         t0 = time.time()
         _noop(fn(spark, SF_DIR))

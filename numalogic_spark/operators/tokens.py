@@ -1,0 +1,145 @@
+"""Token-array-native corpus operators.
+
+The engine's input is pre-tokenized sequences ((doc_id, tokens:array,
+n_tok, source) — BASELINE.json input_hint); these operators work on the
+token payload itself, the part of a training-data pipeline the reference
+(metric time series only) never touches:
+
+- ``token_frequencies``: corpus-level term/document frequencies — the
+  trillion-scale wordcount. Map-side partial aggregation collapses each
+  task's counts into a bounded vocabulary hash map before the shuffle, so
+  shuffle volume is O(vocab per task), not O(total tokens).
+- ``sequence_pack_plan`` / ``pack_tokens``: concat-and-chunk packing of
+  documents into fixed-size training sequences (each source's documents
+  are concatenated in a deterministic order and split every ``max_tokens``
+  tokens, documents straddling pack boundaries — the standard LLM
+  pretraining layout). The plan is pure window-cumsum + sequence/explode
+  arithmetic: one exchange per source partition, no Python, and fully
+  replayable in ANSI SQL (DuckDB oracle in __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_frequencies(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """(token, term_freq, doc_freq) over the whole corpus.
+
+    term_freq counts occurrences (multiplicity), doc_freq counts documents
+    containing the token at least once (via per-doc array_distinct BEFORE
+    the explode — the two-level aggregation that keeps a count-distinct
+    off the shuffle)."""
+    tf = (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    dfq = (
+        df.select(F.explode(F.array_distinct(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    out = tf.join(dfq, "token")
+    if min_count > 1:
+        out = out.filter(F.col("term_freq") >= min_count)
+    return out
+
+
+def sequence_pack_plan(
+    df: DataFrame,
+    max_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concat-and-chunk pack assignment:
+    (source, pack_id, doc_id, offset, tok_start, tok_end).
+
+    Per source, documents are laid out contiguously in ``order_cols`` order
+    (default: id order — deterministic under any shuffle) at offset =
+    running sum of previous lengths; pack k owns the token span
+    [k·max_tokens, (k+1)·max_tokens). A document overlapping several spans
+    emits one row per pack with its doc-local slice [tok_start, tok_end).
+    Zero-length documents contribute no rows.
+
+    sum(tok_end - tok_start) == sum(n_tok) and each pack's total is
+    exactly max_tokens except the final pack per source (invariants in
+    tests/test_tokens.py)."""
+    order = order_cols or [id_col]
+    w = Window.partitionBy(source_col).orderBy(*order)
+    m = F.lit(max_tokens)
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.col(len_col).cast("long").alias("n_tok"),
+        (F.sum(F.col(len_col).cast("long")).over(w) - F.col(len_col)).alias("offset"),
+    ).filter(F.col("n_tok") > 0)
+    p0 = F.floor(F.col("offset") / m)
+    p1 = F.floor((F.col("offset") + F.col("n_tok") - 1) / m)
+    exploded = base.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        "offset",
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+    )
+    return exploded.select(
+        "source",
+        "pack_id",
+        "doc_id",
+        "offset",
+        F.greatest(F.col("pack_id") * m - F.col("offset"), F.lit(0)).alias("tok_start"),
+        F.least((F.col("pack_id") + 1) * m - F.col("offset"), F.col("n_tok")).alias("tok_end"),
+    )
+
+
+def pack_tokens(
+    df: DataFrame,
+    max_tokens: int,
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialized packs: (source, pack_id, tokens, n_tok).
+
+    Joins the pack plan back to the token arrays, slices each document's
+    contribution JVM-side, and reassembles each pack with an order-safe
+    array_sort-by-offset + flatten — no Python, no assumption about
+    which task delivers which slice first. Every pack has exactly
+    max_tokens tokens except the last pack of each source."""
+    plan = sequence_pack_plan(df, max_tokens, source_col, id_col, len_col, order_cols)
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    )
+    sliced = plan.join(src, "doc_id").select(
+        "source",
+        "pack_id",
+        F.struct(
+            F.col("offset").alias("o"),
+            F.slice(
+                F.col("_toks"),
+                (F.col("tok_start") + 1).cast("int"),
+                (F.col("tok_end") - F.col("tok_start")).cast("int"),
+            ).alias("t"),
+        ).alias("piece"),
+    )
+    return (
+        sliced.groupBy("source", "pack_id")
+        .agg(F.array_sort(F.collect_list("piece")).alias("pieces"))
+        .select(
+            "source",
+            "pack_id",
+            F.flatten(F.transform("pieces", lambda p: p["t"])).alias("tokens"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )

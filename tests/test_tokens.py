@@ -1,0 +1,67 @@
+"""Token-payload operators vs numpy oracles: corpus term/doc frequencies
+and concat-and-chunk sequence packing (exact layout parity, pack-size
+invariants, token-stream equality)."""
+
+import numpy as np
+import pandas as pd
+
+from numalogic_spark.operators.tokens import (
+    pack_tokens,
+    sequence_pack_plan,
+    token_frequencies,
+)
+
+MAX_TOKENS = 512
+
+
+def test_token_frequencies_matches_oracle(spark, tokens_df, tokens_pdf):
+    got = token_frequencies(tokens_df).toPandas().set_index("token").sort_index()
+
+    from collections import Counter
+
+    tf, dfq = Counter(), Counter()
+    for toks in tokens_pdf["tokens"]:
+        tf.update(toks)
+        dfq.update(set(toks))
+    assert got["term_freq"].to_dict() == dict(tf)
+    assert got["doc_freq"].to_dict() == dict(dfq)
+
+
+def test_pack_plan_invariants(spark, tokens_df, tokens_pdf):
+    plan = sequence_pack_plan(tokens_df, MAX_TOKENS).toPandas()
+    # conservation: every token is placed exactly once
+    assert (plan["tok_end"] - plan["tok_start"]).sum() == tokens_pdf["n_tok"].sum()
+    # each pack holds exactly MAX_TOKENS except the last pack per source
+    sizes = (
+        plan.assign(sz=plan["tok_end"] - plan["tok_start"])
+        .groupby(["source", "pack_id"])["sz"]
+        .sum()
+        .reset_index()
+    )
+    last = sizes.groupby("source")["pack_id"].max().to_dict()
+    for _, r in sizes.iterrows():
+        if r["pack_id"] < last[r["source"]]:
+            assert r["sz"] == MAX_TOKENS, r
+        else:
+            assert 0 < r["sz"] <= MAX_TOKENS
+    # slices are doc-local and within bounds
+    n_tok = tokens_pdf.set_index("doc_id")["n_tok"]
+    assert (plan["tok_start"] >= 0).all()
+    assert (plan["tok_end"].to_numpy() <= n_tok.loc[plan["doc_id"]].to_numpy()).all()
+
+
+def test_pack_tokens_exact_stream(spark, tokens_df, tokens_pdf):
+    """Concatenating each source's packs in pack order must reproduce the
+    source's documents concatenated in doc_id order, token for token."""
+    packs = pack_tokens(tokens_df, MAX_TOKENS).toPandas()
+    for source, g in packs.groupby("source"):
+        g = g.sort_values("pack_id")
+        got = np.concatenate([np.asarray(t) for t in g["tokens"]])
+        docs = tokens_pdf[tokens_pdf["source"] == source].sort_values("doc_id")
+        exp = np.concatenate([np.asarray(t) for t in docs["tokens"]])
+        np.testing.assert_array_equal(got, exp)
+    # all packs full except the last per source
+    full = packs.sort_values(["source", "pack_id"]).groupby("source")["n_tok"].apply(
+        lambda s: (s.iloc[:-1] == MAX_TOKENS).all() and 0 < s.iloc[-1] <= MAX_TOKENS
+    )
+    assert full.all()
