@@ -1025,6 +1025,44 @@ FROM tf JOIN dfq USING (token)
 """
 
 
+def _q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.tokens import tf_idf_topk
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_remove(F.split(F.lower("text"), r"\s+"), "").alias("tokens"),
+    )
+    out = tf_idf_topk(docs, top_k=5)
+    return out.select("doc_id", "token", "tf", _r6(F.col("score")).alias("score"), "rank")
+
+
+_TF_IDF_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS tokens
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, t.token, count(*) AS tf
+  FROM d, unnest(d.tokens) AS t(token)
+  GROUP BY 1, 2
+), dfq AS (
+  SELECT t.token, count(*) AS doc_freq
+  FROM (SELECT list_distinct(tokens) AS tokens FROM d) u, unnest(u.tokens) AS t(token)
+  GROUP BY 1
+), scored AS (
+  SELECT doc_id, token, tf,
+         tf * (ln(((SELECT count(*) FROM documents) + 1.0) / (doc_freq + 1)) + 1.0) AS score
+  FROM per_doc JOIN dfq USING (token)
+), ranked AS (
+  SELECT doc_id, token, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, floor(score * 1000000 + 0.5) / 1000000.0 AS score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk pack plan (512-token training sequences) over the
     documents' word tokens, deterministic doc_id order per source."""
@@ -1418,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": _q_lang_id,
         "lang_id_ngram_documents": _q_lang_id_ngram,
         "token_frequencies_documents": _q_token_freq,
+        "tf_idf_topk_documents": _q_tf_idf,
         "sequence_pack_documents": _q_sequence_pack,
         "minhash_near_dup_documents": _q_minhash,
         "simhash_near_dup_documents": _q_simhash,
@@ -1461,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": _langid_sql(),
         "lang_id_ngram_documents": _lang_id_ngram_sql(),
         "token_frequencies_documents": _TOKEN_FREQ_SQL,
+        "tf_idf_topk_documents": _TF_IDF_SQL,
         "sequence_pack_documents": _SEQ_PACK_SQL,
         "score_pipeline_events": _score_pipeline_sql(),
         "pivot_metrics_1m": _PIVOT_SQL,

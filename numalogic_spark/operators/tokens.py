@@ -52,6 +52,43 @@ def token_frequencies(
     return out
 
 
+def tf_idf_topk(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    score = tf · (ln((N+1)/(df+1)) + 1)  (sklearn's smooth_idf form).
+
+    (doc_id, token, tf, score, rank). Ties break on token order so the
+    result is deterministic under any execution plan. Plan: one explode +
+    per-doc count, a token-keyed join against the corpus doc-frequency
+    table (broadcastable when the vocabulary is bounded), one window for
+    the per-doc top-k."""
+    n_docs = df.select(F.count(F.lit(1))).collect()[0][0]
+    per_doc = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = (
+        df.select(F.explode(F.array_distinct(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + 1)) + 1.0
+    scored = per_doc.join(dfq, "token").select(
+        "doc_id", "token", "tf", (F.col("tf") * idf).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "token", "tf", "score", "rank")
+    )
+
+
 def sequence_pack_plan(
     df: DataFrame,
     max_tokens: int,

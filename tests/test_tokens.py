@@ -65,3 +65,26 @@ def test_pack_tokens_exact_stream(spark, tokens_df, tokens_pdf):
         lambda s: (s.iloc[:-1] == MAX_TOKENS).all() and 0 < s.iloc[-1] <= MAX_TOKENS
     )
     assert full.all()
+
+
+def test_tf_idf_topk_matches_oracle(spark, tokens_df, tokens_pdf):
+    import math
+    from collections import Counter
+
+    from numalogic_spark.operators.tokens import tf_idf_topk
+
+    got = tf_idf_topk(tokens_df, top_k=3).toPandas()
+    n = len(tokens_pdf)
+    dfq = Counter()
+    for toks in tokens_pdf["tokens"]:
+        dfq.update(set(toks))
+    for doc_id, g in got.groupby("doc_id"):
+        toks = tokens_pdf.set_index("doc_id").loc[doc_id, "tokens"]
+        tf = Counter(toks)
+        exp = sorted(
+            ((t, c, c * (math.log((n + 1) / (dfq[t] + 1)) + 1)) for t, c in tf.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:3]
+        rows = g.sort_values("rank")
+        assert list(rows["token"]) == [t for t, _, _ in exp]
+        np.testing.assert_allclose(rows["score"].to_numpy(), [s for _, _, s in exp], rtol=1e-12)
