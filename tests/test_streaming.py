@@ -140,3 +140,68 @@ def test_streaming_exact_dedup_first_seen(spark, tmp_path):
     assert set(got["doc_id"]) == set(exp_first["doc_id"])
     # survivor set matches the batch dedup keeper semantics on arrival order
     assert set(got["doc_id"]) == {f"d{i:03d}" for i in range(7)}
+
+
+def test_streaming_rollup_drops_late_data(spark, tmp_path):
+    """Watermark semantics: an event arriving after its window's watermark
+    has passed is DROPPED — the finalized bucket keeps its on-time count;
+    windows still open at the watermark are never emitted in append mode."""
+    import datetime as dt
+
+    from numalogic_spark.streaming.rollup_stream import streaming_rollup
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    batches = [
+        # batch 1: minute-0 bucket (2 events) + minute-10 -> watermark 10:08
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b", "c"],
+                "source": "src",
+                "event_ts": [t(0), t(0), t(10)],
+                "n_tok": [5, 7, 11],
+            }
+        ),
+        # batch 2: on-time event; the watermark pass finalizes + evicts the
+        # minute-0 window at this batch's end
+        pd.DataFrame(
+            {"doc_id": ["e"], "source": "src", "event_ts": [t(11)], "n_tok": [13]}
+        ),
+        # batch 3: LATE event for the already-finalized minute-0 -> DROPPED
+        pd.DataFrame(
+            {"doc_id": ["d"], "source": "src", "event_ts": [t(0)], "n_tok": [1000]}
+        ),
+    ]
+    schema = "doc_id string, source string, event_ts timestamp, n_tok long"
+    d = tmp_path / "late_src"
+    # the file source orders micro-batches by file modification time; writes
+    # can land in the same clock tick — force strictly increasing mtimes
+    import glob
+    import os
+    import time as _time
+
+    now = _time.time()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).repartition(1).write.parquet(str(d / f"part{i}"))
+        for f in glob.glob(str(d / f"part{i}" / "*.parquet")):
+            os.utime(f, (now - 60 + 10 * i, now - 60 + 10 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/part*")
+    )
+    q = (
+        streaming_rollup(stream, watermark="2 minutes")
+        .writeStream.format("memory")
+        .queryName("late_roll")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from late_roll").toPandas().set_index("bucket_ts")
+    # minute-0 bucket finalized with ONLY the two on-time events
+    assert got.loc[t(0), "count"] == 2
+    assert got.loc[t(0), "n_tok_sum"] == 12.0
+    # the minute-11 window never crossed the watermark -> not emitted
+    assert t(11) not in got.index
