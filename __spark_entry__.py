@@ -1099,6 +1099,113 @@ FROM e
 """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.textstats import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        _r6(F.col("dup_trigram_frac")).alias("dup_trigram_frac"),
+        _r6(F.col("dup_line_frac")).alias("dup_line_frac"),
+        _r6(F.col("top_word_frac")).alias("top_word_frac"),
+    )
+
+
+def _repetition_sql() -> str:
+    from numalogic_spark.operators.dedup import BAND_MULT, MERSENNE31
+
+    p = MERSENNE31
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, greatest(length(w), 1)), "
+        f"i -> CAST(ascii(w[i]) AS BIGINT))), (acc, c) -> (acc * 131 + c) % {p})"
+    )
+    gram = f"((hs[i] * {BAND_MULT} + hs[i+1]) % {p} * {BAND_MULT} + hs[i+2]) % {p}"
+    r6 = "floor(({x}) * 1000000 + 0.5) / 1000000.0"
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lns
+  FROM documents
+), h AS (
+  SELECT doc_id, ws, lns, list_transform(ws, w -> {fold}) AS hs FROM d
+), g AS (
+  SELECT doc_id, ws, lns,
+         CASE WHEN len(hs) >= 3
+              THEN list_transform(generate_series(1, len(hs) - 2), i -> {gram})
+              ELSE [] END AS tri
+  FROM h
+)
+SELECT doc_id,
+       {r6.format(x="CASE WHEN len(tri) > 0 THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri) ELSE 0.0 END")} AS dup_trigram_frac,
+       {r6.format(x="CASE WHEN len(lns) > 0 THEN 1.0 - CAST(len(list_distinct(lns)) AS DOUBLE) / len(lns) ELSE 0.0 END")} AS dup_line_frac,
+       {r6.format(x="CASE WHEN len(ws) > 0 THEN CAST(list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) ELSE 0.0 END")} AS top_word_frac
+FROM g
+"""
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test 5-gram decontamination: even doc_ids are the train
+    corpus, odd doc_ids the test corpus."""
+    from numalogic_spark.operators.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    out = ngram_contamination(test, train, n=5)
+    return out.select(
+        "doc_id", "n_grams", "n_matched", _r6(F.col("contamination")).alias("contamination")
+    )
+
+
+def _contamination_sql(n: int = 5) -> str:
+    from numalogic_spark.operators.dedup import BAND_MULT, MERSENNE31
+
+    p = MERSENNE31
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, greatest(length(w), 1)), "
+        f"i -> CAST(ascii(w[i]) AS BIGINT))), (acc, c) -> (acc * 131 + c) % {p})"
+    )
+    gram = f"hs[i]"
+    for j in range(1, n):
+        gram = f"(({gram}) * {BAND_MULT} + hs[i+{j}]) % {p}"
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+           w -> {fold}) AS hs
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {n}
+              THEN list_distinct(list_transform(generate_series(1, len(hs) - {n - 1}),
+                                                i -> {gram}))
+              ELSE [] END AS grams
+  FROM d
+), train AS (
+  SELECT DISTINCT t.g FROM g, unnest(g.grams) AS t(g) WHERE doc_id % 2 = 0
+), test_g AS (
+  SELECT doc_id, t.g FROM g, unnest(g.grams) AS t(g) WHERE doc_id % 2 = 1
+), m AS (
+  SELECT doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN g IN (SELECT g FROM train) THEN 1 ELSE 0 END) AS n_matched
+  FROM test_g GROUP BY 1
+)
+SELECT g.doc_id,
+       coalesce(m.n_grams, 0) AS n_grams,
+       coalesce(m.n_matched, 0) AS n_matched,
+       floor(CASE WHEN coalesce(m.n_grams, 0) > 0
+                  THEN CAST(m.n_matched AS DOUBLE) / m.n_grams
+                  ELSE 0.0 END * 1000000 + 0.5) / 1000000.0 AS contamination
+FROM g LEFT JOIN m USING (doc_id)
+WHERE g.doc_id % 2 = 1
+"""
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1458,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequencies_documents": _q_token_freq,
         "tf_idf_topk_documents": _q_tf_idf,
         "sequence_pack_documents": _q_sequence_pack,
+        "ngram_contamination_documents": _q_contamination,
+        "repetition_stats_documents": _q_repetition,
         "minhash_near_dup_documents": _q_minhash,
         "simhash_near_dup_documents": _q_simhash,
         "doc_fingerprint_documents": _q_fingerprint,
@@ -1502,6 +1611,8 @@ def oracle_sql() -> dict[str, str]:
         "token_frequencies_documents": _TOKEN_FREQ_SQL,
         "tf_idf_topk_documents": _TF_IDF_SQL,
         "sequence_pack_documents": _SEQ_PACK_SQL,
+        "ngram_contamination_documents": _contamination_sql(),
+        "repetition_stats_documents": _repetition_sql(),
         "score_pipeline_events": _score_pipeline_sql(),
         "pivot_metrics_1m": _PIVOT_SQL,
         "train_val_split_events": _SPLIT_SQL,

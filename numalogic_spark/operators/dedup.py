@@ -425,6 +425,81 @@ def minhash_lsh_pairs(
     )
 
 
+def word_ngram_hashes(text_col: str | Column, n: int = 13, mult: int = 131) -> Column:
+    """Word-level n-gram hashes as array<long> (empty when the doc has
+    fewer than n words): each word reduces to a polynomial char fold mod p,
+    each n-gram to a BAND_MULT-fold of its n word hashes mod p — the same
+    portable modular arithmetic as the rest of the dedup family, so a SQL
+    oracle replays it exactly."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.array_remove(F.split(F.lower(t), r"\s+"), "")
+    hashes = F.transform(words, lambda w: _word_char_fold(w, mult))
+
+    def grams(hs: Column) -> Column:
+        def enc(i: Column) -> Column:
+            acc = F.element_at(hs, i.cast("int"))
+            for j in range(1, n):
+                acc = (acc * F.lit(BAND_MULT) + F.element_at(hs, (i + j).cast("int"))) % F.lit(
+                    MERSENNE31
+                )
+            return acc
+
+        return F.when(
+            F.size(hs) >= n,
+            F.transform(F.sequence(F.lit(1), F.greatest(F.size(hs) - (n - 1), F.lit(1))), enc),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return let_bind(hashes, grams)
+
+
+def ngram_contamination(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Train/test overlap detection (decontamination, GPT-3 style): for
+    each TEST document, the fraction of its distinct word n-grams that
+    appear anywhere in the TRAIN corpus.
+
+    Returns (doc_id, n_grams, n_matched, contamination). Docs with fewer
+    than n words have n_grams = 0 and contamination = 0.0.
+
+    Scale shape: one distinct over the train corpus' exploded gram hashes
+    (map-side partial agg — template-heavy corpora collapse early), one
+    left-semi join on the gram hash, one count per test doc. The join key
+    is a uniform 31-bit hash, so no skew; at 100 TB the train gram set is
+    the big side and Spark's shuffle join handles it — swap in a bloom
+    filter (novelty_filter) when an approximate pre-screen is enough."""
+    test_grams = test_df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.array_distinct(word_ngram_hashes(text_col, n))).alias("g"),
+    )
+    train_grams = (
+        train_df.select(F.explode(word_ngram_hashes(text_col, n)).alias("g")).distinct()
+    )
+    per_doc = test_grams.groupBy("id").agg(
+        F.count("g").alias("n_grams"),  # count(col) skips the explode_outer NULL
+    )
+    matched = (
+        test_grams.join(train_grams, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        per_doc.join(matched, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.when(F.col("n_grams") > 0, F.coalesce("n_matched", F.lit(0)) / F.col("n_grams"))
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

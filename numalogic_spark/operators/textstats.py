@@ -190,6 +190,57 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals, pure JVM:
+
+    - ``dup_trigram_frac``: 1 − distinct/total word trigrams (0 when < 3
+      words) — boilerplate and looping text score high;
+    - ``dup_line_frac``: 1 − distinct/total newline-split lines;
+    - ``top_word_frac``: occurrences of the most frequent word / total
+      words (degenerate keyword-stuffed docs approach 1).
+
+    The trigram identity is the shared portable word-n-gram hash
+    (dedup.word_ngram_hashes), so the DuckDB oracle replays every count."""
+    from numalogic_spark.functions.exprs import let_bind
+    from numalogic_spark.operators.dedup import word_ngram_hashes
+
+    words = words_expr(text_col)
+    tri = word_ngram_hashes(F.col(text_col), 3)
+    dup_tri = let_bind(
+        tri,
+        lambda g: F.when(
+            F.size(g) > 0,
+            1.0 - F.size(F.array_distinct(g)) / F.size(g),
+        ).otherwise(F.lit(0.0)),
+    )
+    lines = F.array_remove(F.split(F.col(text_col), r"\n"), "")
+    dup_line = let_bind(
+        lines,
+        lambda ln: F.when(
+            F.size(ln) > 0, 1.0 - F.size(F.array_distinct(ln)) / F.size(ln)
+        ).otherwise(F.lit(0.0)),
+    )
+    top_word = let_bind(
+        words,
+        lambda ws: F.when(
+            F.size(ws) > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(ws),
+                    lambda w: F.size(F.filter(ws, lambda x: x == w)),
+                )
+            )
+            / F.size(ws),
+        ).otherwise(F.lit(0.0)),
+    )
+    return df.select(
+        F.col(id_col),
+        dup_tri.alias("dup_trigram_frac"),
+        dup_line.alias("dup_line_frac"),
+        top_word.alias("top_word_frac"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling polynomial hash over the word stream:
     fp = Σ h(w_i)·B^(n-1-i) mod M, computed as a left fold

@@ -291,3 +291,48 @@ def test_minhash_kernel_equals_expression(spark, corpus):
     )
     assert both.filter(F.col("e") != F.col("k")).count() == 0
     assert both.count() > 0
+
+
+def test_ngram_contamination(spark):
+    """Decontamination: a test doc sharing a contiguous 5-gram with the
+    train corpus scores its exact overlap fraction; disjoint docs score 0;
+    short docs (< n words) score 0 with n_grams = 0."""
+    from numalogic_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["t1", "t2"],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "one two three four five six",
+                ],
+            }
+        )
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["c_full", "c_part", "c_none", "c_short"],
+                "text": [
+                    # identical to t1 → every 5-gram matches
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    # 8 words, shares exactly the first 5-gram window of t1
+                    "alpha beta gamma delta epsilon QQ WW EE",
+                    "totally different words that never overlap anything here",
+                    "too few words",
+                ],
+            }
+        )
+    )
+    got = (
+        ngram_contamination(test, train, n=5)
+        .toPandas()
+        .set_index("doc_id")
+        .to_dict("index")
+    )
+    assert got["c_full"]["contamination"] == 1.0 and got["c_full"]["n_grams"] == 4
+    assert got["c_part"]["n_grams"] == 4 and got["c_part"]["n_matched"] == 1
+    assert abs(got["c_part"]["contamination"] - 0.25) < 1e-12
+    assert got["c_none"]["contamination"] == 0.0
+    assert got["c_short"] == {"n_grams": 0, "n_matched": 0, "contamination": 0.0}

@@ -84,3 +84,33 @@ def test_lang_id_ngram_real_languages(spark):
     # scores are containment fractions in [0, 1]
     for la in ("en", "de", "fr", "es"):
         assert out[f"score_{la}"].between(0.0, 1.0).all()
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals on hand-built docs with known
+    duplicate-trigram/line/top-word fractions."""
+    import pandas as pd
+
+    from numalogic_spark.operators.textstats import repetition_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["loop", "clean", "lines", "tiny"],
+            "text": [
+                # "a b c" trigram repeated: words a b c a b c a b c ->
+                # 7 trigrams, 3 distinct -> dup = 4/7; top word 3/9
+                "a b c a b c a b c",
+                "all distinct words here never repeat anything today",
+                "same line\nsame line\nother line",
+                "hi",
+            ],
+        }
+    )
+    got = repetition_stats(spark.createDataFrame(docs)).toPandas().set_index("doc_id")
+    assert abs(got.loc["loop", "dup_trigram_frac"] - 4 / 7) < 1e-12
+    assert abs(got.loc["loop", "top_word_frac"] - 3 / 9) < 1e-12
+    assert got.loc["clean", "dup_trigram_frac"] == 0.0
+    assert abs(got.loc["clean", "top_word_frac"] - 1 / 8) < 1e-12
+    assert abs(got.loc["lines", "dup_line_frac"] - 1 / 3) < 1e-12
+    assert got.loc["tiny", "dup_trigram_frac"] == 0.0  # < 3 words
+    assert got.loc["tiny", "top_word_frac"] == 1.0
