@@ -336,3 +336,16 @@ def test_ngram_contamination(spark):
     assert abs(got["c_part"]["contamination"] - 0.25) < 1e-12
     assert got["c_none"]["contamination"] == 0.0
     assert got["c_short"] == {"n_grams": 0, "n_matched": 0, "contamination": 0.0}
+
+
+def test_simhash_kernel_equals_expression(spark, corpus):
+    """The Arrow simhash kernel must produce bit-identical 124-bit
+    signatures to the pure-expression path."""
+    from numalogic_spark.operators.dedup import simhash, simhash_via_kernel
+
+    df, _ = corpus
+    e = simhash(df).toPandas().set_index("id").sort_index()
+    k = simhash_via_kernel(df).toPandas().set_index("id").sort_index()
+    assert (e["sim_lo"] == k["sim_lo"]).all()
+    assert (e["sim_hi"] == k["sim_hi"]).all()
+    assert (e["sim_lo"] != 0).any()
