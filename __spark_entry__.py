@@ -947,8 +947,10 @@ FROM h
 def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.textstats import lang_id_ngram
 
+    from numalogic_spark.operators.textstats import _lang_profiles
+
     out = lang_id_ngram(_docs(spark, sf_dir), "text", "doc_id")
-    langs = ["en", "de", "fr", "es"]
+    langs = list(_lang_profiles())
     return out.select(
         "doc_id", "lang_pred", *[_r6(F.col(f"score_{la}")).alias(f"score_{la}") for la in langs]
     )

@@ -76,7 +76,9 @@ def main() -> None:
         (F.col("n_words") >= args.min_words)
         & (F.col("mean_word_len") <= args.max_word_len)
     ).select(args.id_col)
-    docs = docs.join(ok, args.id_col, "left_semi")
+    # persist here: the funnel counts plus the lang/dedup stages would
+    # otherwise re-run text_stats over the raw corpus several times
+    docs = docs.join(ok, args.id_col, "left_semi").persist()
     funnel["after_quality"] = docs.count()
 
     # 2. language filter

@@ -77,7 +77,8 @@ def main() -> None:
     hb.groupBy(BUCKET_COL).agg(
         F.bit_xor("fp").alias("token_fingerprint"),
         F.sum("cnt").alias("rows"),
-        F.sum(F.col("v") * F.col("cnt")).cast("long").alias("tokens"),
+        # exact long arithmetic — see invariant_from_histogram
+        F.sum(F.col("v").cast("long") * F.col("cnt")).alias("tokens"),
     ).write.mode("overwrite").parquet(args.manifest + "_bucket_invariants")
 
     summary = run_with_manifest(

@@ -251,18 +251,24 @@ def minhash_signature_kernel(num_hashes: int = 64, seed: int = 1):
     A, B = params[:, 0], params[:, 1]
 
     def sig(codes):
-        arrs = [np.asarray(a, dtype=np.int64) for a in codes]
-        if not arrs:
-            return pd.Series([], dtype=object)
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-        # char_shingle_codes always yields >= 1 code (empty text -> [0]),
-        # so every segment is non-empty and reduceat is well-defined
-        flat = np.concatenate(arrs) % MERSENNE31
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        out = np.empty((len(arrs), len(A)), dtype=np.int64)
-        for i in range(len(A)):
-            out[:, i] = np.minimum.reduceat((A[i] * flat + B[i]) % MERSENNE31, starts)
-        return pd.Series(list(out))
+        # NULL codes (null text) -> NULL signature, matching the expression
+        # path; empty arrays (never produced by char_shingle_codes, which
+        # emits >= 1 code, but this kernel is public API) -> NULL too, so a
+        # zero-length segment can never make reduceat read a neighbor's slot
+        arrs = [None if a is None else np.asarray(a, dtype=np.int64) for a in codes]
+        live = [a is not None and len(a) > 0 for a in arrs]
+        kept = [a for a, ok in zip(arrs, live) if ok]
+        result: list = [None] * len(arrs)
+        if kept:
+            lens = np.fromiter((len(a) for a in kept), dtype=np.int64, count=len(kept))
+            flat = np.concatenate(kept) % MERSENNE31
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            out = np.empty((len(kept), len(A)), dtype=np.int64)
+            for i in range(len(A)):
+                out[:, i] = np.minimum.reduceat((A[i] * flat + B[i]) % MERSENNE31, starts)
+            for row, j in zip(out, (k for k, ok in enumerate(live) if ok)):
+                result[j] = row
+        return pd.Series(result, dtype=object)
 
     # `from __future__ import annotations` stringifies hints, which pyspark
     # cannot resolve here — set the pandas eval-type annotations explicitly

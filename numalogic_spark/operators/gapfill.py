@@ -88,8 +88,12 @@ def gapfill_linear(tier_df: DataFrame, tier: str, metric_cols: list[str] | None 
             F.lit(True).alias("is_interpolated"),
         )
 
+    # >= 2 steps, not "> 1 step": on a bucket-aligned grid the two are
+    # equivalent, but on misaligned input (e.g. rows 1.5 steps apart) the
+    # looser test would hand F.sequence a start > stop and crash the job —
+    # such sub-2-step gaps have no interior bucket to fill and pass through
     has_gap = F.col("_nxt_ts").isNotNull() & (
-        F.col("bucket_ts") + F.expr(step) < F.col("_nxt_ts")
+        F.col("bucket_ts") + F.expr(step) + F.expr(step) <= F.col("_nxt_ts")
     )
     rows = F.when(
         has_gap,

@@ -110,11 +110,17 @@ def histogram_with_fingerprint(
 def invariant_from_histogram(hist: DataFrame) -> DataFrame:
     """Global raw-tier invariant (row count, token sum, xor fingerprint)
     from a fingerprinted histogram — no second raw scan. xor of group xors
-    == global xor; sum(cnt) == rows; sum(v*cnt) == token sum."""
+    == global xor; sum(cnt) == rows; sum(v*cnt) == token sum.
+
+    The token sum multiplies in EXACT long arithmetic (v is an integral
+    token count stored as double — cast back before the multiply): a double
+    product-sum would shed low-order bits past 2^53 total tokens, and this
+    invariant exists precisely to be byte-exact against F.sum(n_tok) on
+    the raw tier."""
     return hist.agg(
         F.bit_xor("fp").alias("fp"),
         F.sum("cnt").alias("rows"),
-        F.sum(F.col("v") * F.col("cnt")).cast("long").alias("tokens"),
+        F.sum(F.col("v").cast("long") * F.col("cnt")).alias("tokens"),
     )
 
 
@@ -143,18 +149,20 @@ def _percentile_cols(p: float) -> list[Column]:
     return [v_lo.alias("_v_lo"), v_hi.alias("_v_hi"), F.max(frac).alias("_frac")]
 
 
-def tier_from_histogram(
-    hist: DataFrame, cfg: RollupConfig, tier: str, extra_keys: list[str] | None = None
+def _tier_agg(
+    hist: DataFrame,
+    cfg: RollupConfig,
+    keys: list[str],
+    tier_col: Column,
+    secs_col: Column,
+    extra_keys: list[str],
 ) -> DataFrame:
-    """Histogram → continuous-aggregate tier table.
-
-    Output: (*extra_keys, source, bucket_ts, tier, count, n_tok_sum,
-    n_tok_mean, n_tok_p95, token_rate). The window partitioning matches the
-    following groupBy key prefix, so Catalyst reuses one exchange for both.
-    """
-    extra_keys = extra_keys or []
-    _, secs, _ = TIERS[tier]
-    keys = [*extra_keys, "source", "bucket_ts"]
+    """Shared histogram → tier aggregation: window cum/total over `keys`,
+    exact-percentile agg, final metric projection. The window partitioning
+    matches the groupBy key prefix, so Catalyst reuses one exchange for
+    both. `tier_col`/`secs_col` are expressions so the per-tier
+    (tier_from_histogram) and fused all-tier (rollup_tiers_fused) paths
+    share ONE copy of the percentile/metric semantics."""
     w = Window.partitionBy(*keys).orderBy("v", "cnt")
     enriched = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "total", F.sum("cnt").over(Window.partitionBy(*keys))
@@ -174,13 +182,26 @@ def tier_from_histogram(
         *extra_keys,
         "source",
         "bucket_ts",
-        F.lit(tier).alias("tier"),
+        tier_col.alias("tier"),
         "count",
         "n_tok_sum",
         (F.col("n_tok_sum") / F.col("count")).alias("n_tok_mean"),
         (F.col("_v_lo") + F.col("_frac") * (F.col("_v_hi") - F.col("_v_lo"))).alias("n_tok_p95"),
-        (F.col("n_tok_sum") / F.lit(float(secs))).alias("token_rate"),
+        (F.col("n_tok_sum") / secs_col).alias("token_rate"),
     )
+
+
+def tier_from_histogram(
+    hist: DataFrame, cfg: RollupConfig, tier: str, extra_keys: list[str] | None = None
+) -> DataFrame:
+    """Histogram → continuous-aggregate tier table.
+
+    Output: (*extra_keys, source, bucket_ts, tier, count, n_tok_sum,
+    n_tok_mean, n_tok_p95, token_rate)."""
+    extra_keys = extra_keys or []
+    _, secs, _ = TIERS[tier]
+    keys = [*extra_keys, "source", "bucket_ts"]
+    return _tier_agg(hist, cfg, keys, F.lit(tier), F.lit(float(secs)), extra_keys)
 
 
 def rollup_cascade(
@@ -246,35 +267,10 @@ def rollup_tiers_fused(
         .groupBy(*keys, "v")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    w = Window.partitionBy(*keys).orderBy("v", "cnt")
-    enriched = h_all.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "total", F.sum("cnt").over(Window.partitionBy(*keys))
-    )
-    if cfg.decimal_sum and not cfg.integral_values:
-        vsum = F.sum(F.col("v").cast("decimal(20,6)") * F.col("cnt")).cast("double")
-    else:
-        vsum = F.sum(F.col("v") * F.col("cnt"))
-    if cfg.integral_values:
-        vsum = vsum.cast("long")
-    agg = enriched.groupBy(*keys).agg(
-        F.sum("cnt").alias("count"),
-        vsum.alias("n_tok_sum"),
-        *_percentile_cols(cfg.percentile),
-    )
     secs = F.lit(None).cast("double")
     for t, (_, s, _) in TIERS.items():
         secs = F.when(F.col("tier") == t, F.lit(float(s))).otherwise(secs)
-    return agg.select(
-        *extra_keys,
-        "source",
-        "bucket_ts",
-        "tier",
-        "count",
-        "n_tok_sum",
-        (F.col("n_tok_sum") / F.col("count")).alias("n_tok_mean"),
-        (F.col("_v_lo") + F.col("_frac") * (F.col("_v_hi") - F.col("_v_lo"))).alias("n_tok_p95"),
-        (F.col("n_tok_sum") / secs).alias("token_rate"),
-    )
+    return _tier_agg(h_all, cfg, keys, F.col("tier"), secs, extra_keys)
 
 
 def rollup_cascade_multi(

@@ -66,18 +66,22 @@ def tf_idf_topk(
     per-doc count, a token-keyed join against the corpus doc-frequency
     table (broadcastable when the vocabulary is bounded), one window for
     the per-doc top-k."""
-    n_docs = df.select(F.count(F.lit(1))).collect()[0][0]
     per_doc = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # n_docs rides along as a 1-row crossJoin (broadcast literal at run
+    # time) — an eager collect() here would fire a full corpus scan merely
+    # to CONSTRUCT the plan
+    n_docs = df.select(F.count(F.lit(1)).alias("_n_docs"))
     dfq = (
         df.select(F.explode(F.array_distinct(tokens_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(n_docs))
     )
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + 1)) + 1.0
+    idf = F.log((F.col("_n_docs") + 1.0) / (F.col("doc_freq") + 1)) + 1.0
     scored = per_doc.join(dfq, "token").select(
         "doc_id", "token", "tf", (F.col("tf") * idf).alias("score")
     )
@@ -111,7 +115,14 @@ def sequence_pack_plan(
     exactly max_tokens except the final pack per source (invariants in
     tests/test_tokens.py)."""
     order = order_cols or [id_col]
-    w = Window.partitionBy(source_col).orderBy(*order)
+    # ROWS frame, not the default RANGE frame: RANGE includes ALL peer rows
+    # of a tied order key in the running sum, which would hand tied docs the
+    # same offset and silently drop token spans (the SQL oracle uses ROWS).
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     m = F.lit(max_tokens)
     base = df.select(
         F.col(source_col).alias("source"),

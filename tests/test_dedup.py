@@ -349,3 +349,22 @@ def test_simhash_kernel_equals_expression(spark, corpus):
     assert (e["sim_lo"] == k["sim_lo"]).all()
     assert (e["sim_hi"] == k["sim_hi"]).all()
     assert (e["sim_lo"] != 0).any()
+
+
+def test_minhash_kernel_null_and_empty_codes(spark):
+    """NULL or empty codes arrays -> NULL signature (expression-path
+    parity for NULL; never a neighbor's reduceat slot for empty)."""
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.dedup import minhash_signature_kernel
+
+    df = spark.createDataFrame(
+        [("a", [7, 11, 13]), ("b", None), ("c", []), ("d", [7, 11, 13])],
+        "id string, codes array<long>",
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in df.select("id", minhash_signature_kernel(8, 1)(F.col("codes")).alias("s")).collect()
+    }
+    assert out["b"] is None and out["c"] is None
+    assert out["a"] is not None and out["a"] == out["d"]

@@ -88,3 +88,26 @@ def test_tf_idf_topk_matches_oracle(spark, tokens_df, tokens_pdf):
         rows = g.sort_values("rank")
         assert list(rows["token"]) == [t for t, _, _ in exp]
         np.testing.assert_allclose(rows["score"].to_numpy(), [s for _, _, s in exp], rtol=1e-12)
+
+
+def test_pack_plan_tied_order_keys(spark):
+    """Tied order keys (e.g. equal timestamps) must still yield strictly
+    increasing offsets — a RANGE running frame would hand ties the same
+    offset and silently drop token spans."""
+    import pandas as pd
+
+    from numalogic_spark.operators.tokens import sequence_pack_plan
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b", "c"],
+                "source": "s",
+                "ts": [1, 1, 1],  # all tied
+                "n_tok": [300, 300, 300],
+            }
+        )
+    )
+    plan = sequence_pack_plan(df, 512, order_cols=["ts", "doc_id"]).toPandas()
+    assert sorted(plan["offset"].unique()) == [0, 300, 600]
+    assert (plan["tok_end"] - plan["tok_start"]).sum() == 900
