@@ -185,7 +185,7 @@ def main() -> None:
     # one untimed pass over the token column at full width: OS page cache
     # is process-wide, so this warms BOTH sides of every round equally
     s = get_spark("bench_cache_warm", cores=main_cores, extra_conf=scale_conf)
-    s.read.parquet(token_path).select(F.sum(F.xxhash64("tokens"))).collect()
+    s.read.parquet(token_path).select(F.bit_xor(F.xxhash64("tokens"))).collect()
     s.stop()
 
     def measure(cores: int) -> float:
