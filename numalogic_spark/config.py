@@ -96,3 +96,102 @@ def fit_and_score(
         ) from None
     stats = fit_fn(train_df if train_df is not None else df, cfg.metrics, by=by, **cfg.threshold.conf)
     return apply_fn(df, stats, cfg.metrics, by=by)
+
+
+# --------------------------------------------------------------------------
+# corpus (training-data) pipelines as data
+# --------------------------------------------------------------------------
+
+def _doc_stage_factory():
+    """name → callable(df, *, text_col, id_col, **conf) -> DataFrame, each
+    mapping a document corpus to a document corpus (filters) or to its
+    terminal representation (Tokenize/SequencePack). The training-data
+    analog of TRANSFORM_FACTORY: jobs declare the corpus pipeline as data
+    (jobs/prep_job.py is the hand-written equivalent)."""
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators import dedup as DD
+    from numalogic_spark.operators import textstats as TS
+    from numalogic_spark.operators import tokens as TK
+
+    def quality_filter(df, *, text_col, id_col, min_words=5, max_word_len=25.0):
+        stats = TS.text_stats(df, text_col, id_col)
+        ok = stats.filter(
+            (F.col("n_words") >= min_words) & (F.col("mean_word_len") <= max_word_len)
+        ).select(id_col)
+        return df.join(ok, id_col, "left_semi")
+
+    def lang_filter(df, *, text_col, id_col, langs):
+        lids = TS.lang_id(df, text_col, id_col)
+        keep = lids.filter(F.col("lang_pred").isin(list(langs))).select(id_col)
+        return df.join(keep, id_col, "left_semi")
+
+    def repetition_filter(df, *, text_col, id_col, max_dup_trigram_frac=0.5,
+                          max_top_word_frac=0.5):
+        rep = TS.repetition_stats(df, text_col, id_col)
+        ok = rep.filter(
+            (F.col("dup_trigram_frac") <= max_dup_trigram_frac)
+            & (F.col("top_word_frac") <= max_top_word_frac)
+        ).select(id_col)
+        return df.join(ok, id_col, "left_semi")
+
+    def exact_dedup(df, *, text_col, id_col):
+        return DD.drop_exact_dups(df, text_col, id_col)
+
+    def near_dedup(df, *, text_col, id_col, threshold=0.8):
+        pairs = DD.minhash_lsh_pairs(df, text_col, id_col, threshold=threshold)
+        clusters = DD.near_dup_clusters(pairs)
+        drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, id_col, "left_anti")
+
+    def decontaminate(df, *, text_col, id_col, against, n=13, max_contamination=0.1):
+        scores = DD.ngram_contamination(df, against, text_col, id_col, n=n)
+        ok = scores.filter(F.col("contamination") <= max_contamination).select(id_col)
+        return df.join(ok, id_col, "left_semi")
+
+    def tokenize(df, *, text_col, id_col, source_col="source"):
+        return df.select(
+            id_col,
+            F.col(source_col).alias("source"),
+            F.transform(
+                F.array_remove(F.split(F.lower(text_col), r"\s+"), ""),
+                lambda w: F.xxhash64(w),
+            ).alias("tokens"),
+        ).withColumn("n_tok", F.size("tokens"))
+
+    def sequence_pack(df, *, text_col, id_col, max_tokens=2048):
+        return TK.pack_tokens(df, max_tokens, id_col=id_col)
+
+    return {
+        "QualityFilter": quality_filter,
+        "LangFilter": lang_filter,
+        "RepetitionFilter": repetition_filter,
+        "ExactDedup": exact_dedup,
+        "NearDedup": near_dedup,
+        "Decontaminate": decontaminate,
+        "Tokenize": tokenize,
+        "SequencePack": sequence_pack,
+    }
+
+
+def run_doc_pipeline(
+    df: DataFrame,
+    stages: list[StageConf],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Run a declared corpus pipeline stage by stage, yielding
+    (stage_name, DataFrame) after each stage so callers can count funnels
+    or persist between stages. Unknown names raise with the available set."""
+    factory = _doc_stage_factory()
+    for st in stages:
+        try:
+            fn = factory[st.name]
+        except KeyError:
+            raise ValueError(
+                f"unknown corpus stage: {st.name!r}; available: {sorted(factory)}"
+            ) from None
+        df = fn(df, text_col=text_col, id_col=id_col, **st.conf)
+        yield st.name, df

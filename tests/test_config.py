@@ -53,3 +53,45 @@ def test_config_pipeline_end_to_end(spark, df):
     x = df.orderBy("i").toPandas()["x"].to_numpy()
     thr = x.mean() + 2.0 * x.std()
     np.testing.assert_allclose(scored["x__score"], x / thr, rtol=1e-9)
+
+
+def test_doc_pipeline_as_data(spark):
+    """A corpus pipeline declared as data runs stage-by-stage and matches
+    the hand-chained operators (prep_job's shape)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.config import StageConf, run_doc_pipeline
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(6)],
+            "source": "s",
+            "text": [
+                "a good document with plenty of distinct words inside it",
+                "a good document with plenty of distinct words inside it",  # exact dup
+                "tiny",  # fails min_words
+                "loop loop loop loop loop loop loop loop",  # repetition
+                "another perfectly fine document about completely other things",
+                "short but still has five words",
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    stages = [
+        StageConf("QualityFilter", {"min_words": 5}),
+        StageConf("RepetitionFilter", {"max_top_word_frac": 0.5}),
+        StageConf("ExactDedup", {}),
+        StageConf("Tokenize", {}),
+        StageConf("SequencePack", {"max_tokens": 8}),
+    ]
+    funnel = {}
+    out = None
+    for name, out in run_doc_pipeline(df, stages):
+        funnel[name] = out
+    kept = funnel["ExactDedup"].select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(kept) == ["d0", "d4", "d5"]  # d1 exact dup, d2 short, d3 loopy
+    packs = out.toPandas()
+    toks = funnel["Tokenize"].select(F.sum("n_tok")).collect()[0][0]
+    assert packs["n_tok"].sum() == toks
+    assert (packs["n_tok"] <= 8).all()
