@@ -1101,6 +1101,82 @@ FROM e
 """
 
 
+def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30% sample — reproducible keep/drop per row via the
+    portable hash, replayed exactly by the oracle."""
+    from numalogic_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.3).select("doc_id", "source")
+
+
+def _sample_sql(rate: float = 0.3) -> str:
+    from numalogic_spark.operators.dedup import MERSENNE31
+    from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
+
+    p = MERSENNE31
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, greatest(length(s), 1)), "
+        f"i -> CAST(ascii(s[i]) AS BIGINT))), (acc, c) -> (acc * {_CHAR_MULT} + c) % {p})"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS s FROM documents)
+SELECT doc_id, source
+FROM d
+WHERE (({_SAMPLE_A} * ({fold}) + {_SAMPLE_B}) % {p}) / {float(p)} < {rate}
+"""
+
+
+def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing plan: src0..src9 at weight 3, src10..src19 at weight
+    1, 10k-token budget over whitespace word counts."""
+    from numalogic_spark.operators.sampling import mixture_plan
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("n_tok"),
+    )
+    weights = {f"src{i}": (3.0 if i < 10 else 1.0) for i in range(20)}
+    plan = mixture_plan(docs, weights, 10_000)
+    return plan.select(
+        "source",
+        "n_tok_total",
+        _r6(F.col("weight")).alias("weight"),
+        _r6(F.col("target_tokens")).alias("target_tokens"),
+        _r6(F.col("rate")).alias("rate"),
+        _r6(F.col("expected_tokens")).alias("expected_tokens"),
+        _r6(F.col("shortfall")).alias("shortfall"),
+    )
+
+
+_MIXTURE_SQL = r"""
+WITH d AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS n_tok
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok_total FROM d GROUP BY 1
+), w AS (
+  SELECT source, n_tok_total,
+         (CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 3.0 ELSE 1.0 END) / 40.0 AS weight
+  FROM per_src
+), m AS (
+  SELECT source, n_tok_total, weight,
+         weight * 10000.0 AS target_tokens,
+         least(1.0, weight * 10000.0 / n_tok_total) AS rate
+  FROM w
+)
+SELECT source, n_tok_total,
+       floor(weight * 1000000 + 0.5) / 1000000.0 AS weight,
+       floor(target_tokens * 1000000 + 0.5) / 1000000.0 AS target_tokens,
+       floor(rate * 1000000 + 0.5) / 1000000.0 AS rate,
+       floor(rate * n_tok_total * 1000000 + 0.5) / 1000000.0 AS expected_tokens,
+       floor(greatest(target_tokens - n_tok_total, 0.0) * 1000000 + 0.5) / 1000000.0 AS shortfall
+FROM m
+"""
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.textstats import repetition_stats
 
@@ -1569,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_documents": _q_sequence_pack,
         "ngram_contamination_documents": _q_contamination,
         "repetition_stats_documents": _q_repetition,
+        "stratified_sample_documents": _q_sample,
+        "mixture_plan_documents": _q_mixture,
         "minhash_near_dup_documents": _q_minhash,
         "simhash_near_dup_documents": _q_simhash,
         "doc_fingerprint_documents": _q_fingerprint,
@@ -1615,6 +1693,8 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack_documents": _SEQ_PACK_SQL,
         "ngram_contamination_documents": _contamination_sql(),
         "repetition_stats_documents": _repetition_sql(),
+        "stratified_sample_documents": _sample_sql(),
+        "mixture_plan_documents": _MIXTURE_SQL,
         "score_pipeline_events": _score_pipeline_sql(),
         "pivot_metrics_1m": _PIVOT_SQL,
         "train_val_split_events": _SPLIT_SQL,

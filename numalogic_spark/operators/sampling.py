@@ -1,0 +1,110 @@
+"""Deterministic sampling and domain mixing for training corpora.
+
+The last mile of a training-data pipeline: decide how much of each source
+(domain) goes into the mix, then draw a REPRODUCIBLE sample — the same
+rows on every run, every executor layout, and every engine (the keep/drop
+decision is portable modular arithmetic on the portable hash family, so a
+SQL oracle replays it row for row; `df.sample()` by contrast is
+partition-layout-dependent and irreproducible across engines).
+
+- ``uniform_hash_unit``: doc id → uniform value in [0, 1) via a
+  Carter-Wegman hash mod a Mersenne prime (string ids take a char fold
+  first). No shuffle, no Python.
+- ``deterministic_sample``: keep rows with unit < rate; rate may be global
+  or per-source (broadcast-joined plan frame).
+- ``mixture_plan``: per-source token counts → sampling rates hitting a
+  token budget at target weights (the data-mixing step of LLM training);
+  undersized sources cap at rate 1.0 and report their shortfall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from numalogic_spark.operators.dedup import MERSENNE31
+
+_SAMPLE_A = 1_103_515_245
+_SAMPLE_B = 12_345
+_CHAR_MULT = 131
+
+
+def uniform_hash_unit(id_col: str | Column, salt: int = 0) -> Column:
+    """id → uniform [0, 1): h = (A·x + B + salt) mod p over p = 2^31−1,
+    where x is the id itself for integral ids, else a polynomial char fold
+    of its string form. Identical arithmetic is expressible in any SQL
+    engine (the DuckDB oracle replays it)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    s = c.cast("string")
+    # char fold SEEDED with the salt: acc = (acc*mult + codepoint) mod p.
+    # The salt must enter the fold (each char multiplies it onward), not be
+    # added at the end — an additive tail salt shifts the unit by salt/p
+    # (~1e-9) and produces the SAME sample for small salts.
+    folded = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.ascii(F.substr(s, i, F.lit(1))).cast("long"),
+        ),
+        F.lit(salt % MERSENNE31).cast("long"),
+        lambda acc, ch: (acc * F.lit(_CHAR_MULT) + ch) % F.lit(MERSENNE31),
+    )
+    h = (F.lit(_SAMPLE_A) * folded + F.lit(_SAMPLE_B)) % F.lit(MERSENNE31)
+    return h / F.lit(float(MERSENNE31))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float | DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 0,
+) -> DataFrame:
+    """Reproducible sample: keep rows whose hash unit < rate.
+
+    ``rate``: a float (global) or a plan frame with (source, rate) — e.g.
+    mixture_plan output — broadcast-joined on ``source_col``."""
+    u = uniform_hash_unit(id_col, salt)
+    if isinstance(rate, DataFrame):
+        plan = F.broadcast(rate.select(F.col("source").alias(source_col), "rate"))
+        return df.join(plan, source_col).filter(u < F.col("rate")).drop("rate")
+    return df.filter(u < F.lit(float(rate)))
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source sampling plan hitting ``token_budget`` at the target
+    domain ``weights``: (source, n_tok_total, weight, target_tokens,
+    rate, expected_tokens, shortfall).
+
+    rate = min(1, target/available); a source smaller than its target
+    contributes everything it has and reports the shortfall (the standard
+    "epochs > 1 or re-weight" signal in mixture design). Sources absent
+    from ``weights`` get weight 0 (excluded)."""
+    wsum = float(sum(weights.values())) or 1.0
+    w_rows = [(s, float(w) / wsum) for s, w in weights.items()]
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(w_rows, f"{source_col} string, weight double")
+    )
+    per_src = df.groupBy(source_col).agg(
+        F.sum(F.col(len_col).cast("long")).alias("n_tok_total")
+    )
+    target = F.col("weight") * F.lit(float(token_budget))
+    rate = F.least(F.lit(1.0), target / F.col("n_tok_total"))
+    return (
+        per_src.join(wdf, source_col, "inner")
+        .select(
+            F.col(source_col).alias("source"),
+            "n_tok_total",
+            "weight",
+            target.alias("target_tokens"),
+            rate.alias("rate"),
+            (rate * F.col("n_tok_total")).alias("expected_tokens"),
+            F.greatest(target - F.col("n_tok_total"), F.lit(0.0)).alias("shortfall"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Deterministic sampling + mixture planning: reproducibility, rate
+accuracy, python-oracle parity of the hash, and budget math."""
+
+import numpy as np
+
+from numalogic_spark.operators.dedup import MERSENNE31
+from numalogic_spark.operators.sampling import (
+    _CHAR_MULT,
+    _SAMPLE_A,
+    _SAMPLE_B,
+    deterministic_sample,
+    mixture_plan,
+    uniform_hash_unit,
+)
+
+
+def _unit_py(doc_id: str, salt: int = 0) -> float:
+    acc = salt % MERSENNE31
+    for ch in str(doc_id):
+        acc = (acc * _CHAR_MULT + ord(ch)) % MERSENNE31
+    return ((_SAMPLE_A * acc + _SAMPLE_B) % MERSENNE31) / MERSENNE31
+
+
+def test_uniform_hash_matches_python_oracle(spark, tokens_df):
+    got = (
+        tokens_df.select("doc_id", uniform_hash_unit("doc_id").alias("u"))
+        .limit(200)
+        .toPandas()
+    )
+    exp = got["doc_id"].map(_unit_py).to_numpy()
+    np.testing.assert_allclose(got["u"].to_numpy(), exp, rtol=0, atol=1e-15)
+
+
+def test_deterministic_sample_reproducible_and_calibrated(spark, tokens_df):
+    a = deterministic_sample(tokens_df, 0.3).select("doc_id").toPandas()
+    b = deterministic_sample(tokens_df, 0.3).select("doc_id").toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # bitwise reproducible
+    n = tokens_df.count()
+    assert abs(len(a) / n - 0.3) < 0.02  # calibrated within 2pp on 20k rows
+    # salt decorrelates
+    c = deterministic_sample(tokens_df, 0.3, salt=7).select("doc_id").toPandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+
+
+def test_mixture_plan_budget_math(spark, tokens_df):
+    sources = [r["source"] for r in tokens_df.select("source").distinct().collect()]
+    big, small = sources[0], sources[1]
+    totals = {
+        r["source"]: r["t"]
+        for r in tokens_df.groupBy("source").agg({"n_tok": "sum"}).withColumnRenamed("sum(n_tok)", "t").collect()
+    }
+    budget = int(totals[big] * 0.5)
+    plan = mixture_plan(tokens_df, {big: 3.0, small: 1.0}, budget).toPandas().set_index("source")
+    # weights normalized
+    assert abs(plan.loc[big, "weight"] - 0.75) < 1e-12
+    # rate = min(1, target/available); expected = rate*available
+    for s in (big, small):
+        t = plan.loc[s, "target_tokens"]
+        assert abs(t - plan.loc[s, "weight"] * budget) < 1e-6
+        exp_rate = min(1.0, t / totals[s])
+        assert abs(plan.loc[s, "rate"] - exp_rate) < 1e-12
+        assert abs(plan.loc[s, "expected_tokens"] - exp_rate * totals[s]) < 1e-6
+    # applying the plan lands near the budget for non-capped sources
+    sampled = deterministic_sample(tokens_df, plan.reset_index()[["source", "rate"]].pipe(spark.createDataFrame))
+    got_tokens = {
+        r["source"]: r["t"]
+        for r in sampled.groupBy("source").agg({"n_tok": "sum"}).withColumnRenamed("sum(n_tok)", "t").collect()
+    }
+    for s in (big, small):
+        if plan.loc[s, "rate"] < 1.0:
+            assert abs(got_tokens[s] / plan.loc[s, "expected_tokens"] - 1.0) < 0.1
