@@ -151,6 +151,11 @@ def _doc_stage_factory():
         ok = scores.filter(F.col("contamination") <= max_contamination).select(id_col)
         return df.join(ok, id_col, "left_semi")
 
+    def sample(df, *, text_col, id_col, rate, salt=0):
+        from numalogic_spark.operators.sampling import deterministic_sample
+
+        return deterministic_sample(df, rate, id_col=id_col, salt=salt)
+
     def tokenize(df, *, text_col, id_col, source_col="source"):
         return df.select(
             id_col,
@@ -171,6 +176,7 @@ def _doc_stage_factory():
         "ExactDedup": exact_dedup,
         "NearDedup": near_dedup,
         "Decontaminate": decontaminate,
+        "Sample": sample,
         "Tokenize": tokenize,
         "SequencePack": sequence_pack,
     }

@@ -63,3 +63,35 @@ def test_histogram_percentile_matches_numpy(values, p):
     got = v_lo + frac * (v_hi - v_lo)
     exp = np.percentile(vals, p * 100)
     np.testing.assert_allclose(got, exp, rtol=1e-12, atol=1e-12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=512),
+)
+def test_pack_plan_numpy_oracle(lens, max_tokens):
+    """Pure-python twin of sequence_pack_plan's arithmetic: conservation,
+    pack-size bound, and slice bounds hold for ANY length multiset —
+    including zero-length docs and docs longer than a whole pack."""
+    offsets, off = [], 0
+    rows = []
+    for i, ln in enumerate(lens):
+        if ln <= 0:
+            continue
+        p0, p1 = off // max_tokens, (off + ln - 1) // max_tokens
+        for pk in range(p0, p1 + 1):
+            ts = max(pk * max_tokens - off, 0)
+            te = min((pk + 1) * max_tokens - off, ln)
+            rows.append((i, pk, ts, te))
+            assert 0 <= ts < te <= ln
+        off += ln
+    total = sum(l for l in lens if l > 0)
+    assert sum(te - ts for _, _, ts, te in rows) == total
+    sizes = {}
+    for _, pk, ts, te in rows:
+        sizes[pk] = sizes.get(pk, 0) + (te - ts)
+    if sizes:
+        last = max(sizes)
+        for pk, sz in sizes.items():
+            assert sz == max_tokens if pk < last else 0 < sz <= max_tokens
