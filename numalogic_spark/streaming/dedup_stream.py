@@ -109,3 +109,131 @@ def streaming_exact_dedup(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming MinHash-LSH near-dup candidates
+# --------------------------------------------------------------------------
+
+_LSH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.StringType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),  # flattened, num_hashes per id
+    ]
+)
+
+_LSH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.StringType()),
+        T.StructField("id_b", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+
+
+def streaming_minhash_candidates(
+    stream_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 60,
+    bands: int = 12,
+    threshold: float = 0.8,
+    est_margin: float = 0.1,
+    max_bucket: int = 64,
+    state_ttl: str | None = None,
+):
+    """Incremental near-dup candidate generation: as documents arrive, each
+    is banded with the SAME JVM expressions as the batch pipeline
+    (char-shingle codes → Carter-Wegman MinHash → band folding), the
+    stream shuffles on (band, band-hash), and a stateful kernel keeps each
+    bucket's previously-seen (id, signature) list — a new arrival emits a
+    candidate pair against every bucket member whose signature-estimated
+    Jaccard clears threshold − est_margin.
+
+    Exactly the batch candidate stage of minhash_lsh_pairs, made
+    incremental; the (cheap, exact) shingle-Jaccard verification remains a
+    batch join over the candidate ids. A pair colliding in several bands
+    is emitted once per band — `dropDuplicates(["id_a","id_b"])`
+    downstream. State per bucket is capped at ``max_bucket`` signatures
+    (beyond it the oldest stay, new ids still emit pairs against them but
+    are not added — a hot template bucket cannot grow state unboundedly;
+    the cap is surfaced in tests). ``state_ttl`` expires idle buckets.
+    """
+    from numalogic_spark.operators.dedup import (
+        band_structs_expr,
+        char_shingle_codes,
+        minhash_signature,
+    )
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be a multiple of bands")
+    rows_per_band = num_hashes // bands
+    est_floor = max(threshold - est_margin, 0.0)
+    k = num_hashes
+
+    slim = stream_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            band_structs_expr(
+                minhash_signature(char_shingle_codes(text_col), num_hashes),
+                bands,
+                rows_per_band,
+                include_sig=True,
+            )
+        ).alias("bb"),
+    ).select(
+        "id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+        F.col("bb.sig").alias("sig"),
+    )
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        band, _bh = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            ids, flat = state.get
+            ids = list(ids)
+            sigs = [np.asarray(flat[i * k : (i + 1) * k], dtype=np.int64) for i in range(len(ids))]
+        else:
+            ids, sigs = [], []
+        out_a, out_b, out_e = [], [], []
+        for _, row in whole.sort_values("id").iterrows():
+            sig = np.asarray(row["sig"], dtype=np.int64)
+            for seen_id, seen_sig in zip(ids, sigs):
+                if seen_id == row["id"]:
+                    continue
+                est = float((sig == seen_sig).sum()) / k
+                if est >= est_floor:
+                    a, b = sorted((seen_id, row["id"]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_e.append(est)
+            if len(ids) < max_bucket:
+                ids.append(row["id"])
+                sigs.append(sig)
+        state.update((ids, [int(x) for s in sigs for x in s]))
+        if state_ttl is not None:
+            state.setTimeoutDuration(state_ttl)
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "band": int(band), "est_jaccard": out_e}
+            )
+
+    return slim.groupBy("band", "bh").applyInPandasWithState(
+        fn,
+        outputStructType=_LSH_OUT_SCHEMA,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
