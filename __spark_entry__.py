@@ -866,6 +866,33 @@ FROM embeddings e, q
 """
 
 
+def _q_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier signal: cosine of each vector to its label
+    centroid."""
+    from numalogic_spark.operators.similarity import centroid_cosine
+
+    out = centroid_cosine(_embs(spark, sf_dir))
+    return out.select(
+        "vec_id", "label", _r6(F.col("cos_to_centroid")).alias("cos_to_centroid")
+    )
+
+
+_CENTROID_COSINE_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pos AS (
+  SELECT label, t.i, avg(v[t.i]) AS c
+  FROM e, unnest(generate_series(1, 64)) AS t(i)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(c ORDER BY i) AS cent FROM pos GROUP BY 1
+)
+SELECT e.vec_id, e.label,
+       floor(list_cosine_similarity(e.v, cent.cent) * 1000000 + 0.5) / 1000000.0
+         AS cos_to_centroid
+FROM e JOIN cent USING (label)
+"""
+
+
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.dedup import embedding_near_pairs
 
@@ -1636,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_jaccard_documents": _q_dedup_jaccard,
         "embedding_cosine_scores": _q_cosine_scores,
+        "centroid_cosine_embeddings": _q_centroid_cosine,
         "embedding_near_pairs": _q_embedding_pairs,
         "text_quality_documents": _q_text_quality,
         "lang_id_documents": _q_lang_id,
@@ -1684,6 +1712,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "dedup_jaccard_documents": _DEDUP_JACCARD_SQL,
         "embedding_cosine_scores": _COSINE_SQL,
+        "centroid_cosine_embeddings": _CENTROID_COSINE_SQL,
         "embedding_near_pairs": _EMB_PAIRS_SQL,
         "text_quality_documents": _TEXT_QUALITY_SQL,
         "lang_id_documents": _langid_sql(),

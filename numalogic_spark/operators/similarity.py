@@ -295,3 +295,34 @@ def knn_join(
     )
     w = Window.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def centroid_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-quality curation signal: cosine of every vector to its
+    GROUP CENTROID (per-dimension mean). Low scores mark outliers — the
+    standard embedding-space filter for mislabeled/degenerate documents.
+
+    Returns (id, group, cos_to_centroid). Plan: one groupBy computing the
+    per-dim means as dim aggregate columns (inline expressions — fine to a
+    few hundred dims, the same inlining boundary as the SRP/IVF expression
+    paths), a broadcast join of the tiny centroid frame, and a zip_with
+    fold per row. Groups with a zero centroid or zero vector yield NULL."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("no embeddings")
+    dim = len(first[0])
+    v = F.col(vec_col).cast("array<double>")
+    cents = df.groupBy(group_col).agg(
+        *[F.avg(v[i]).alias(f"_c{i}") for i in range(dim)]
+    ).select(group_col, F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("_cent"))
+    joined = df.join(F.broadcast(cents), group_col)
+    return joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        cosine_expr(v, F.col("_cent").cast("array<double>")).alias("cos_to_centroid"),
+    )

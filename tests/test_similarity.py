@@ -185,3 +185,35 @@ def test_knn_join_blocked(vecs):
     exp = [i for i in order if i != lid][:3]
     g = got[got["lid"] == lid].sort_values("rank")["rid"].tolist()
     assert g == exp
+
+
+def test_centroid_cosine_matches_numpy(spark):
+    """Per-group centroid cosine vs a numpy oracle, including an outlier
+    that scores far below its group's inliers."""
+    import numpy as np
+    import pandas as pd
+
+    from numalogic_spark.operators.similarity import centroid_cosine
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(2, 8))
+    rows = []
+    for g in range(2):
+        for i in range(10):
+            rows.append((f"v{g}_{i}", g, (base[g] + 0.05 * rng.normal(size=8)).astype("float32")))
+    rows.append(("outlier", 0, (-base[0]).astype("float32")))  # anti-aligned
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    pdf["embedding"] = pdf["embedding"].map(list)
+    df = spark.createDataFrame(pdf, "vec_id string, label int, embedding array<float>")
+    got = centroid_cosine(df).toPandas().set_index("vec_id")
+
+    embs = {r[0]: np.asarray(r[2], dtype=np.float64) for r in rows}
+    for g in (0, 1):
+        members = [k for k, (_, gg, _) in zip(pdf["vec_id"], rows) if gg == g]
+        cent = np.mean([embs[m] for m in members], axis=0)
+        for m in members:
+            v = embs[m]
+            exp = float(v @ cent / (np.linalg.norm(v) * np.linalg.norm(cent)))
+            assert abs(got.loc[m, "cos_to_centroid"] - exp) < 1e-9, m
+    inliers = [f"v0_{i}" for i in range(10)]
+    assert got.loc["outlier", "cos_to_centroid"] < min(got.loc[m, "cos_to_centroid"] for m in inliers) - 0.5
