@@ -1311,6 +1311,39 @@ WHERE g.doc_id % 2 = 1
 """
 
 
+def _q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from numalogic_spark.operators.textstats import trigram_entropy
+
+    out = trigram_entropy(_docs(spark, sf_dir))
+    return out.select("doc_id", _r6(F.col("trigram_entropy")).alias("trigram_entropy"))
+
+
+def _trigram_entropy_sql() -> str:
+    from numalogic_spark.operators.dedup import SHINGLE_BASE
+
+    b = SHINGLE_BASE
+    return rf"""
+WITH docs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(t) - 2, 1)),
+           i -> (coalesce(arr[i], 0) * {b} + coalesce(arr[i+1], 0)) * {b} + coalesce(arr[i+2], 0)) AS sh
+  FROM (SELECT doc_id, lower(text) AS t,
+               list_transform(string_split(lower(text), ''), c -> CAST(ascii(c) AS BIGINT)) AS arr
+        FROM documents)
+), h AS (
+  SELECT doc_id, len(sh) AS n,
+         list_sum(list_transform(
+           list_transform(list_distinct(sh), d -> len(list_filter(sh, x -> x = d))),
+           c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))) AS s
+  FROM docs
+)
+SELECT doc_id,
+       floor((CASE WHEN n > 0 THEN ln(CAST(n AS DOUBLE)) - s / n ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+         AS trigram_entropy
+FROM h
+"""
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1673,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_documents": _q_sequence_pack,
         "ngram_contamination_documents": _q_contamination,
         "repetition_stats_documents": _q_repetition,
+        "trigram_entropy_documents": _q_trigram_entropy,
         "stratified_sample_documents": _q_sample,
         "mixture_plan_documents": _q_mixture,
         "minhash_near_dup_documents": _q_minhash,
@@ -1722,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack_documents": _SEQ_PACK_SQL,
         "ngram_contamination_documents": _contamination_sql(),
         "repetition_stats_documents": _repetition_sql(),
+        "trigram_entropy_documents": _trigram_entropy_sql(),
         "stratified_sample_documents": _sample_sql(),
         "mixture_plan_documents": _MIXTURE_SQL,
         "score_pipeline_events": _score_pipeline_sql(),

@@ -241,6 +241,52 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def trigram_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy (nats) of the char-trigram distribution per doc — a
+    perplexity proxy: degenerate/looping text scores low, diverse natural
+    text high. Zero for docs shorter than one trigram.
+
+    H = ln(n) − (Σ c·ln c)/n over trigram multiplicities c (the numerically
+    stable regrouping — no per-trigram division). Uses the same portable
+    trigram codes as the dedup family, so the oracle replays the counts."""
+    from numalogic_spark.functions.exprs import let_bind
+
+    # multiplicity-keeping trigram codes (NOT array_distinct'ed)
+    from numalogic_spark.operators.dedup import SHINGLE_BASE
+
+    t = F.lower(F.col(text_col))
+    chars = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1)))
+
+    def codes(arr: Column) -> Column:
+        def enc(i: Column) -> Column:
+            c = F.coalesce(F.try_element_at(arr, i), F.lit(0).cast("long"))
+            for j in range(1, 3):
+                c = c * F.lit(SHINGLE_BASE) + F.coalesce(
+                    F.try_element_at(arr, i + F.lit(j)), F.lit(0).cast("long")
+                )
+            return c
+
+        return F.transform(idx, enc)
+
+    def entropy(sh: Column) -> Column:
+        n = F.size(sh)
+        counts = F.transform(
+            F.array_distinct(sh), lambda d: F.size(F.filter(sh, lambda x: x == d))
+        )
+        s = F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+        )
+        return F.when(n > 0, F.log(n.cast("double")) - s / n).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col),
+        let_bind(let_bind(chars, codes), entropy).alias("trigram_entropy"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling polynomial hash over the word stream:
     fp = Σ h(w_i)·B^(n-1-i) mod M, computed as a left fold

@@ -114,3 +114,39 @@ def test_repetition_stats(spark):
     assert abs(got.loc["lines", "dup_line_frac"] - 1 / 3) < 1e-12
     assert got.loc["tiny", "dup_trigram_frac"] == 0.0  # < 3 words
     assert got.loc["tiny", "top_word_frac"] == 1.0
+
+
+def test_trigram_entropy(spark):
+    """Entropy vs a python oracle; looping text scores far below diverse
+    text; sub-trigram docs score 0."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from numalogic_spark.operators.textstats import trigram_entropy
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["diverse", "loop", "tiny"],
+            "text": [
+                "the quick brown fox jumps over the lazy dog by the river",
+                "ababababababababababababababab",
+                "ab",
+            ],
+        }
+    )
+    got = trigram_entropy(spark.createDataFrame(docs)).toPandas().set_index("doc_id")
+
+    def oracle(text):
+        t = text.lower()
+        if len(t) < 1:
+            return 0.0
+        grams = [t[i : i + 3] for i in range(max(len(t) - 2, 1))]
+        n = len(grams)
+        c = Counter(grams)
+        return math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+
+    for d in ("diverse", "loop"):
+        assert abs(got.loc[d, "trigram_entropy"] - oracle(docs.set_index("doc_id").loc[d, "text"])) < 1e-12
+    assert got.loc["diverse", "trigram_entropy"] > got.loc["loop", "trigram_entropy"] + 2.0
