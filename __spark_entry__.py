@@ -1333,7 +1333,7 @@ WITH docs AS (
 ), h AS (
   SELECT doc_id, len(sh) AS n,
          list_sum(list_transform(
-           list_transform(list_distinct(sh), d -> len(list_filter(sh, x -> x = d))),
+           list_sort(list_transform(list_distinct(sh), d -> len(list_filter(sh, x -> x = d)))),
            c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))) AS s
   FROM docs
 )

@@ -190,6 +190,36 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _run_lengths(sorted_arr: Column) -> Column:
+    """Run lengths of equal adjacent values in a SORTED array — the
+    multiset of per-value counts in O(n), replacing the
+    O(distinct·n) transform-over-distinct counting that blows up on long
+    documents. Empty input → empty output."""
+    from numalogic_spark.functions.exprs import let_bind
+
+    def f(sh: Column) -> Column:
+        n = F.size(sh)
+        starts = F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: (i == 1)
+            | ~F.try_element_at(sh, i.cast("int")).eqNullSafe(
+                F.try_element_at(sh, F.greatest(i - 1, F.lit(1)).cast("int"))
+            ),
+        )
+        def runs(st: Column) -> Column:
+            nxt = F.concat(
+                F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                F.array((n + 1).cast("int")),
+            )
+            return F.zip_with(st, nxt, lambda a, b: b - a)
+
+        return F.when(n > 0, let_bind(starts, runs)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    return let_bind(sorted_arr, f)
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher/MassiveText-style repetition quality signals, pure JVM:
 
@@ -220,17 +250,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.size(ln) > 0, 1.0 - F.size(F.array_distinct(ln)) / F.size(ln)
         ).otherwise(F.lit(0.0)),
     )
+    # max run length of the SORTED word array: O(n log n), not the
+    # O(distinct·n) count-by-filter that blows up on long documents
     top_word = let_bind(
         words,
         lambda ws: F.when(
             F.size(ws) > 0,
-            F.array_max(
-                F.transform(
-                    F.array_distinct(ws),
-                    lambda w: F.size(F.filter(ws, lambda x: x == w)),
-                )
-            )
-            / F.size(ws),
+            F.array_max(_run_lengths(F.array_sort(ws))) / F.size(ws),
         ).otherwise(F.lit(0.0)),
     )
     return df.select(
@@ -270,10 +296,12 @@ def trigram_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         return F.transform(idx, enc)
 
     def entropy(sh: Column) -> Column:
+        # counts via sorted run lengths (O(n log n), not O(distinct·n));
+        # the Σ c·ln c fold runs over SORTED counts so the float addition
+        # order is deterministic and engine-independent — the DuckDB
+        # oracle sorts its counts identically before summing
         n = F.size(sh)
-        counts = F.transform(
-            F.array_distinct(sh), lambda d: F.size(F.filter(sh, lambda x: x == d))
-        )
+        counts = F.array_sort(_run_lengths(F.array_sort(sh)))
         s = F.aggregate(
             counts,
             F.lit(0.0),
