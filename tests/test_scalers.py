@@ -169,3 +169,48 @@ def test_mahalanobis_2f_matches_kernel(spark):
         .orderBy("event_ts").toPandas()
     np.testing.assert_allclose(closed["md"], kernel["md"], rtol=1e-9)
     np.testing.assert_allclose(closed["md_score"], kernel["md_score"], rtol=1e-5)
+
+
+def test_max_percentile_threshold_golden_csv(spark):
+    """Port of the reference's MaxPercentileThreshold fixture test
+    (reference tests/models/threshold/test_median.py:11-39) on its own
+    golden CSV: same split (train = all but last 50), p=75,
+    min_threshold=1e-3; fitted thresholds must equal
+    np.percentile(train, 75, axis=0) floored at 1e-3 (the reference
+    asserts feature 1 hits the floor), and scores = x / threshold."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from numalogic_spark.functions.scalers import (
+        fit_max_percentile_threshold,
+        score_threshold,
+    )
+
+    csv = os.path.join(os.path.dirname(__file__), "resources", "prom_mv.csv")
+    x = pd.read_csv(csv, index_col="timestamp").astype("float32")
+    cols = list(x.columns)
+    train, test = x[:-50], x[-50:]
+    stats = fit_max_percentile_threshold(
+        spark.createDataFrame(train.astype(float)), cols,
+        max_inlier_percentile=75, min_threshold=1e-3,
+    )
+    got_thr = stats.collect()[0]
+    exp_thr = np.percentile(train.to_numpy(dtype=np.float64), 75, axis=0)
+    exp_thr[exp_thr < 1e-3] = 1e-3
+    assert len(cols) == 3
+    for c, e in zip(cols, exp_thr):
+        assert abs(got_thr[f"{c}__thr"] - e) < 1e-9, c
+    assert got_thr[f"{cols[1]}__thr"] == 1e-3  # reference: threshold[1] == 1e-3
+
+    scored = score_threshold(
+        spark.createDataFrame(test.astype(float).reset_index()), stats, cols
+    ).toPandas().set_index("timestamp").sort_index()
+    assert scored.shape[0] == 50
+    for i, c in enumerate(cols):
+        np.testing.assert_allclose(
+            scored[f"{c}__score"].to_numpy(),
+            test[c].to_numpy(dtype=np.float64) / exp_thr[i],
+            rtol=1e-6,
+        )
