@@ -880,7 +880,10 @@ def _q_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENTROID_COSINE_SQL = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 pos AS (
-  SELECT label, t.i, avg(v[t.i]) AS c
+  -- decimal sum (exact, order-independent) before the double divide —
+  -- mirrors the engine's deterministic centroid arithmetic
+  SELECT label, t.i,
+         CAST(sum(CAST(v[t.i] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
   FROM e, unnest(generate_series(1, 64)) AS t(i)
   GROUP BY 1, 2
 ), cent AS (

@@ -170,8 +170,10 @@ def jaccard_pairs(
 # MinHash + LSH over character shingles
 # --------------------------------------------------------------------------
 
-def char_shingle_codes(text_col: str, n: int = 3) -> Column:
-    """Distinct character n-grams, injectively encoded as longs.
+def char_shingle_codes(text_col: str | Column, n: int = 3, distinct: bool = True) -> Column:
+    """Character n-grams, injectively encoded as longs (distinct by
+    default; ``distinct=False`` keeps multiplicity — used by the entropy
+    and language-ID consumers).
 
     code(s) = Σ codepoint(s[j])·SHINGLE_BASE^(n-1-j): an EXACT integer id of
     the n-gram (no hash collisions), cheaper than carrying n-char strings
@@ -198,7 +200,8 @@ def char_shingle_codes(text_col: str, n: int = 3) -> Column:
                 )
             return c
 
-        return F.array_distinct(F.transform(idx, enc))
+        out = F.transform(idx, enc)
+        return F.array_distinct(out) if distinct else out
 
     return let_bind(chars, codes)
 
@@ -528,14 +531,18 @@ def _simhash_params(seed: int = SIMHASH_SEED) -> list[tuple[int, int, int]]:
     ]
 
 
-def _word_char_fold(w: Column, mult: int) -> Column:
-    """Polynomial character fold of one word: acc = (acc·mult + codepoint) mod p."""
+def _word_char_fold(w: Column, mult: int, init: int = 0) -> Column:
+    """Polynomial character fold of one word: acc = (acc·mult + codepoint)
+    mod p, seeded with ``init`` (the salt hook — sampling.uniform_hash_unit
+    reuses this exact fold so the portable hash family lives in ONE place)."""
     chars = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1))),
         lambda i: F.ascii(w.substr(i, F.lit(1))).cast("long"),
     )
     return F.aggregate(
-        chars, F.lit(0).cast("long"), lambda acc, c: (acc * F.lit(mult) + c) % F.lit(MERSENNE31)
+        chars,
+        F.lit(init % MERSENNE31).cast("long"),
+        lambda acc, c: (acc * F.lit(mult) + c) % F.lit(MERSENNE31),
     )
 
 

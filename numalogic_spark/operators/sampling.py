@@ -30,24 +30,19 @@ _CHAR_MULT = 131
 
 
 def uniform_hash_unit(id_col: str | Column, salt: int = 0) -> Column:
-    """id → uniform [0, 1): h = (A·x + B + salt) mod p over p = 2^31−1,
-    where x is the id itself for integral ids, else a polynomial char fold
-    of its string form. Identical arithmetic is expressible in any SQL
-    engine (the DuckDB oracle replays it)."""
+    """id → uniform [0, 1): the id's STRING FORM (integral ids are cast to
+    their decimal string) goes through the shared portable char fold
+    (dedup._word_char_fold, mult 131 mod 2^31−1) SEEDED with the salt,
+    then an affine map (A·h + B) mod p. Identical arithmetic is
+    expressible in any SQL engine (the DuckDB oracle replays it).
+
+    The salt must enter the fold (each char multiplies it onward), not be
+    added at the end — an additive tail salt shifts the unit by salt/p
+    (~1e-9) and produces the SAME sample for small salts."""
+    from numalogic_spark.operators.dedup import _word_char_fold
+
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    s = c.cast("string")
-    # char fold SEEDED with the salt: acc = (acc*mult + codepoint) mod p.
-    # The salt must enter the fold (each char multiplies it onward), not be
-    # added at the end — an additive tail salt shifts the unit by salt/p
-    # (~1e-9) and produces the SAME sample for small salts.
-    folded = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
-            lambda i: F.ascii(F.substr(s, i, F.lit(1))).cast("long"),
-        ),
-        F.lit(salt % MERSENNE31).cast("long"),
-        lambda acc, ch: (acc * F.lit(_CHAR_MULT) + ch) % F.lit(MERSENNE31),
-    )
+    folded = _word_char_fold(c.cast("string"), _CHAR_MULT, init=salt)
     h = (F.lit(_SAMPLE_A) * folded + F.lit(_SAMPLE_B)) % F.lit(MERSENNE31)
     return h / F.lit(float(MERSENNE31))
 
@@ -83,21 +78,27 @@ def mixture_plan(
 
     rate = min(1, target/available); a source smaller than its target
     contributes everything it has and reports the shortfall (the standard
-    "epochs > 1 or re-weight" signal in mixture design). Sources absent
-    from ``weights`` get weight 0 (excluded)."""
+    "epochs > 1 or re-weight" signal in mixture design) — including a
+    weighted source entirely ABSENT from the data, which appears with
+    n_tok_total = 0, rate = 0 and shortfall = its full target. Sources
+    absent from ``weights`` get weight 0 (excluded)."""
     wsum = float(sum(weights.values())) or 1.0
     w_rows = [(s, float(w) / wsum) for s, w in weights.items()]
     spark = df.sparkSession
-    wdf = F.broadcast(
-        spark.createDataFrame(w_rows, f"{source_col} string, weight double")
-    )
+    wdf = spark.createDataFrame(w_rows, f"{source_col} string, weight double")
     per_src = df.groupBy(source_col).agg(
         F.sum(F.col(len_col).cast("long")).alias("n_tok_total")
     )
     target = F.col("weight") * F.lit(float(token_budget))
-    rate = F.least(F.lit(1.0), target / F.col("n_tok_total"))
+    rate = F.when(
+        F.col("n_tok_total") > 0,
+        F.least(F.lit(1.0), target / F.col("n_tok_total")),
+    ).otherwise(F.lit(0.0))
     return (
-        per_src.join(wdf, source_col, "inner")
+        # LEFT join FROM the weights: a weighted source with no data must
+        # surface (rate 0, full-target shortfall), not silently vanish
+        wdf.join(per_src, source_col, "left")
+        .withColumn("n_tok_total", F.coalesce("n_tok_total", F.lit(0)))
         .select(
             F.col(source_col).alias("source"),
             "n_tok_total",

@@ -311,14 +311,25 @@ def centroid_cosine(
     per-dim means as dim aggregate columns (inline expressions — fine to a
     few hundred dims, the same inlining boundary as the SRP/IVF expression
     paths), a broadcast join of the tiny centroid frame, and a zip_with
-    fold per row. Groups with a zero centroid or zero vector yield NULL."""
+    fold per row. NULL vectors are excluded. The per-dim mean sums in
+    DECIMAL (exact, order-independent) before the final double divide —
+    a double partial-agg sum varies with reducer merge order and would
+    make the hash-gated oracle comparison flaky at rounding edges."""
+    df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(vec_col).first()
     if first is None:
-        raise ValueError("no embeddings")
+        raise ValueError("no non-null embeddings")
     dim = len(first[0])
     v = F.col(vec_col).cast("array<double>")
     cents = df.groupBy(group_col).agg(
-        *[F.avg(v[i]).alias(f"_c{i}") for i in range(dim)]
+        *[
+            # exact decimal sum -> double -> IEEE divide: each step is
+            # order-independent and engine-identical (a decimal QUOTIENT's
+            # scale/rounding would differ per engine)
+            (F.sum(v[i].cast("decimal(27,12)")).cast("double") / F.count(F.lit(1)))
+            .alias(f"_c{i}")
+            for i in range(dim)
+        ]
     ).select(group_col, F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("_cent"))
     joined = df.join(F.broadcast(cents), group_col)
     return joined.select(

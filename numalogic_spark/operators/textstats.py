@@ -144,25 +144,11 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     score instead of rank distance, which keeps it one JVM array pass per
     language). argmax over languages; 'und' when nothing matches.
 
-    The trigram encoding is the shared portable shingle code, so the
-    DuckDB oracle replays scoring exactly."""
+    The trigram encoding is the shared portable shingle code
+    (dedup.char_shingle_codes, multiplicity kept), so the DuckDB oracle
+    replays scoring exactly."""
     from numalogic_spark.functions.exprs import let_bind
-    from numalogic_spark.operators.dedup import SHINGLE_BASE
-
-    t = F.lower(F.col(text_col))
-    chars = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1)))
-
-    def codes(arr: Column) -> Column:
-        def enc(i: Column) -> Column:
-            c = F.coalesce(F.try_element_at(arr, i), F.lit(0).cast("long"))
-            for j in range(1, 3):
-                c = c * F.lit(SHINGLE_BASE) + F.coalesce(
-                    F.try_element_at(arr, i + F.lit(j)), F.lit(0).cast("long")
-                )
-            return c
-
-        return F.transform(idx, enc)  # multiplicity kept — NOT distinct
+    from numalogic_spark.operators.dedup import char_shingle_codes
 
     profiles = _lang_profiles()
 
@@ -175,7 +161,8 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         return F.struct(*fields)
 
     out = df.select(
-        F.col(id_col), let_bind(let_bind(chars, codes), scored).alias("_s")
+        F.col(id_col),
+        let_bind(char_shingle_codes(F.col(text_col), 3, distinct=False), scored).alias("_s"),
     )
     langs = list(profiles)
     best = F.greatest(*[F.col(f"_s.score_{la}") for la in langs])
@@ -274,26 +261,10 @@ def trigram_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
     H = ln(n) − (Σ c·ln c)/n over trigram multiplicities c (the numerically
     stable regrouping — no per-trigram division). Uses the same portable
-    trigram codes as the dedup family, so the oracle replays the counts."""
+    trigram codes as the dedup family (char_shingle_codes with
+    multiplicity kept), so the oracle replays the counts."""
     from numalogic_spark.functions.exprs import let_bind
-
-    # multiplicity-keeping trigram codes (NOT array_distinct'ed)
-    from numalogic_spark.operators.dedup import SHINGLE_BASE
-
-    t = F.lower(F.col(text_col))
-    chars = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1)))
-
-    def codes(arr: Column) -> Column:
-        def enc(i: Column) -> Column:
-            c = F.coalesce(F.try_element_at(arr, i), F.lit(0).cast("long"))
-            for j in range(1, 3):
-                c = c * F.lit(SHINGLE_BASE) + F.coalesce(
-                    F.try_element_at(arr, i + F.lit(j)), F.lit(0).cast("long")
-                )
-            return c
-
-        return F.transform(idx, enc)
+    from numalogic_spark.operators.dedup import char_shingle_codes
 
     def entropy(sh: Column) -> Column:
         # counts via sorted run lengths (O(n log n), not O(distinct·n));
@@ -311,7 +282,9 @@ def trigram_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
     return df.select(
         F.col(id_col),
-        let_bind(let_bind(chars, codes), entropy).alias("trigram_entropy"),
+        let_bind(char_shingle_codes(F.col(text_col), 3, distinct=False), entropy).alias(
+            "trigram_entropy"
+        ),
     )
 
 

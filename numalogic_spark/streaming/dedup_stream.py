@@ -156,9 +156,13 @@ def streaming_minhash_candidates(
     batch join over the candidate ids. A pair colliding in several bands
     is emitted once per band — `dropDuplicates(["id_a","id_b"])`
     downstream. State per bucket is capped at ``max_bucket`` signatures
-    (beyond it the oldest stay, new ids still emit pairs against them but
-    are not added — a hot template bucket cannot grow state unboundedly;
-    the cap is surfaced in tests). ``state_ttl`` expires idle buckets.
+    (beyond it the oldest stay; new ids still emit pairs against stored
+    members and against earlier rows of their OWN batch, but two
+    post-saturation arrivals in DIFFERENT batches are not paired — the
+    recall cost of bounding a hot template bucket's state; raise
+    ``max_bucket`` or fall back to the batch pipeline on saturated
+    buckets). Re-delivered ids (at-least-once sources) never burn a second
+    state slot. ``state_ttl`` expires idle buckets.
     """
     from numalogic_spark.operators.dedup import (
         band_structs_expr,
@@ -204,9 +208,14 @@ def streaming_minhash_candidates(
         else:
             ids, sigs = [], []
         out_a, out_b, out_e = [], [], []
+        # compare against stored state AND this batch's earlier rows (kept
+        # separately): two post-saturation arrivals in one batch still
+        # pair with each other even when neither can enter state
+        batch_ids: list = []
+        batch_sigs: list = []
         for _, row in whole.sort_values("id").iterrows():
             sig = np.asarray(row["sig"], dtype=np.int64)
-            for seen_id, seen_sig in zip(ids, sigs):
+            for seen_id, seen_sig in zip(ids + batch_ids, sigs + batch_sigs):
                 if seen_id == row["id"]:
                     continue
                 est = float((sig == seen_sig).sum()) / k
@@ -215,7 +224,11 @@ def streaming_minhash_candidates(
                     out_a.append(a)
                     out_b.append(b)
                     out_e.append(est)
-            if len(ids) < max_bucket:
+            batch_ids.append(row["id"])
+            batch_sigs.append(sig)
+            # at-least-once replay guard: a re-delivered id must not burn a
+            # second state slot
+            if len(ids) < max_bucket and row["id"] not in ids:
                 ids.append(row["id"])
                 sigs.append(sig)
         state.update((ids, [int(x) for s in sigs for x in s]))
