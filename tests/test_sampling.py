@@ -69,3 +69,19 @@ def test_mixture_plan_budget_math(spark, tokens_df):
     for s in (big, small):
         if plan.loc[s, "rate"] < 1.0:
             assert abs(got_tokens[s] / plan.loc[s, "expected_tokens"] - 1.0) < 0.1
+
+
+def test_mixture_plan_absent_source_reports_shortfall(spark, tokens_df):
+    """A weighted source with NO data must appear in the plan with
+    n_tok_total 0, rate 0 and its full target as shortfall — not vanish."""
+    present = tokens_df.select("source").distinct().collect()[0]["source"]
+    plan = (
+        mixture_plan(tokens_df.filter(f"source = '{present}'"),
+                     {present: 1.0, "ghost_source": 1.0}, 1000)
+        .toPandas()
+        .set_index("source")
+    )
+    g = plan.loc["ghost_source"]
+    assert g["n_tok_total"] == 0 and g["rate"] == 0.0
+    assert abs(g["shortfall"] - 500.0) < 1e-9  # full half-budget target
+    assert abs(g["expected_tokens"]) < 1e-9
