@@ -813,10 +813,22 @@ def simhash_near_pairs(
 # --------------------------------------------------------------------------
 
 def near_dup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph:
     (id, cluster_id = min id in the component).
+
+    HYBRID strategy, same spirit as broadcast joins: a near-dup graph is
+    tiny relative to the corpus (edges = verified pairs, not documents), so
+    when the edge count is under ``driver_threshold`` the components are
+    solved with a driver-side union-find in O(E α(E)) — one collect of the
+    slim (src, dst) frame replaces ~log(diameter) Spark rounds whose
+    per-round scheduling dominates on small graphs. Graphs at or above the
+    threshold take the distributed iterative path below.
 
     Pair lists aren't a dedup decision — transitively-linked docs must
     collapse to ONE keeper (A~B, B~C ⇒ {A,B,C} is one cluster even if A≁C).
@@ -837,6 +849,35 @@ def near_dup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count()
+    if n_edges < driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so cluster_id = min of the component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in sorted(parent)]
+        from pyspark.sql import types as T
+
+        dt = pairs.schema[id_a].dataType
+        schema = T.StructType(
+            [T.StructField("id", dt), T.StructField("cluster_id", dt)]
+        )
+        return pairs.sparkSession.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()

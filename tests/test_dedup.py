@@ -368,3 +368,28 @@ def test_minhash_kernel_null_and_empty_codes(spark):
     }
     assert out["b"] is None and out["c"] is None
     assert out["a"] is not None and out["a"] == out["d"]
+
+
+def test_clusters_driver_and_iterative_paths_agree(spark):
+    """The union-find fast path (small graphs) and the distributed
+    label-propagation path must produce identical components — chain,
+    triangle, and singletons-by-absence."""
+    import pandas as pd
+
+    from numalogic_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": ["a", "b", "x", "p", "q"],
+                "id_b": ["b", "c", "y", "q", "r"],
+            }
+        )
+    )  # chain a-b-c, pair x-y, chain p-q-r
+    fast = near_dup_clusters(pairs).toPandas().sort_values("id", ignore_index=True)
+    slow = near_dup_clusters(pairs, driver_threshold=0).toPandas().sort_values(
+        "id", ignore_index=True
+    )
+    assert fast.equals(slow)
+    got = fast.set_index("id")["cluster_id"].to_dict()
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "p": "p", "q": "p", "r": "p"}
