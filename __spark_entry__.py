@@ -1592,9 +1592,75 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs(spark, sf_dir)
     q = embs.filter("vec_id = 0").select("embedding").collect()[0][0]
-    cents = ivf_train_centroids(embs, n_centroids=8, sample_rows=2000, seed=42)
+    # portable sample order → the oracle generator replays the exact
+    # training (shared kmeans_fit) and embeds the codebook as literals
+    cents = ivf_train_centroids(
+        embs, n_centroids=8, sample_rows=2000, seed=42, portable_order_id="vec_id"
+    )
     out = ivf_ann_topk(embs, [float(x) for x in q], cents, k=10, nprobe=4)
     return out.select("id", _r6("cos_sim").alias("cos_sim"))
+
+
+def _ivf_sql() -> str:
+    """DuckDB replay of the IVF probe: reproduce the SAME codebook by
+    replaying the portable-hash sample order and the shared numpy
+    kmeans_fit over the sf0.01 embeddings (the driver's oracle scale),
+    then express assignment (first-max argmax over the centroid dots),
+    nprobe filtering, and the cosine top-k in SQL with literal centroids."""
+    import duckdb
+    import numpy as np
+
+    from numalogic_spark.operators.dedup import MERSENNE31
+    from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
+    from numalogic_spark.operators.similarity import kmeans_fit
+
+    seed, n_centroids, sample_rows, nprobe, k = 42, 8, 2000, 4, 10
+    rel = duckdb.sql(
+        "SELECT vec_id, embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL"
+    ).fetchall()
+
+    def unit(vid: int) -> float:
+        acc = seed % MERSENNE31
+        for ch in str(vid):
+            acc = (acc * _CHAR_MULT + ord(ch)) % MERSENNE31
+        return ((_SAMPLE_A * acc + _SAMPLE_B) % MERSENNE31) / MERSENNE31
+
+    ordered = sorted(rel, key=lambda r: (unit(r[0]), r[0]))[:sample_rows]
+    x = [np.asarray(r[1], dtype=float) for r in ordered]
+    x = [v for v in x if np.linalg.norm(v) > 0]
+    cents = kmeans_fit(np.asarray(x), n_centroids, iters=10, seed=seed)
+    qv = np.asarray(
+        [r[1] for r in rel if r[0] == 0][0], dtype=float
+    )
+    qn = qv / np.linalg.norm(qv)
+    probes = np.argsort(-(cents @ qn), kind="stable")[:nprobe].tolist()
+    cent_lits = ", ".join(
+        "[" + ", ".join(repr(float(c)) for c in row) + "]::DOUBLE[]" for row in cents
+    )
+    dots = ", ".join(
+        f"list_inner_product(v, c{i}) AS d{i}" for i in range(len(cents))
+    )
+    c_cols = ", ".join(f"cent[{i + 1}] AS c{i}" for i in range(len(cents)))
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
+    assign = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {best} THEN {i}" for i in range(len(cents)))
+        + " END"
+    )
+    q_lit = "[" + ", ".join(repr(float(v)) for v in qv) + "]::DOUBLE[]"
+    return f"""
+WITH cents AS (SELECT [{cent_lits}] AS cent),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+cc AS (SELECT e.vec_id, e.v, {c_cols} FROM e, cents),
+d AS (SELECT vec_id, v, {dots} FROM cc),
+a AS (SELECT vec_id, v, {assign} AS _list FROM d)
+SELECT vec_id AS id,
+       floor(list_cosine_similarity(v, {q_lit}) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+FROM a WHERE _list IN ({", ".join(str(int(p)) for p in probes)})
+ORDER BY list_cosine_similarity(v, {q_lit}) DESC, vec_id
+LIMIT {k}
+"""
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "prometheus_frame_events": _prom_frame_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
         "ann_topk_embeddings": _ann_sql(),
+        "ivf_ann_topk_embeddings": _ivf_sql(),
         # ivf stays rows-only: its codebook is trained (k-means on a seeded
         # sample) at query time, which a static SQL string cannot replay;
         # recall vs brute force is pytest-gated instead.

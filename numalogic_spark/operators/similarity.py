@@ -138,38 +138,11 @@ def lsh_bucketed_ann(
     return scored.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
 
 
-def ivf_train_centroids(
-    df: DataFrame,
-    n_centroids: int = 16,
-    vec_col: str = "embedding",
-    sample_rows: int = 10_000,
-    iters: int = 10,
-    seed: int = 42,
-    presample_fraction: float | None = None,
-) -> np.ndarray:
-    """IVF coarse quantizer: deterministic mini k-means on a seeded sample.
-
-    The sample (≤ sample_rows) fits on the driver by construction — the
-    classic IVF recipe (train the codebook on a sample, assign the corpus
-    distributedly). kmeans++ D²-weighted seeded init, Lloyd iterations in
-    numpy. NULL and zero-norm embeddings are excluded from training (they
-    carry no direction on the unit sphere).
-
-    The xxhash64 TakeOrdered avoids a full shuffle but still scans and
-    hashes the whole corpus; at 10^12 rows pass `presample_fraction`
-    (e.g. 1e-6) so the scan short-circuits at the parquet row-group level
-    (Bernoulli sample pushes down) before the hash-order top-k. Train ONCE
-    and persist the codebook — don't re-train per query.
-    """
-    src = df.select(vec_col).filter(F.col(vec_col).isNotNull())
-    if presample_fraction is not None:
-        src = src.sample(fraction=presample_fraction, seed=seed)
-    frac_df = src.orderBy(F.xxhash64(F.col(vec_col), F.lit(seed))).limit(sample_rows)
-    rows = [np.asarray(r[0], dtype=float) for r in frac_df.collect()]
-    rows = [v for v in rows if v.ndim == 1 and np.linalg.norm(v) > 0]
-    if not rows:
-        raise ValueError("no non-null, non-zero embeddings available to train IVF centroids")
-    x = np.asarray(rows)
+def kmeans_fit(x: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical mini k-means (kmeans++ D² seeding + Lloyd)
+    over already-collected sample rows — shared by the Spark trainer AND
+    the DuckDB oracle generator, so an external replayer that feeds the
+    same sample in the same order gets the bit-identical codebook."""
     x = x / np.linalg.norm(x, axis=1, keepdims=True)  # cosine → unit sphere
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(x))
@@ -192,6 +165,60 @@ def ivf_train_centroids(
                 c = x[m].mean(axis=0)
                 cents[ci] = c / (np.linalg.norm(c) or 1.0)
     return cents
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    presample_fraction: float | None = None,
+    portable_order_id: str | None = None,
+) -> np.ndarray:
+    """IVF coarse quantizer: deterministic mini k-means on a seeded sample.
+
+    The sample (≤ sample_rows) fits on the driver by construction — the
+    classic IVF recipe (train the codebook on a sample, assign the corpus
+    distributedly). kmeans++ D²-weighted seeded init, Lloyd iterations in
+    numpy. NULL and zero-norm embeddings are excluded from training (they
+    carry no direction on the unit sphere).
+
+    The xxhash64 TakeOrdered avoids a full shuffle but still scans and
+    hashes the whole corpus; at 10^12 rows pass `presample_fraction`
+    (e.g. 1e-6) so the scan short-circuits at the parquet row-group level
+    (Bernoulli sample pushes down) before the hash-order top-k. Train ONCE
+    and persist the codebook — don't re-train per query.
+
+    ``portable_order_id``: order the sample by the PORTABLE hash of this
+    id column (sampling.uniform_hash_unit) instead of xxhash64 — an
+    external replayer (the DuckDB oracle generator) can then reproduce the
+    exact sample order, and with kmeans_fit shared, the exact codebook.
+    """
+    src = df.filter(F.col(vec_col).isNotNull())
+    if presample_fraction is not None:
+        src = src.sample(fraction=presample_fraction, seed=seed)
+    if portable_order_id is not None:
+        from numalogic_spark.operators.sampling import uniform_hash_unit
+
+        frac_df = (
+            src.orderBy(
+                uniform_hash_unit(portable_order_id, salt=seed),
+                F.col(portable_order_id),
+            )
+            .select(vec_col)
+            .limit(sample_rows)
+        )
+    else:
+        frac_df = src.select(vec_col).orderBy(
+            F.xxhash64(F.col(vec_col), F.lit(seed))
+        ).limit(sample_rows)
+    rows = [np.asarray(r[0], dtype=float) for r in frac_df.collect()]
+    rows = [v for v in rows if v.ndim == 1 and np.linalg.norm(v) > 0]
+    if not rows:
+        raise ValueError("no non-null, non-zero embeddings available to train IVF centroids")
+    return kmeans_fit(np.asarray(rows), n_centroids, iters, seed)
 
 
 def ivf_assign_expr(vec_col: str, centroids: np.ndarray):
