@@ -1207,6 +1207,35 @@ FROM m
 """
 
 
+def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle: shard + within-shard order from the
+    portable hash of doc_id."""
+    from numalogic_spark.operators.sampling import training_order
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return training_order(docs, 4, ["doc_id"])
+
+
+def _training_order_sql(n_shards: int = 4) -> str:
+    from numalogic_spark.operators.dedup import MERSENNE31
+    from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
+
+    p = MERSENNE31
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, greatest(length(s), 1)), "
+        f"i -> CAST(ascii(s[i]) AS BIGINT))), (acc, c) -> (acc * {_CHAR_MULT} + c) % {p})"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS s FROM documents),
+h AS (SELECT doc_id, source, ({_SAMPLE_A} * ({fold}) + {_SAMPLE_B}) % {p} AS oh FROM d)
+SELECT doc_id, source,
+       CAST(oh % {n_shards} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY oh % {n_shards} ORDER BY oh, doc_id) - 1 AS INTEGER) AS ord
+FROM h
+"""
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.textstats import repetition_stats
 
@@ -1777,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": _q_repetition,
         "trigram_entropy_documents": _q_trigram_entropy,
         "stratified_sample_documents": _q_sample,
+        "training_order_documents": _q_training_order,
         "mixture_plan_documents": _q_mixture,
         "minhash_near_dup_documents": _q_minhash,
         "simhash_near_dup_documents": _q_simhash,
@@ -1827,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_documents": _repetition_sql(),
         "trigram_entropy_documents": _trigram_entropy_sql(),
         "stratified_sample_documents": _sample_sql(),
+        "training_order_documents": _training_order_sql(),
         "mixture_plan_documents": _MIXTURE_SQL,
         "score_pipeline_events": _score_pipeline_sql(),
         "pivot_metrics_1m": _PIVOT_SQL,

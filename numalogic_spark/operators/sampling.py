@@ -19,7 +19,7 @@ partition-layout-dependent and irreproducible across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from numalogic_spark.operators.dedup import MERSENNE31
@@ -27,6 +27,16 @@ from numalogic_spark.operators.dedup import MERSENNE31
 _SAMPLE_A = 1_103_515_245
 _SAMPLE_B = 12_345
 _CHAR_MULT = 131
+
+
+def portable_hash_long(id_col: str | Column, salt: int = 0) -> Column:
+    """id → integer hash in [0, p): the shared char fold of the id's
+    string form seeded with the salt, then (A·h + B) mod p."""
+    from numalogic_spark.operators.dedup import _word_char_fold
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    folded = _word_char_fold(c.cast("string"), _CHAR_MULT, init=salt)
+    return (F.lit(_SAMPLE_A) * folded + F.lit(_SAMPLE_B)) % F.lit(MERSENNE31)
 
 
 def uniform_hash_unit(id_col: str | Column, salt: int = 0) -> Column:
@@ -39,12 +49,7 @@ def uniform_hash_unit(id_col: str | Column, salt: int = 0) -> Column:
     The salt must enter the fold (each char multiplies it onward), not be
     added at the end — an additive tail salt shifts the unit by salt/p
     (~1e-9) and produces the SAME sample for small salts."""
-    from numalogic_spark.operators.dedup import _word_char_fold
-
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    folded = _word_char_fold(c.cast("string"), _CHAR_MULT, init=salt)
-    h = (F.lit(_SAMPLE_A) * folded + F.lit(_SAMPLE_B)) % F.lit(MERSENNE31)
-    return h / F.lit(float(MERSENNE31))
+    return portable_hash_long(id_col, salt) / F.lit(float(MERSENNE31))
 
 
 def deterministic_sample(
@@ -108,4 +113,31 @@ def mixture_plan(
             (rate * F.col("n_tok_total")).alias("expected_tokens"),
             F.greatest(target - F.col("n_tok_total"), F.lit(0.0)).alias("shortfall"),
         )
+    )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: list[str],
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle of training examples into shards:
+    shard = portable_hash(key) mod n_shards, ord = rank of the hash within
+    the shard. The composite key (e.g. [source, pack_id]) concatenates
+    with ':' before hashing.
+
+    A training run reading shard s in ord order sees a REPRODUCIBLE
+    pseudo-random permutation of the corpus — independent of partition
+    layout, engine, or cluster size (df.orderBy(rand()) is none of those).
+    Different salts give independent epoch orders. Hash ties (p ≈ 2^31
+    values) break on the key itself, keeping the order total."""
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    h = portable_hash_long(key, salt)
+    w = Window.partitionBy("shard").orderBy("order_hash", *key_cols)
+    return (
+        df.withColumn("order_hash", h)
+        .withColumn("shard", F.pmod(F.col("order_hash"), F.lit(n_shards)).cast("int"))
+        .withColumn("ord", F.row_number().over(w) - 1)
+        .drop("order_hash")
     )

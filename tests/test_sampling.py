@@ -85,3 +85,29 @@ def test_mixture_plan_absent_source_reports_shortfall(spark, tokens_df):
     assert g["n_tok_total"] == 0 and g["rate"] == 0.0
     assert abs(g["shortfall"] - 500.0) < 1e-9  # full half-budget target
     assert abs(g["expected_tokens"]) < 1e-9
+
+
+def test_training_order_deterministic_shuffle(spark, tokens_df):
+    from numalogic_spark.operators.sampling import training_order
+
+    small = tokens_df.limit(2000).select("doc_id", "source")
+    a = training_order(small, 4, ["doc_id"]).toPandas().sort_values("doc_id", ignore_index=True)
+    b = training_order(small, 4, ["doc_id"]).toPandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)  # reproducible across runs
+    # every row lands in exactly one shard; ords are 0..n_s-1 per shard
+    assert len(a) == 2000
+    for s, g in a.groupby("shard"):
+        assert sorted(g["ord"]) == list(range(len(g)))
+    # shards are balanced-ish (hash uniformity)
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == 4 and sizes.min() > 2000 / 4 * 0.8
+    # a different salt produces a different permutation
+    c = training_order(small, 4, ["doc_id"], salt=9).toPandas().sort_values("doc_id", ignore_index=True)
+    assert not c[["shard", "ord"]].equals(a[["shard", "ord"]])
+    # the order is independent of input partitioning
+    d = (
+        training_order(small.repartition(13), 4, ["doc_id"])
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert d.equals(a)
