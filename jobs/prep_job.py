@@ -54,6 +54,8 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--report", default=None)
     ap.add_argument("--max-tokens", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=0,
+                    help="assign packs a deterministic (shard, ord) training order")
     ap.add_argument("--langs", default=None, help="comma list; omit to keep all")
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--max-word-len", type=float, default=25.0,
@@ -118,8 +120,13 @@ def main() -> None:
     ).withColumn("n_tok", F.size("tokens"))
     funnel["total_tokens"] = tokenized.select(F.sum("n_tok")).collect()[0][0] or 0
 
-    # 6. pack into fixed-size training sequences
+    # 6. pack into fixed-size training sequences (+ optional deterministic
+    # training order: shard + within-shard rank from the portable hash)
     packs = pack_tokens(tokenized, args.max_tokens, id_col=args.id_col)
+    if args.shards:
+        from numalogic_spark.operators.sampling import training_order
+
+        packs = training_order(packs, args.shards, ["source", "pack_id"])
     packs.write.mode("overwrite").partitionBy("source").parquet(args.output)
     out = spark.read.parquet(args.output)
     funnel["packs"] = out.count()

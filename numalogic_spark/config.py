@@ -169,6 +169,11 @@ def _doc_stage_factory():
     def sequence_pack(df, *, text_col, id_col, max_tokens=2048):
         return TK.pack_tokens(df, max_tokens, id_col=id_col)
 
+    def training_order(df, *, text_col, id_col, n_shards, salt=0):
+        from numalogic_spark.operators.sampling import training_order as _to
+
+        return _to(df, n_shards, ["source", "pack_id"], salt=salt)
+
     return {
         "QualityFilter": quality_filter,
         "LangFilter": lang_filter,
@@ -179,6 +184,7 @@ def _doc_stage_factory():
         "Sample": sample,
         "Tokenize": tokenize,
         "SequencePack": sequence_pack,
+        "TrainingOrder": training_order,
     }
 
 
