@@ -1828,7 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "rollup_1m_events": _rollup_sql("minute", 60),
         "rollup_1h_events": _rollup_sql("hour", 3600),
         "rollup_1d_events": _rollup_sql("day", 86400),
@@ -1874,8 +1874,14 @@ def oracle_sql() -> dict[str, str]:
         "prometheus_frame_events": _prom_frame_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
         "ann_topk_embeddings": _ann_sql(),
-        "ivf_ann_topk_embeddings": _ivf_sql(),
-        # ivf stays rows-only: its codebook is trained (k-means on a seeded
-        # sample) at query time, which a static SQL string cannot replay;
-        # recall vs brute force is pytest-gated instead.
     }
+    # The ivf oracle is generated by REPLAYING the codebook training over
+    # the driver's comparison-scale data (sf0.01 per the driver contract —
+    # it is the one oracle that is data-dependent, valid only at that
+    # scale). If the fixture is unavailable (different machine/layout),
+    # fall back to rows-only rather than failing EVERY oracle.
+    try:
+        out["ivf_ann_topk_embeddings"] = _ivf_sql()
+    except Exception:
+        pass
+    return out

@@ -169,10 +169,12 @@ def _doc_stage_factory():
     def sequence_pack(df, *, text_col, id_col, max_tokens=2048):
         return TK.pack_tokens(df, max_tokens, id_col=id_col)
 
-    def training_order(df, *, text_col, id_col, n_shards, salt=0):
+    def training_order(df, *, text_col, id_col, n_shards, salt=0, key_cols=None):
         from numalogic_spark.operators.sampling import training_order as _to
 
-        return _to(df, n_shards, ["source", "pack_id"], salt=salt)
+        # after SequencePack the natural key is (source, pack_id); over a
+        # raw/tokenized corpus pass key_cols=[id_col] (or any unique key)
+        return _to(df, n_shards, key_cols or ["source", "pack_id"], salt=salt)
 
     return {
         "QualityFilter": quality_filter,

@@ -817,18 +817,21 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
-    driver_threshold: int = 5_000_000,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph:
     (id, cluster_id = min id in the component).
 
     HYBRID strategy, same spirit as broadcast joins: a near-dup graph is
     tiny relative to the corpus (edges = verified pairs, not documents), so
-    when the edge count is under ``driver_threshold`` the components are
-    solved with a driver-side union-find in O(E α(E)) — one collect of the
-    slim (src, dst) frame replaces ~log(diameter) Spark rounds whose
-    per-round scheduling dominates on small graphs. Graphs at or above the
-    threshold take the distributed iterative path below.
+    when the SYMMETRIZED directed-edge count (2× the pair count) is under
+    ``driver_threshold`` the components are solved with a driver-side
+    union-find in O(E α(E)) — one collect of the slim (src, dst) frame
+    replaces ~log(diameter) Spark rounds whose per-round scheduling
+    dominates on small graphs. The default bounds the collect at ~1M slim
+    rows (tens of MB); graphs at or above it take the distributed
+    iterative path below. Edges with a NULL endpoint are dropped (a null
+    is not a document id) in both paths.
 
     Pair lists aren't a dedup decision — transitively-linked docs must
     collapse to ONE keeper (A~B, B~C ⇒ {A,B,C} is one cluster even if A≁C).
@@ -846,6 +849,7 @@ def near_dup_clusters(
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .localCheckpoint()
     )

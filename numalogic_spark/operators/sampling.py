@@ -134,10 +134,14 @@ def training_order(
     values) break on the key itself, keeping the order total."""
     key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
     h = portable_hash_long(key, salt)
-    w = Window.partitionBy("shard").orderBy("order_hash", *key_cols)
+    # reserved temp name: never clobber a caller's column ('shard'/'ord'
+    # ARE the outputs and overwrite intentionally, e.g. re-sharding for a
+    # new epoch)
+    tmp = "__training_order_hash"
+    w = Window.partitionBy("shard").orderBy(tmp, *key_cols)
     return (
-        df.withColumn("order_hash", h)
-        .withColumn("shard", F.pmod(F.col("order_hash"), F.lit(n_shards)).cast("int"))
+        df.withColumn(tmp, h)
+        .withColumn("shard", F.pmod(F.col(tmp), F.lit(n_shards)).cast("int"))
         .withColumn("ord", F.row_number().over(w) - 1)
-        .drop("order_hash")
+        .drop(tmp)
     )
