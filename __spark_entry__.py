@@ -1115,8 +1115,10 @@ WITH d AS (
   FROM documents
 ), b AS (
   SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-         sum(CAST(n_tok AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS UNBOUNDED PRECEDING) - n_tok AS "offset"
+         -- CAST the windowed sum: DuckDB sum() yields HUGEINT which pandas
+         -- renders as float64, while Spark emits int64 (driver hash gate).
+         CAST(sum(CAST(n_tok AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS "offset"
   FROM d WHERE n_tok > 0
 ), e AS (
   SELECT source, doc_id, n_tok, "offset",
@@ -1329,7 +1331,8 @@ WITH d AS (
 ), m AS (
   SELECT doc_id,
          count(*) AS n_grams,
-         sum(CASE WHEN g IN (SELECT g FROM train) THEN 1 ELSE 0 END) AS n_matched
+         -- CAST: DuckDB sum() is HUGEINT -> float64 in pandas vs Spark int64.
+         CAST(sum(CASE WHEN g IN (SELECT g FROM train) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
   FROM test_g GROUP BY 1
 )
 SELECT g.doc_id,

@@ -8,7 +8,7 @@ the pipeline the rollup engine's training-data layer exists for:
     3. exact dedup                        (dedup.drop_exact_dups)
     4. MinHash-LSH near-dup pruning       (dedup.minhash_lsh_pairs +
                                            near_dup_clusters, keep canonical)
-    5. tokenize (whitespace words → stable int64 ids via xxhash64)
+    5. tokenize (byte-level BPE — functions/bpe.py — or legacy word-hash)
     6. concat-and-chunk sequence packing  (tokens.pack_tokens)
 
 Usage:
@@ -61,6 +61,14 @@ def main() -> None:
     ap.add_argument("--max-word-len", type=float, default=25.0,
                     help="drop docs whose mean word length exceeds this (garbage filter)")
     ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument("--tokenizer", choices=["bpe", "hash"], default="bpe",
+                    help="bpe: byte-level BPE (train on the filtered corpus "
+                         "or load --bpe-vocab); hash: legacy word-hash ids")
+    ap.add_argument("--bpe-merges", type=int, default=4096)
+    ap.add_argument("--bpe-vocab", default=None,
+                    help="path to a saved BPE vocab JSON; if absent one is "
+                         "trained on the filtered corpus and saved to "
+                         "<output>.bpe_vocab.json (replayable artifact)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--source-col", default="source")
@@ -107,17 +115,33 @@ def main() -> None:
     docs = docs.join(drop, args.id_col, "left_anti").persist()
     funnel["after_near_dedup"] = docs.count()
 
-    # 5. tokenize: whitespace words → stable int64 ids (xxhash64 of the
-    # word — deterministic across runs/executors; a real deployment swaps
-    # in its BPE vocabulary here, the packing below is tokenizer-agnostic)
-    tokenized = docs.select(
-        args.id_col,
-        F.col(args.source_col).alias("source"),
-        F.transform(
-            F.array_remove(F.split(F.lower(args.text_col), r"\s+"), ""),
-            lambda w: F.xxhash64(w),
-        ).alias("tokens"),
-    ).withColumn("n_tok", F.size("tokens"))
+    # 5. tokenize. Default: byte-level BPE (functions/bpe.py) — distributed
+    # word counts + bounded driver merge training, Arrow-batched encode;
+    # the vocab is saved as a replayable artifact. --tokenizer hash keeps
+    # the legacy whitespace-word→xxhash64 ids (packing is tokenizer-
+    # agnostic either way).
+    if args.tokenizer == "bpe":
+        from numalogic_spark.functions.bpe import BpeVocab, tokenize_corpus, train_bpe
+
+        if args.bpe_vocab:
+            vocab = BpeVocab.load(args.bpe_vocab)
+        else:
+            vocab = train_bpe(docs, args.bpe_merges, text_col=args.text_col)
+            vocab.save(args.output.rstrip("/") + ".bpe_vocab.json")
+        funnel["bpe_merges"] = len(vocab.merges)
+        tokenized = tokenize_corpus(
+            docs, vocab, text_col=args.text_col, id_col=args.id_col,
+            source_col=args.source_col,
+        )
+    else:
+        tokenized = docs.select(
+            args.id_col,
+            F.col(args.source_col).alias("source"),
+            F.transform(
+                F.array_remove(F.split(F.lower(args.text_col), r"\s+"), ""),
+                lambda w: F.xxhash64(w),
+            ).alias("tokens"),
+        ).withColumn("n_tok", F.size("tokens"))
     funnel["total_tokens"] = tokenized.select(F.sum("n_tok")).collect()[0][0] or 0
 
     # 6. pack into fixed-size training sequences (+ optional deterministic

@@ -156,7 +156,25 @@ def _doc_stage_factory():
 
         return deterministic_sample(df, rate, id_col=id_col, salt=salt)
 
-    def tokenize(df, *, text_col, id_col, source_col="source"):
+    def tokenize(df, *, text_col, id_col, source_col="source", method="hash",
+                 vocab_path=None, n_merges=4096, max_words=100_000,
+                 sample_fraction=None):
+        if method == "bpe":
+            from numalogic_spark.functions.bpe import (
+                BpeVocab,
+                tokenize_corpus,
+                train_bpe,
+            )
+
+            vocab = (
+                BpeVocab.load(vocab_path)
+                if vocab_path
+                else train_bpe(df, n_merges, text_col=text_col,
+                               max_words=max_words,
+                               sample_fraction=sample_fraction)
+            )
+            return tokenize_corpus(df, vocab, text_col=text_col,
+                                   id_col=id_col, source_col=source_col)
         return df.select(
             id_col,
             F.col(source_col).alias("source"),

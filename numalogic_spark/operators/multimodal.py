@@ -3,12 +3,13 @@
 Image/audio/video are treated as `binary` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched kernels over mapInPandas.
 
-Decode support (pure numpy, no codec libraries needed):
+Decode support (pure numpy + stdlib zlib, no codec libraries needed):
+- image/png  — 8-bit gray/gray+alpha/palette/RGB/RGBA, all 5 row filters
 - image/ppm  — binary PPM (P6), any maxval ≤ 255
 - image/bmp  — uncompressed 24-bit BITMAPINFOHEADER
 - audio/wav  — RIFF PCM 16-bit
 
-Container formats needing real codecs (JPEG/PNG/MP4/...) go through
+Container formats needing real codecs (JPEG/MP4/...) go through
 `decode_stub`, which raises NotImplementedError — swap in PIL/ffmpeg on a
 cluster that has them. `extract_features(..., encoder="fake")` keeps a
 deterministic hash-derived path for plumbing tests that don't care about
@@ -19,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -83,12 +85,106 @@ def _fake_features(payloads: pd.Series) -> list[np.ndarray]:
 
 
 def decode_stub(payload: bytes, modality: str):
-    """Compressed-container decode (JPEG/PNG/MP4/...) would go here
-    (PIL/torchaudio/ffmpeg) — not available in this environment. The
-    uncompressed formats below decode for real."""
+    """Codec-bound container decode (JPEG/MP4/...) would go here
+    (PIL/torchaudio/ffmpeg) — not available in this environment. PNG and
+    the uncompressed formats below decode for real."""
     raise NotImplementedError(
         f"media decode for {modality} requires codec libraries not present in this container"
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 RGB. Stdlib zlib inflate + numpy filter
+    reconstruction (PNG spec §9: None/Sub/Up/Average/Paeth), 8-bit
+    depth, color types 0/2/3/4/6, non-interlaced. Sub rows reconstruct as
+    a mod-256 prefix sum (vectorized); Average/Paeth scan pixels
+    left-to-right vectorized across channels. Alpha is dropped, gray is
+    replicated, palettes are resolved via PLTE."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, i)
+        cid = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        i += 12 + size  # len + type + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    ch = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = int(filters[r])
+        line = data[r].astype(np.int32)
+        up = recon[r - 1].astype(np.int32) if r else zero_row
+        if f == 0:  # None
+            recon[r] = line
+        elif f == 1:  # Sub: mod-256 prefix sum per channel lane
+            recon[r] = (np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64) & 255).reshape(-1)
+        elif f == 2:  # Up
+            recon[r] = (line + up) & 255
+        elif f == 3:  # Average
+            cur = np.empty((w, ch), dtype=np.int32)
+            lw, uw = line.reshape(w, ch), up.reshape(w, ch)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                left = (lw[x] + ((left + uw[x]) >> 1)) & 255
+                cur[x] = left
+            recon[r] = cur.reshape(-1)
+        elif f == 4:  # Paeth
+            cur = np.empty((w, ch), dtype=np.int32)
+            lw, uw = line.reshape(w, ch), up.reshape(w, ch)
+            left = np.zeros(ch, dtype=np.int32)
+            ul = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                p = left + uw[x] - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - uw[x]), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, uw[x], ul)
+                )
+                left = (lw[x] + pred) & 255
+                cur[x] = left
+                ul = uw[x]
+            recon[r] = cur.reshape(-1)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    img = recon.reshape(h, w, ch)
+    if ctype == 3:  # palette
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[img[:, :, 0]]
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return img[:, :, :3].copy()
+    return img
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -226,6 +322,8 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def decode_features(payload: bytes, mime: str) -> np.ndarray:
     """Dispatch a real decode + feature extraction by mime type."""
+    if mime == "image/png":
+        return image_features(decode_png(bytes(payload)))
     if mime in ("image/ppm", "image/x-portable-pixmap"):
         return image_features(decode_ppm(bytes(payload)))
     if mime == "image/bmp":

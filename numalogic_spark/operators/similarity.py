@@ -25,6 +25,13 @@ from numalogic_spark.operators.dedup import cosine_expr
 # (one copy per executor, BLAS matmul per batch).
 _LITERAL_BUDGET = 2048
 
+# centroid_cosine inlines `dim` decimal aggregate columns below this bound;
+# above it (real embedding dims: 768/1536/4096) the plan switches to a
+# posexplode long-skinny aggregate with identical numerics. Lower than
+# _LITERAL_BUDGET because each inline column is a full aggregate expression,
+# not a literal leaf.
+_CENTROID_INLINE_DIMS = 256
+
 
 def brute_force_topk(
     df: DataFrame,
@@ -176,6 +183,7 @@ def ivf_train_centroids(
     seed: int = 42,
     presample_fraction: float | None = None,
     portable_order_id: str | None = None,
+    auto_presample_rows: int | None = 1_000_000,
 ) -> np.ndarray:
     """IVF coarse quantizer: deterministic mini k-means on a seeded sample.
 
@@ -185,18 +193,33 @@ def ivf_train_centroids(
     numpy. NULL and zero-norm embeddings are excluded from training (they
     carry no direction on the unit sphere).
 
-    The xxhash64 TakeOrdered avoids a full shuffle but still scans and
-    hashes the whole corpus; at 10^12 rows pass `presample_fraction`
-    (e.g. 1e-6) so the scan short-circuits at the parquet row-group level
-    (Bernoulli sample pushes down) before the hash-order top-k. Train ONCE
-    and persist the codebook — don't re-train per query.
+    The xxhash64 TakeOrdered avoids a full shuffle but hashes every row it
+    sees, so presampling is ON BY DEFAULT at scale: when the corpus
+    exceeds ``auto_presample_rows`` (counted metadata-only, pre-filter — a
+    columnar count reads no data pages), a seeded Bernoulli sample with
+    ~50× oversampling vs ``sample_rows`` is inserted below the top-k, so
+    the hash-order stage sees a bounded row stream. Pass
+    ``presample_fraction`` explicitly to override, or
+    ``auto_presample_rows=None`` to force the exact full-corpus order.
+    Train ONCE and persist the codebook (``save_codebook``) — don't
+    re-train per query.
 
     ``portable_order_id``: order the sample by the PORTABLE hash of this
     id column (sampling.uniform_hash_unit) instead of xxhash64 — an
     external replayer (the DuckDB oracle generator) can then reproduce the
     exact sample order, and with kmeans_fit shared, the exact codebook.
+    Auto-presample is disabled on this path (the oracle must see the same
+    row universe).
     """
     src = df.filter(F.col(vec_col).isNotNull())
+    if (
+        presample_fraction is None
+        and portable_order_id is None
+        and auto_presample_rows is not None
+    ):
+        n_raw = df.count()  # metadata-only on parquet/Iceberg (no filter)
+        if n_raw > auto_presample_rows:
+            presample_fraction = min(1.0, 50.0 * sample_rows / n_raw)
     if presample_fraction is not None:
         src = src.sample(fraction=presample_fraction, seed=seed)
     if portable_order_id is not None:
@@ -244,6 +267,27 @@ def _ivf_assign_kernel(vec_col: str, centroids: np.ndarray):
         return pd.Series((m @ cents_t).argmax(axis=1).astype(np.int32))
 
     return assign(F.col(vec_col))
+
+
+def save_codebook(path: str, centroids: np.ndarray) -> None:
+    """Persist a trained IVF codebook as a replayable JSON artifact (the
+    registry analog — train once, reuse across probe jobs; exact float
+    roundtrip via hex)."""
+    import json
+
+    arr = np.asarray(centroids, dtype=np.float64)
+    with open(path, "w") as f:
+        json.dump(
+            {"shape": list(arr.shape), "hex": [v.hex() for v in arr.reshape(-1)]}, f
+        )
+
+
+def load_codebook(path: str) -> np.ndarray:
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    return np.array([float.fromhex(h) for h in obj["hex"]]).reshape(obj["shape"])
 
 
 def ivf_build_index(
@@ -334,30 +378,52 @@ def centroid_cosine(
     GROUP CENTROID (per-dimension mean). Low scores mark outliers — the
     standard embedding-space filter for mislabeled/degenerate documents.
 
-    Returns (id, group, cos_to_centroid). Plan: one groupBy computing the
-    per-dim means as dim aggregate columns (inline expressions — fine to a
-    few hundred dims, the same inlining boundary as the SRP/IVF expression
-    paths), a broadcast join of the tiny centroid frame, and a zip_with
-    fold per row. NULL vectors are excluded. The per-dim mean sums in
-    DECIMAL (exact, order-independent) before the final double divide —
-    a double partial-agg sum varies with reducer merge order and would
-    make the hash-gated oracle comparison flaky at rounding edges."""
+    Returns (id, group, cos_to_centroid). Plan, below
+    `_CENTROID_INLINE_DIMS`: one groupBy computing the per-dim means as dim
+    inline aggregate columns, a broadcast join of the tiny centroid frame,
+    and a zip_with fold per row. Above it (production embedding dims,
+    768-4096), the inline plan blows up — dim decimal aggregates explode
+    codegen and plan serialization — so the centroid flips to a
+    posexplode→groupBy(group, pos) long-skinny aggregate with the SAME
+    decimal-sum numerics (bit-identical means, asserted in
+    tests/test_similarity.py) and a bounded plan: map-side partial agg
+    collapses the exploded rows to n_groups·dim per partition before the
+    shuffle, so shuffle volume is independent of row count. NULL vectors
+    are excluded. The per-dim mean sums in DECIMAL (exact,
+    order-independent) before the final double divide — a double
+    partial-agg sum varies with reducer merge order and would make the
+    hash-gated oracle comparison flaky at rounding edges."""
     df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(vec_col).first()
     if first is None:
         raise ValueError("no non-null embeddings")
     dim = len(first[0])
     v = F.col(vec_col).cast("array<double>")
-    cents = df.groupBy(group_col).agg(
-        *[
-            # exact decimal sum -> double -> IEEE divide: each step is
-            # order-independent and engine-identical (a decimal QUOTIENT's
-            # scale/rounding would differ per engine)
-            (F.sum(v[i].cast("decimal(27,12)")).cast("double") / F.count(F.lit(1)))
-            .alias(f"_c{i}")
-            for i in range(dim)
-        ]
-    ).select(group_col, F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("_cent"))
+    if dim > _CENTROID_INLINE_DIMS:
+        # exact decimal sum -> double -> IEEE divide, identical arithmetic
+        # to the inline branch, just in long-skinny shape.
+        cents = (
+            df.select(F.col(group_col), F.posexplode(v).alias("_pos", "_val"))
+            .groupBy(group_col, "_pos")
+            .agg(
+                (F.sum(F.col("_val").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1)))
+                .alias("_mean")
+            )
+            .groupBy(group_col)
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_mean"))).alias("_pm"))
+            .select(F.col(group_col), F.col("_pm._mean").alias("_cent"))
+        )
+    else:
+        cents = df.groupBy(group_col).agg(
+            *[
+                # exact decimal sum -> double -> IEEE divide: each step is
+                # order-independent and engine-identical (a decimal QUOTIENT's
+                # scale/rounding would differ per engine)
+                (F.sum(v[i].cast("decimal(27,12)")).cast("double") / F.count(F.lit(1)))
+                .alias(f"_c{i}")
+                for i in range(dim)
+            ]
+        ).select(group_col, F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("_cent"))
     joined = df.join(F.broadcast(cents), group_col)
     return joined.select(
         F.col(id_col),

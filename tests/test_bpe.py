@@ -1,0 +1,173 @@
+"""BPE tokenizer: trainer vs naive reference, hand-computed merges,
+kernel-vs-driver encode equality, roundtrip, and pack invariants on BPE
+output (VERDICT.md round-2 task 4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from numalogic_spark.functions.bpe import (
+    BpeVocab,
+    bpe_encode,
+    decode_ids,
+    encode_text,
+    encode_word,
+    pretokenize,
+    tokenize_corpus,
+    train_bpe,
+    train_bpe_from_word_counts,
+    word_counts_df,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the dog barks at the quick fox",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz judge my vow",
+    "how vexingly quick daft zebras jump",
+    "the five boxing wizards jump quickly",
+    "jived fox nymph grabs quick waltz 123 456!",
+    "mr. jock tv quiz phd bags few lynx, don't stop",
+]
+
+
+def naive_train(word_counts: dict[str, int], n_merges: int) -> list[tuple[int, int]]:
+    """Brute-force reference: recount every pair from scratch each step."""
+    words = {w: list(w.encode("utf-8")) for w in word_counts}
+    merges = []
+    for step in range(n_merges):
+        pc: dict[tuple[int, int], int] = {}
+        for w, ids in words.items():
+            c = word_counts[w]
+            for q in zip(ids, ids[1:]):
+                pc[q] = pc.get(q, 0) + c
+        pc = {q: c for q, c in pc.items() if c > 0}
+        if not pc:
+            break
+        best = min(pc, key=lambda q: (-pc[q], q))
+        new_id = 256 + step
+        merges.append(best)
+        for w, ids in words.items():
+            out, i = [], 0
+            while i < len(ids):
+                if i < len(ids) - 1 and (ids[i], ids[i + 1]) == best:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(ids[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_trainer_hand_computed():
+    # "aaab"x10, "ab"x5: pairs (a,a)=20 beats (a,b)=15 -> merge0=(97,97)
+    # then "aaab"=[256,97,98]: (256,97)=10 < (97,98)=15 -> merge1=(97,98)
+    v = train_bpe_from_word_counts({"aaab": 10, "ab": 5}, 2)
+    assert v.merges == [(97, 97), (97, 98)]
+    assert encode_word(b"aaab", v.ranks) == [256, 257]
+    assert encode_word(b"aaaa", v.ranks) == [256, 256]
+
+
+def test_trainer_matches_naive_reference():
+    rng = np.random.default_rng(3)
+    alphabet = "abcdefgh "
+    wc = {}
+    for _ in range(200):
+        w = "".join(rng.choice(list(alphabet), size=rng.integers(1, 9)))
+        wc[w] = wc.get(w, 0) + int(rng.integers(1, 50))
+    got = train_bpe_from_word_counts(wc, 40).merges
+    exp = naive_train(wc, 40)
+    assert got == exp
+
+
+def test_encode_decode_roundtrip():
+    wc = {}
+    for line in CORPUS:
+        for w in pretokenize(line):
+            wc[w] = wc.get(w, 0) + 1
+    v = train_bpe_from_word_counts(wc, 60)
+    for line in CORPUS:
+        ids = encode_text(line, v)
+        assert decode_ids(ids, v) == line
+        # merges compress: fewer tokens than bytes
+        assert len(ids) < len(line.encode("utf-8"))
+
+
+def test_vocab_persistence_roundtrip(tmp_path):
+    v = train_bpe_from_word_counts({"hello": 5, "help": 3}, 10)
+    p = str(tmp_path / "vocab.json")
+    v.save(p)
+    v2 = BpeVocab.load(p)
+    assert v2.merges == v.merges
+    assert encode_text("hello help", v2) == encode_text("hello help", v)
+
+
+def test_word_counts_df_matches_python(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": CORPUS}))
+    got = {r["word"]: r["cnt"] for r in word_counts_df(df).collect()}
+    exp: dict[str, int] = {}
+    for line in CORPUS:
+        for w in pretokenize(line):
+            exp[w] = exp.get(w, 0) + 1
+    assert got == exp
+
+
+def test_spark_train_and_kernel_encode_match_driver(spark):
+    pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(CORPUS))],
+                        "source": ["s0"] * len(CORPUS), "text": CORPUS})
+    df = spark.createDataFrame(pdf)
+    v = train_bpe(df, n_merges=60)
+    # distributed-count training == local training on the same corpus
+    wc: dict[str, int] = {}
+    for line in CORPUS:
+        for w in pretokenize(line):
+            wc[w] = wc.get(w, 0) + 1
+    assert v.merges == train_bpe_from_word_counts(wc, 60).merges
+
+    enc = bpe_encode(df, v).orderBy("doc_id").collect()
+    for r in enc:
+        assert r["tokens"] == encode_text(r["text"], v), r["doc_id"]
+
+
+def test_tokenize_corpus_pack_invariants(spark):
+    """Pack invariants (tests/test_tokens.py semantics) hold on BPE output:
+    token mass conserved, every pack full except the last per source."""
+    from numalogic_spark.operators.tokens import pack_tokens
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(len(CORPUS) * 4)],
+            "source": [f"s{i % 2}" for i in range(len(CORPUS) * 4)],
+            "text": CORPUS * 4,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    v = train_bpe(df, n_merges=40)
+    tok = tokenize_corpus(df, v)
+    total = tok.agg(F.sum("n_tok")).collect()[0][0]
+    packs = pack_tokens(tok, 64).toPandas()
+    assert int(packs["n_tok"].sum()) == int(total)
+    for src, g in packs.groupby("source"):
+        g = g.sort_values("pack_id")
+        assert (g["n_tok"].iloc[:-1] == 64).all()
+        assert 0 < g["n_tok"].iloc[-1] <= 64
+    # pack contents are the concatenation of per-doc encodings in id order
+    one = packs[packs["source"] == "s0"].sort_values("pack_id")
+    flat = [t for row in one["tokens"] for t in row]
+    exp_flat = []
+    for i in sorted(pdf.index[pdf["source"] == "s0"], key=lambda i: pdf["doc_id"][i]):
+        exp_flat.extend(encode_text(pdf["text"][i], v))
+    assert flat == exp_flat
+
+
+def test_encode_null_and_empty(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "text": [None, ""]}),
+        "doc_id string, text string",
+    )
+    v = BpeVocab(merges=[(97, 98)])
+    got = bpe_encode(df, v).orderBy("doc_id").collect()
+    assert got[0]["tokens"] is None
+    assert got[1]["tokens"] == []

@@ -129,3 +129,146 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(media, every_ms=1000).toPandas()
     assert frames["frame_ms"].tolist() == [0, 1000, 2000, 3000, 4000, 5000]
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (VERDICT.md round-2 task 5): encoder implemented here from the
+# PNG spec, independently of the decoder under test.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+import zlib as _zlib
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    return (
+        _struct.pack(">I", len(body)) + cid + body
+        + _struct.pack(">I", _zlib.crc32(cid + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(img: np.ndarray, filter_type: int, ctype: int = 2,
+               palette: np.ndarray | None = None) -> bytes:
+    """Minimal spec-faithful PNG writer: every row uses `filter_type`."""
+    h, w = img.shape[:2]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        cur = flat[r]
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            out = (cur - left) & 255
+        elif filter_type == 2:
+            out = (cur - prev) & 255
+        elif filter_type == 3:
+            out = np.empty_like(cur)
+            for x in range(w * ch):
+                left = cur[x - ch] if x >= ch else 0
+                out[x] = (cur[x] - ((left + prev[x]) >> 1)) & 255
+        elif filter_type == 4:
+            out = np.empty_like(cur)
+            for x in range(w * ch):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                out[x] = (cur[x] - _paeth(a, b, c)) & 255
+        lines.append(bytes([filter_type]) + bytes(out.astype(np.uint8)))
+        prev = cur
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    chunks = [_png_chunk(b"IHDR", ihdr)]
+    if ctype == 3:
+        chunks.append(_png_chunk(b"PLTE", bytes(palette.astype(np.uint8).reshape(-1))))
+    chunks.append(_png_chunk(b"IDAT", _zlib.compress(b"".join(lines))))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(filter_type):
+    from numalogic_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(10 + filter_type)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    got = decode_png(encode_png(img, filter_type, ctype=2))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_png_color_types():
+    from numalogic_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(77)
+    # grayscale -> replicated channels
+    g = rng.integers(0, 256, size=(6, 5, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(g, 4, ctype=0)), np.repeat(g, 3, axis=2)
+    )
+    # gray+alpha -> alpha dropped
+    ga = rng.integers(0, 256, size=(6, 5, 2), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(ga, 1, ctype=4)), np.repeat(ga[:, :, :1], 3, axis=2)
+    )
+    # RGBA -> alpha dropped
+    rgba = rng.integers(0, 256, size=(4, 7, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(rgba, 3, ctype=6)), rgba[:, :, :3]
+    )
+    # palette
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(8, 8, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(idx, 2, ctype=3, palette=pal)), pal[idx[:, :, 0]]
+    )
+
+
+def test_png_rejects_malformed():
+    from numalogic_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    good = encode_png(img, 0)
+    with pytest.raises(ValueError):
+        decode_png(good[:40])  # truncated: missing IDAT
+
+
+def test_png_features_flow_through_spark(spark):
+    """PNG payloads run the REAL encoder path end-to-end in extract_features."""
+    from numalogic_spark.operators.multimodal import (
+        decode_png,
+        extract_features,
+        image_features,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i, f in enumerate([0, 1, 2, 3, 4]):
+        img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+        rows.append(
+            {
+                "doc_id": f"png{i}",
+                "modality": "image",
+                "payload": bytearray(encode_png(img, f)),
+                "meta": {"mime": "image/png", "width": 12, "height": 16,
+                         "duration_ms": None},
+            }
+        )
+    from numalogic_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    got = {r["doc_id"]: np.array(r["features"]) for r in extract_features(df).collect()}
+    for i, row in enumerate(rows):
+        exp = image_features(decode_png(bytes(row["payload"])))
+        np.testing.assert_allclose(got[f"png{i}"], exp, rtol=1e-6)

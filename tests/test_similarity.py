@@ -217,3 +217,110 @@ def test_centroid_cosine_matches_numpy(spark):
             assert abs(got.loc[m, "cos_to_centroid"] - exp) < 1e-9, m
     inliers = [f"v0_{i}" for i in range(10)]
     assert got.loc["outlier", "cos_to_centroid"] < min(got.loc[m, "cos_to_centroid"] for m in inliers) - 0.5
+
+
+def test_centroid_cosine_high_dim_exploded_path(spark):
+    """dim > _CENTROID_INLINE_DIMS must flip to the posexplode long-skinny
+    centroid: bit-identical scores to the inline-branch numerics, and a plan
+    whose size is bounded (no per-dim aggregate expression blowup)."""
+    import numpy as np
+    import pandas as pd
+
+    from numalogic_spark.operators import similarity as S
+
+    dim = 512
+    assert dim > S._CENTROID_INLINE_DIMS
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((60, dim)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [f"v{i}" for i in range(60)],
+            "label": np.arange(60) % 3,
+            "embedding": [r.tolist() for r in x],
+        }
+    )
+    df = spark.createDataFrame(pdf, "vec_id string, label int, embedding array<float>")
+
+    got = S.centroid_cosine(df)
+    # bounded plan: the analyzed string must not scale with dim (the old
+    # inline branch embedded `dim` decimal aggregate columns ~100 chars each)
+    plan = got._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, f"plan string {len(plan)} chars — per-dim blowup"
+    got_pd = got.toPandas().set_index("vec_id")["cos_to_centroid"]
+
+    # bit-identical to the inline branch run on the same data
+    try:
+        S._CENTROID_INLINE_DIMS = 10_000
+        inline_pd = (
+            S.centroid_cosine(df).toPandas().set_index("vec_id")["cos_to_centroid"]
+        )
+    finally:
+        S._CENTROID_INLINE_DIMS = 256
+    assert (got_pd.sort_index().to_numpy() == inline_pd.sort_index().to_numpy()).all()
+
+    # and correct vs a numpy oracle
+    x64 = x.astype(np.float64)
+    for g in range(3):
+        m = pdf["label"].to_numpy() == g
+        cent = x64[m].mean(axis=0)
+        exp = x64[m] @ cent / (np.linalg.norm(x64[m], axis=1) * np.linalg.norm(cent))
+        ids = pdf["vec_id"][m].tolist()
+        np.testing.assert_allclose(got_pd.loc[ids].to_numpy(), exp, atol=1e-9)
+
+
+def test_ivf_auto_presample_bounds_training_scan(spark):
+    """Above auto_presample_rows the training plan must contain a Sample
+    below the top-k, so the hash-order stage sees a bounded stream; below
+    the threshold (and on the portable/replayable path) it must not."""
+    import numpy as np
+    import pandas as pd
+
+    from numalogic_spark.operators import similarity as S
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((300, 16))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [r.tolist() for r in x]})
+    )
+
+    captured = {}
+    orig_sample = type(df).sample
+
+    def spy(self, *a, **kw):
+        captured["fraction"] = kw.get("fraction", a[0] if a else None)
+        return orig_sample(self, *a, **kw)
+
+    type(df).sample = spy
+    try:
+        # corpus (300) > threshold (100): auto presample kicks in
+        c1 = S.ivf_train_centroids(df, n_centroids=4, sample_rows=2,
+                                   auto_presample_rows=100)
+        assert 0 < captured["fraction"] <= 1.0
+        assert captured["fraction"] == min(1.0, 50.0 * 2 / 300)
+        captured.clear()
+        # below threshold: no sample inserted
+        S.ivf_train_centroids(df, n_centroids=4, sample_rows=2,
+                              auto_presample_rows=1000)
+        assert "fraction" not in captured
+        # replayable portable path never auto-presamples
+        S.ivf_train_centroids(df, n_centroids=4, sample_rows=2,
+                              portable_order_id="vec_id",
+                              auto_presample_rows=100)
+        assert "fraction" not in captured
+    finally:
+        type(df).sample = orig_sample
+    # and the presampled codebook still trains something usable
+    assert c1.shape[1] == 16
+
+
+def test_codebook_save_load_roundtrip(tmp_path):
+    import numpy as np
+
+    from numalogic_spark.operators.similarity import load_codebook, save_codebook
+
+    c = np.random.default_rng(0).standard_normal((8, 32))
+    p = str(tmp_path / "codebook.json")
+    save_codebook(p, c)
+    got = load_codebook(p)
+    assert got.shape == c.shape
+    assert (got == c).all()  # exact (hex) roundtrip

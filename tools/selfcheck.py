@@ -72,9 +72,25 @@ def main() -> int:
         bad = None
         for c in got.columns:
             a, b = got[c], exp[c]
-            if a.dtype.kind in "fc" or b.dtype.kind in "fc":
-                if not np.allclose(
-                    a.to_numpy(dtype=float), b.to_numpy(dtype=float), atol=1e-9, rtol=0, equal_nan=True
+            # Dtype-strict like the driver's value-hash gate: an int64 Spark
+            # column vs a float64 oracle column (e.g. an uncast DuckDB sum()
+            # -> HUGEINT -> float64) must FAIL, not silently pass via a float
+            # allclose branch. Numeric kinds must agree on int-vs-float.
+            ka = "f" if a.dtype.kind in "fc" else ("i" if a.dtype.kind in "iu" else a.dtype.kind)
+            kb = "f" if b.dtype.kind in "fc" else ("i" if b.dtype.kind in "iu" else b.dtype.kind)
+            if ka != kb:
+                print(
+                    f"FAIL {name}: column {c} dtype kind mismatch "
+                    f"spark={a.dtype} oracle={b.dtype} (driver hash would differ)"
+                )
+                bad = c
+                break
+            if ka == "f":
+                # Exact float equality: every oracle rounds to 6dp via
+                # floor(x*1e6+0.5)/1e6 on both engines, so bit-equality is the
+                # driver-faithful expectation (the driver hashes raw values).
+                if not np.array_equal(
+                    a.to_numpy(dtype=float), b.to_numpy(dtype=float), equal_nan=True
                 ):
                     bad = c
                     break
