@@ -1183,20 +1183,28 @@ def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIXTURE_SQL = r"""
-WITH d AS (
+WITH wt(source, weight) AS (
+  -- the engine's weight DICT seeded verbatim (mirrors mixture_plan's
+  -- left-join-from-weights): a weighted source absent from the data must
+  -- surface with n_tok_total 0 / rate 0 / full-target shortfall
+  SELECT 'src' || CAST(i AS VARCHAR),
+         (CASE WHEN i < 10 THEN 3.0 ELSE 1.0 END) / 40.0
+  FROM (SELECT unnest(generate_series(0, 19)) AS i)
+), d AS (
   SELECT source,
          len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS n_tok
   FROM documents
 ), per_src AS (
   SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok_total FROM d GROUP BY 1
 ), w AS (
-  SELECT source, n_tok_total,
-         (CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 3.0 ELSE 1.0 END) / 40.0 AS weight
-  FROM per_src
+  SELECT wt.source, coalesce(per_src.n_tok_total, 0) AS n_tok_total, wt.weight
+  FROM wt LEFT JOIN per_src USING (source)
 ), m AS (
   SELECT source, n_tok_total, weight,
          weight * 10000.0 AS target_tokens,
-         least(1.0, weight * 10000.0 / n_tok_total) AS rate
+         CASE WHEN n_tok_total > 0
+              THEN least(1.0, weight * 10000.0 / n_tok_total)
+              ELSE 0.0 END AS rate
   FROM w
 )
 SELECT source, n_tok_total,
@@ -1428,6 +1436,7 @@ WITH docs AS (
          list_distinct(list_transform(
            generate_series(1, greatest(length(t) - {n - 1}, 1)), i -> {code})) AS codes
   FROM (SELECT doc_id, lower(text) AS t FROM documents)
+  WHERE len(trim(t)) > 0  -- engine's degenerate-doc guard
 ), hs AS (
   SELECT id, list_transform(codes, c -> c % {p}) AS h FROM docs
 ), sig AS (
@@ -1526,6 +1535,7 @@ WITH words AS (
   SELECT doc_id AS id,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
   FROM documents
+  WHERE len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) > 0
 ), packs AS (
   SELECT id,
          list_transform(ws, w -> {lo}) AS plo,

@@ -16,6 +16,12 @@ one-line JSON summary.
 Dedup is a GLOBAL decision (a pair can straddle any two input splits), so
 unlike the rollup job it does not run under the bucket-granular manifest —
 re-runs are full runs; the output write is an atomic overwrite.
+
+Ordering note: this job applies NO quality filter — empty/whitespace docs
+are dropped from near-dup candidate generation by the pair generators
+themselves (degenerate-signature guard in operators/dedup.py) but still
+pass through to the kept corpus. Run prep_job (quality → lang → dedup)
+when garbage docs should be removed rather than merely not paired.
 """
 
 from __future__ import annotations

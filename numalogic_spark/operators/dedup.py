@@ -176,9 +176,13 @@ def char_shingle_codes(text_col: str | Column, n: int = 3, distinct: bool = True
     and language-ID consumers).
 
     code(s) = Σ codepoint(s[j])·SHINGLE_BASE^(n-1-j): an EXACT integer id of
-    the n-gram (no hash collisions), cheaper than carrying n-char strings
-    through joins, and recomputable in the DuckDB oracle. Needs
-    SHINGLE_BASE^n < 2^63 → n ≤ 3 at full-Unicode base.
+    the n-gram (no hash collisions) — exact for FULL-LENGTH shingles; the
+    trailing boundary shingles of a text shorter than its window are
+    NUL-padded, so a boundary shingle shares its code with the same prefix
+    followed by real U+0000 codepoints (harmless for the similarity
+    consumers here, which compare whole code sets). Cheaper than carrying
+    n-char strings through joins, and recomputable in the DuckDB oracle.
+    Needs SHINGLE_BASE^n < 2^63 → n ≤ 3 at full-Unicode base.
 
     The text is split into a codepoint array ONCE (let-bound), then each
     shingle reads it with O(1) element lookups — substr(t, i, 1) seeks from
@@ -323,6 +327,27 @@ def sig_est_jaccard(sig_a: Column | str, sig_b: Column | str, num_hashes: int) -
     )
 
 
+def _materialize(df: DataFrame, mode) -> DataFrame:
+    """Cut a diamond DAG once, by caller-chosen mode:
+
+    - ``True`` (default): ``localCheckpoint`` — EAGER (runs a Spark job at
+      plan-construction time) and NOT fault-tolerant: checkpointed blocks
+      live only on their executors, so an executor loss fails the job
+      instead of recomputing. Right for single-JVM/local runs.
+    - ``"persist"``: lazy ``persist(MEMORY_AND_DISK)`` — fault-tolerant
+      (lineage retained, lost blocks recompute) and the right choice on a
+      real cluster; the caller owns the release (``df.unpersist()`` on the
+      RETURNED frame, or ``spark.catalog.clearCache()``).
+    - ``False``: no materialization — fully lazy, subtree re-evaluated per
+      join side (~4×).
+    """
+    if mode == "persist":
+        return df.persist()
+    if mode:
+        return df.localCheckpoint()
+    return df
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -333,7 +358,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 1,
     est_margin: float | None = 0.1,
-    materialize: bool = True,
+    materialize: bool | str = True,
     use_kernel: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding proposes candidates, a signature-
@@ -360,17 +385,20 @@ def minhash_lsh_pairs(
             f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
         )
     rows = num_hashes // bands
-    base = ensure_parallelism(df).select(
+    # Degenerate-doc guard: empty/whitespace/null texts all shingle to the
+    # same padded code, land in one LSH bucket and pair QUADRATICALLY as
+    # fake hamming/jaccard matches — drop them before signature generation
+    # (run a quality filter first if they should be deduped some other way).
+    nonempty = df.filter(F.length(F.trim(F.lower(F.col(text_col)))) > 0)
+    base = ensure_parallelism(nonempty).select(
         F.col(id_col).alias("id"), char_shingle_codes(text_col, shingle_n).alias("codes")
     )
     # The DAG is a diamond: base feeds the band self-join (both sides) AND
     # both verification joins — Spark does not dedup identical subtrees
     # across join sides, so without materialization the shingle encoding
-    # runs 4×. localCheckpoint (blocks auto-freed on GC, lineage truncated)
-    # is the standard remedy; at cluster scale you'd persist the signature
-    # table for exactly the same reason. Measured ~2.5× cold / 1.4× warm.
-    if materialize:
-        base = base.localCheckpoint()
+    # runs 4×. Measured ~2.5× cold / 1.4× warm. See _materialize for the
+    # laziness / fault-tolerance tradeoff between the modes.
+    base = _materialize(base, materialize)
     # Candidate generation: the band self-join carries (id, band hash, sig)
     # — signatures ride along (~num_hashes longs) so the estimate filter
     # runs inline; the (much larger) shingle arrays never travel through
@@ -399,8 +427,7 @@ def minhash_lsh_pairs(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
         F.col("bb.sig").alias("sig"),
     )
-    if materialize:
-        slim = slim.localCheckpoint()  # signature table read by BOTH join sides
+    slim = _materialize(slim, materialize)  # read by BOTH join sides
     a, b = slim.alias("a"), slim.alias("b")
     cond = (
         (F.col("a.band") == F.col("b.band"))
@@ -730,7 +757,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    materialize: bool = True,
+    materialize: bool | str = True,
     use_kernel: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by 124-bit SimHash: band on (max_hamming+1) chunks —
@@ -747,17 +774,21 @@ def simhash_near_pairs(
     per_long = (n_chunks + 1) // 2
     if 62 // per_long < 4:
         raise ValueError("max_hamming too large: chunks need >= 4 bits")
+    # Degenerate-doc guard: zero-word docs all collapse to signature (0,0)
+    # and would pair quadratically as hamming-0 "near-dups" of each other.
+    df = df.filter(
+        F.size(F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")) > 0
+    )
     # signature: Arrow kernel by default — bit-identical to the expression
     # path (tested) and ~10× faster; unlike MinHash the signature IS the
     # dominant stage here (per-word interpreted folds), so the kernel wins
     # even at small corpora. The expression path remains for Arrow-less
     # environments and as the oracle-shaped reference.
     sh = (simhash_via_kernel if use_kernel else simhash)(df, text_col, id_col)
-    if materialize:
-        # same diamond as MinHash: sh feeds the chunk self-join (both
-        # sides) and both hamming-verify joins — materialize the tiny
-        # (id, 2×long) signature table once
-        sh = sh.localCheckpoint()
+    # same diamond as MinHash: sh feeds the chunk self-join (both sides)
+    # and both hamming-verify joins — materialize the tiny (id, 2×long)
+    # signature table once (see _materialize for the mode tradeoffs)
+    sh = _materialize(sh, materialize)
     chunk_vals = _chunk_exprs("sim_lo", 62, per_long) + _chunk_exprs("sim_hi", 62, n_chunks - per_long)
     # At max_hamming=0 the single 62-bit chunk on sim_lo is not a complete
     # key for 124-bit equality, so verification below is still required.

@@ -224,13 +224,17 @@ def streaming_minhash_candidates(
                     out_a.append(a)
                     out_b.append(b)
                     out_e.append(est)
-            batch_ids.append(row["id"])
-            batch_sigs.append(sig)
             # at-least-once replay guard: a re-delivered id must not burn a
-            # second state slot
+            # second state slot. Rows that DID enter state are visible to
+            # later batch rows via `ids` — adding them to batch_ids too
+            # would make later rows compare against them twice (duplicate
+            # emission, masked only by downstream dropDuplicates).
             if len(ids) < max_bucket and row["id"] not in ids:
                 ids.append(row["id"])
                 sigs.append(sig)
+            else:
+                batch_ids.append(row["id"])
+                batch_sigs.append(sig)
         state.update((ids, [int(x) for s in sigs for x in s]))
         if state_ttl is not None:
             state.setTimeoutDuration(state_ttl)

@@ -393,3 +393,35 @@ def test_clusters_driver_and_iterative_paths_agree(spark):
     assert fast.equals(slow)
     got = fast.set_index("id")["cluster_id"].to_dict()
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "p": "p", "q": "p", "r": "p"}
+
+
+def test_degenerate_docs_excluded_from_near_dup_pairs(spark):
+    """Empty/whitespace/null texts must not pair with each other (they all
+    collapse to one degenerate signature/bucket) — ADVICE round-2."""
+    import pandas as pd
+
+    from numalogic_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(6)],
+            "text": ["", "   ", None, "\t\n ", "real document body here words", ""],
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id string, text string")
+    assert minhash_lsh_pairs(df, threshold=0.0).count() == 0
+    assert simhash_near_pairs(df, max_hamming=8).count() == 0
+
+
+def test_materialize_persist_mode(spark, corpus):
+    """materialize='persist' must produce identical pairs lazily (no eager
+    localCheckpoint job) and remain releasable by the caller."""
+    from numalogic_spark.operators.dedup import minhash_lsh_pairs
+
+    df, _ = corpus
+    eager = minhash_lsh_pairs(df, threshold=0.8).toPandas()
+    lazy = minhash_lsh_pairs(df, threshold=0.8, materialize="persist")
+    got = lazy.toPandas()
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b"]].to_numpy()))
+    assert key(got) == key(eager)
+    spark.catalog.clearCache()
