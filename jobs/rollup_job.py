@@ -50,6 +50,10 @@ def main() -> None:
     ap.add_argument("--manifest", required=True)
     ap.add_argument("--gen-rows", type=int, default=0, help="generate the input first (smoke)")
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--max-age-sec", type=float, default=None,
+                    help="recompute buckets whose manifest entry is older (staleness TTL)")
+    ap.add_argument("--snapshot-id", default=None,
+                    help="upstream snapshot token; buckets recorded under a different one recompute")
     args = ap.parse_args()
 
     spark = get_spark("rollup_job")
@@ -82,7 +86,8 @@ def main() -> None:
     ).write.mode("overwrite").parquet(args.manifest + "_bucket_invariants")
 
     summary = run_with_manifest(
-        spark, df, tier_job, args.output, args.manifest, n_buckets=args.buckets
+        spark, df, tier_job, args.output, args.manifest, n_buckets=args.buckets,
+        max_age_sec=args.max_age_sec, snapshot_id=args.snapshot_id,
     )
 
     h1m = merge_histogram(hb, "minute")  # drop the bucket key: global 1m histogram
@@ -102,10 +107,12 @@ def main() -> None:
     gf_summary = run_with_manifest(
         spark, t1m, gapfill_stage, args.output + "_gapfill", args.manifest + "_gapfill",
         id_col="source", ts_col="bucket_ts", n_buckets=args.buckets,
+        max_age_sec=args.max_age_sec, snapshot_id=args.snapshot_id,
     )
     cp_summary = run_with_manifest(
         spark, t1m, compress_stage, args.output + "_blocks", args.manifest + "_blocks",
         id_col="source", ts_col="bucket_ts", n_buckets=args.buckets,
+        max_age_sec=args.max_age_sec, snapshot_id=args.snapshot_id,
     )
 
     out = {

@@ -57,11 +57,17 @@ def bucket_fingerprints(df: DataFrame, id_col: str, ts_col: str, n_buckets: int)
 
 def load_manifest(spark: SparkSession, manifest_path: str) -> DataFrame | None:
     """Latest entry per bucket. Reads through Spark (works for s3a/hdfs/
-    local alike); a missing or unreadable manifest means a fresh run."""
+    local alike); a missing or unreadable manifest means a fresh run.
+    mergeSchema handles manifests written before the staleness columns
+    (completed_at, snapshot_id) existed; missing columns read as null,
+    which the staleness filters treat as 'unknown age/origin' → stale."""
     try:
-        m = spark.read.parquet(manifest_path)
+        m = spark.read.option("mergeSchema", "true").parquet(manifest_path)
     except Exception:  # noqa: BLE001 — missing/empty/corrupt → full run
         return None
+    for col, typ in (("completed_at", "double"), ("snapshot_id", "string")):
+        if col not in m.columns:
+            m = m.withColumn(col, F.lit(None).cast(typ))
     w = Window.partitionBy(BUCKET_COL).orderBy(F.col("run_seq").desc())
     return m.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
@@ -91,6 +97,8 @@ def run_with_manifest(
     id_col: str = "doc_id",
     ts_col: str = "event_ts",
     n_buckets: int = 32,
+    max_age_sec: float | None = None,
+    snapshot_id: str | None = None,
 ) -> dict:
     """Run `job` over only the buckets whose input changed; returns a
     summary dict {processed_buckets, skipped_buckets, removed_buckets,
@@ -99,12 +107,35 @@ def run_with_manifest(
     `job` maps the bucketized input subset (with BUCKET_COL attached) to an
     output DataFrame that must retain BUCKET_COL (grouping keys derived per
     bucket keep it naturally).
+
+    Staleness policy (both opt-in; the fingerprint check stays purely
+    content-derived — reference analog: ``is_artifact_stale``'s
+    ttl-vs-update-time test, reference/numalogic/registry/redis_registry.py:360+):
+
+    - ``max_age_sec``: a bucket whose latest manifest entry completed more
+      than this many seconds ago is recomputed even if its fingerprint
+      still matches — the age-based cache invalidation a scheduled rollup
+      wants when the JOB code or its params may have drifted. Entries
+      written before the ``completed_at`` column existed count as stale.
+    - ``snapshot_id``: caller-supplied upstream snapshot/version token
+      (e.g. an Iceberg snapshot id) recorded per entry; a bucket whose
+      latest entry carries a DIFFERENT token is recomputed. Use when the
+      input is re-derivable-but-rewritten (fingerprint-equal rewrites) or
+      when upstream lineage, not content, is the invalidation contract.
     """
     fps = bucket_fingerprints(df, id_col, ts_col, n_buckets).persist()
     latest = load_manifest(spark, manifest_path)
     if latest is not None:
         live = latest.filter(F.col("rows_in") > 0)
-        done = live.select(BUCKET_COL, "fingerprint", "rows_in").distinct()
+        fresh = live
+        if max_age_sec is not None:
+            fresh = fresh.filter(
+                F.col("completed_at").isNotNull()
+                & (F.col("completed_at") >= F.lit(float(time.time() - max_age_sec)))
+            )
+        if snapshot_id is not None:
+            fresh = fresh.filter(F.col("snapshot_id") == F.lit(snapshot_id))
+        done = fresh.select(BUCKET_COL, "fingerprint", "rows_in").distinct()
         todo_df = fps.join(done, [BUCKET_COL, "fingerprint", "rows_in"], "left_anti")
         run_seq = (latest.agg(F.max("run_seq")).collect()[0][0] or 0) + 1
         gone = [
@@ -134,6 +165,8 @@ def run_with_manifest(
             "rows_out",
             F.lit(0.0).alias("wall_sec"),
             F.lit(run_seq).alias("run_seq"),
+            F.lit(float(time.time())).alias("completed_at"),
+            F.lit(snapshot_id).cast("string").alias("snapshot_id"),
         )
         tombstones.write.mode("append").parquet(manifest_path)
 
@@ -179,6 +212,8 @@ def run_with_manifest(
         .na.fill({"rows_out": 0})
         .withColumn("wall_sec", F.lit(float(wall)))
         .withColumn("run_seq", F.lit(run_seq))
+        .withColumn("completed_at", F.lit(float(time.time())))
+        .withColumn("snapshot_id", F.lit(snapshot_id).cast("string"))
     )
     entries.write.mode("append").parquet(manifest_path)
     fps.unpersist()

@@ -118,3 +118,53 @@ def test_hot_key_detection_and_salting(spark, tokens_df):
     sizes = salted.withColumn("pid", F.spark_partition_id()).groupBy("pid").count().toPandas()
     assert len(sizes) >= 4  # not all rows on one reducer
     assert sizes["count"].max() < tokens_df.filter("source = 'src_000'").count()
+
+
+def test_staleness_max_age(spark, tokens_df, tmp_path):
+    """Age policy: fingerprint-identical buckets recompute once their
+    latest manifest entry is older than max_age_sec; fresh entries skip."""
+    import time as _time
+
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifest")
+    r1 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=4)
+    assert len(r1["processed_buckets"]) == 4
+
+    # entries were written milliseconds ago: a generous max-age skips all
+    r2 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=4,
+                           max_age_sec=3600.0)
+    assert not r2["processed_buckets"] and len(r2["skipped_buckets"]) == 4
+
+    _time.sleep(1.1)
+    # now every entry is older than a 1-second TTL: all recompute
+    r3 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=4,
+                           max_age_sec=1.0)
+    assert len(r3["processed_buckets"]) == 4 and not r3["skipped_buckets"]
+    # and without the policy the content check still skips everything
+    r4 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=4)
+    assert not r4["processed_buckets"]
+
+
+def test_staleness_snapshot_id(spark, tokens_df, tmp_path):
+    """Snapshot policy: entries recorded under a different upstream
+    snapshot token recompute; same token skips."""
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifest")
+    r1 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=4,
+                           snapshot_id="snap-A")
+    assert len(r1["processed_buckets"]) == 4
+
+    r2 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=4,
+                           snapshot_id="snap-A")
+    assert not r2["processed_buckets"]
+
+    r3 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=4,
+                           snapshot_id="snap-B")
+    assert len(r3["processed_buckets"]) == 4
+
+    # no policy → pure content check, skips regardless of recorded token
+    r4 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=4)
+    assert not r4["processed_buckets"]
+    # r4 skipped (wrote nothing), so the latest entries are still r3's
+    # snap-B rows: querying under snap-B again skips
+    r5 = run_with_manifest(spark, tokens_df, _job, out, man, n_buckets=4,
+                           snapshot_id="snap-B")
+    assert not r5["processed_buckets"]
