@@ -22,6 +22,14 @@ _STOPWORDS = {
     "de": ["der", "die", "und", "ist", "das", "ein", "zu", "nicht", "mit", "sich"],
     "fr": ["le", "la", "et", "est", "un", "une", "des", "que", "pour", "dans"],
     "es": ["el", "la", "y", "es", "un", "una", "que", "de", "por", "con"],
+    "it": ["il", "la", "e", "è", "un", "una", "che", "di", "per", "non"],
+    "pt": ["o", "a", "e", "é", "um", "uma", "que", "de", "para", "com"],
+    "nl": ["de", "het", "een", "en", "is", "van", "dat", "niet", "met", "voor"],
+    "sv": ["och", "att", "det", "som", "en", "är", "på", "för", "med", "inte"],
+    "pl": ["i", "w", "na", "z", "że", "się", "nie", "jest", "do", "to"],
+    "tr": ["ve", "bir", "bu", "için", "ile", "da", "ne", "gibi", "çok", "ama"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "ke"],
+    "fi": ["ja", "on", "ei", "se", "että", "oli", "hän", "mutta", "kun", "niin"],
 }
 
 
@@ -110,6 +118,46 @@ _SEED_TEXT = {
           "los otros animales que lo miraban desde el borde del bosque no era "
           "la primera vez que eso les pasaba allí y también sabían que no "
           "sería la última vez",
+    "it": "la rapida volpe marrone salta sopra il cane pigro e poi scappa via "
+          "perché non c'era nient'altro da fare per lei in quel posto con gli "
+          "altri animali che la guardavano dal bordo del bosco non era la "
+          "prima volta che questo accadeva loro e sapevano anche che non "
+          "sarebbe stata l'ultima volta",
+    "pt": "a rápida raposa marrom salta sobre o cão preguiçoso e depois foge "
+          "porque não havia mais nada para fazer naquele lugar com os outros "
+          "animais que a observavam da beira da floresta não era a primeira "
+          "vez que isso lhes acontecia ali e também sabiam que não seria a "
+          "última vez",
+    "nl": "de snelle bruine vos springt over de luie hond en dan rent hij weg "
+          "omdat er niets anders voor hem te doen was op die plek met de "
+          "andere dieren die hem vanaf de rand van het bos bekeken het was "
+          "niet de eerste keer dat hun dat daar overkwam en ze wisten ook dat "
+          "het niet de laatste keer zou zijn",
+    "sv": "den snabba bruna räven hoppar över den lata hunden och sedan "
+          "springer den iväg eftersom det inte fanns något annat för den att "
+          "göra på den platsen med de andra djuren som tittade på den från "
+          "skogens kant det var inte första gången som detta hände dem där "
+          "och de visste också att det inte skulle bli sista gången",
+    "pl": "szybki brązowy lis skacze nad leniwym psem a potem ucieka ponieważ "
+          "nie było tam nic innego do zrobienia dla niego w tym miejscu z "
+          "innymi zwierzętami które patrzyły na niego ze skraju lasu to nie "
+          "był pierwszy raz kiedy im się to tam zdarzyło i wiedzieli też że "
+          "to nie będzie ostatni raz",
+    "tr": "hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve sonra "
+          "kaçar çünkü orada onun için yapacak başka bir şey yoktu o yerde "
+          "ormanın kenarından onu izleyen diğer hayvanlarla birlikte bu "
+          "onların başına orada ilk kez gelmiyordu ve bunun son olmayacağını "
+          "da biliyorlardı",
+    "id": "rubah coklat yang cepat melompati anjing yang malas dan kemudian "
+          "lari karena tidak ada hal lain yang bisa dilakukannya di tempat "
+          "itu bersama hewan hewan lain yang memperhatikannya dari tepi hutan "
+          "itu bukan pertama kalinya hal itu terjadi pada mereka di sana dan "
+          "mereka juga tahu bahwa itu bukan yang terakhir",
+    "fi": "nopea ruskea kettu hyppää laiskan koiran yli ja sitten se juoksee "
+          "pois koska sillä ei ollut siellä muuta tekemistä siinä paikassa "
+          "muiden eläinten kanssa jotka katselivat sitä metsän reunalta se ei "
+          "ollut ensimmäinen kerta kun näin tapahtui heille siellä ja he "
+          "tiesivät myös ettei se olisi viimeinen kerta",
 }
 _PROFILE_SIZE = 150
 

@@ -150,3 +150,36 @@ def test_trigram_entropy(spark):
     for d in ("diverse", "loop"):
         assert abs(got.loc[d, "trigram_entropy"] - oracle(docs.set_index("doc_id").loc[d, "text"])) < 1e-12
     assert got.loc["diverse", "trigram_entropy"] > got.loc["loop", "trigram_entropy"] + 2.0
+
+
+def test_lang_id_ngram_confusion_matrix_12_languages(spark):
+    """Round-3 widened inventory: one held-out sentence per language (all
+    distinct from the profile seeds) — the confusion matrix must be
+    diagonal (every sample classified as its own language)."""
+    import pandas as pd
+
+    from numalogic_spark.operators.textstats import _SEED_TEXT, lang_id_ngram
+
+    assert len(_SEED_TEXT) >= 10
+    samples = {
+        "en": "they walked along the river in the evening while the light was fading over the hills",
+        "de": "am nächsten morgen gingen sie zusammen über die brücke und sprachen über das wetter",
+        "fr": "le lendemain matin ils ont traversé le pont ensemble en parlant de la pluie et du vent",
+        "es": "a la mañana siguiente cruzaron juntos el puente mientras hablaban del tiempo y del viento",
+        "it": "la mattina seguente attraversarono insieme il ponte parlando del tempo e del vento",
+        "pt": "na manhã seguinte atravessaram juntos a ponte enquanto falavam do tempo e do vento",
+        "nl": "de volgende ochtend liepen ze samen over de brug en praatten over het weer en de wind",
+        "sv": "nästa morgon gick de tillsammans över bron och pratade om vädret och vinden",
+        "pl": "następnego ranka przeszli razem przez most rozmawiając o pogodzie i o wietrze",
+        "tr": "ertesi sabah birlikte köprüden geçtiler ve hava ile rüzgar hakkında konuştular",
+        "id": "keesokan paginya mereka berjalan bersama melintasi jembatan sambil berbicara tentang cuaca dan angin",
+        "fi": "seuraavana aamuna he kävelivät yhdessä sillan yli ja puhuivat säästä ja tuulesta",
+    }
+    pdf = pd.DataFrame(
+        [(la, la, s) for la, s in samples.items()], columns=["doc_id", "lang", "text"]
+    )
+    out = lang_id_ngram(spark.createDataFrame(pdf[["doc_id", "text"]])).toPandas()
+    got = out.set_index("doc_id")["lang_pred"].to_dict()
+    confusion = {(exp, got[exp]) for exp in samples}
+    off_diagonal = {p for p in confusion if p[0] != p[1]}
+    assert not off_diagonal, f"misclassified: {sorted(off_diagonal)}"
