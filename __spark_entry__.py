@@ -13,6 +13,7 @@ Conventions for oracle comparability:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1789,6 +1790,93 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+_BPE_VOCAB_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "numalogic_spark", "resources", "bpe_frozen_150.json",
+)
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE encode of every document under the FROZEN committed
+    vocab (numalogic_spark/resources/bpe_frozen_150.json — trained once,
+    deterministic artifact, the way production tokenizers ship): per doc,
+    token count and a polynomial fold over the full token-id sequence.
+    Gates every token id and their order through the driver's value hash."""
+    from numalogic_spark.functions.bpe import BpeVocab, encode_words_fingerprint
+
+    vocab = BpeVocab.load(_BPE_VOCAB_PATH)
+    return encode_words_fingerprint(_docs(spark, sf_dir), vocab).select(
+        "doc_id", "n_tok", "tok_fp"
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """DuckDB replay of BPE ENCODING as a recursive CTE: each iteration
+    applies one merge type (the best-ranked pair present, all occurrences
+    left-to-right via a list_reduce with a list accumulator; DuckDB slices
+    are INCLUSIVE, hence acc[:-2] for all-but-last) to every still-mergeable
+    DISTINCT word; the fixpoint row per word is the shortest. Base alphabet
+    is ascii() codepoints — equal to the engine's UTF-8 bytes on this ASCII
+    corpus. Encoded per-word ids are then reassembled per document in word
+    order and folded with the same (acc·1000003 + id) mod 2^31−1."""
+    from numalogic_spark.functions.bpe import _FP_MOD, _FP_MULT, BpeVocab
+
+    vocab = BpeVocab.loads(open(_BPE_VOCAB_PATH).read())
+    K = 1 << 32
+    vals = ", ".join(
+        f"({a}, {b}, {256 + i})" for i, (a, b) in enumerate(vocab.merges)
+    )
+    return rf"""
+WITH RECURSIVE merges(a, b, nid) AS (VALUES {vals}),
+docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+words(word) AS (
+  SELECT DISTINCT t.w FROM docs, unnest(docs.ws) AS t(w)
+),
+enc(word, ids) AS (
+  SELECT word, list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT))
+  FROM words
+  UNION ALL
+  SELECT s.word,
+         list_reduce(
+           list_prepend(CAST([] AS BIGINT[]), list_transform(s.ids, x -> CAST([x] AS BIGINT[]))),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m2.a AND x[1] = m2.b
+                            THEN list_concat(acc[:-2], [m2.nid])
+                            ELSE list_append(acc, x[1]) END)
+  FROM (
+    SELECT word, ids,
+           (SELECT min(m.nid) FROM merges m
+             WHERE list_contains(
+               list_transform(generate_series(1, len(ids) - 1), i -> ids[i] * {K} + ids[i+1]),
+               m.a * {K} + m.b)) AS nid
+    FROM enc
+  ) s JOIN merges m2 ON m2.nid = s.nid
+),
+final AS (
+  SELECT word, arg_min(ids, len(ids)) AS ids FROM enc GROUP BY word
+),
+perword AS (
+  SELECT d.doc_id, t.i, d.ws[t.i] AS word
+  FROM docs d, unnest(generate_series(1, len(d.ws))) AS t(i)
+),
+perdoc AS (
+  SELECT pw.doc_id, flatten(list(f.ids ORDER BY pw.i)) AS toks
+  FROM perword pw JOIN final f USING (word)
+  GROUP BY pw.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(p.toks), 0) AS BIGINT) AS n_tok,
+       CAST(coalesce(
+         list_reduce(list_prepend(CAST(0 AS BIGINT), p.toks),
+                     (acc, x) -> (acc * {_FP_MULT} + x) % {_FP_MOD}),
+         0) AS BIGINT) AS tok_fp
+FROM docs d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": _q_rollup("1m"),
@@ -1837,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis_events": _q_mahalanobis,
         "prometheus_frame_events": _q_prometheus_frame,
         "dedup_clusters_documents": _q_dedup_clusters,
+        "bpe_encode_documents": _q_bpe_encode,
     }
 
 
@@ -1887,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "prometheus_frame_events": _prom_frame_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
         "ann_topk_embeddings": _ann_sql(),
+        "bpe_encode_documents": _bpe_encode_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

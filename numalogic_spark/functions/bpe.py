@@ -325,6 +325,66 @@ def bpe_encode(
     return df.mapInPandas(encode_batches, schema=schema)
 
 
+_FP_MULT = 1_000_003
+_FP_MOD = 2_147_483_647  # Mersenne 2^31-1, shared with dedup's portable hashes
+
+
+def encode_words_fingerprint(
+    df: DataFrame,
+    vocab: BpeVocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Driver-gate shape of the BPE encoder: (doc_id, n_tok, tok_fp).
+
+    Semantics (chosen to be replayable by a DuckDB recursive-CTE oracle,
+    __spark_entry__._bpe_encode_sql): pre-tokens are lowercased whitespace
+    words (no space marker), each encoded independently with the frozen
+    merge table, concatenated in word order; tok_fp is the polynomial fold
+    (acc·1000003 + id) mod 2^31−1 over the full token sequence — a
+    value-exact gate on every token id AND their order, compact enough to
+    hash-compare. Zero-word docs emit (0, 0).
+
+    The corpus tables are ASCII (codepoint == UTF-8 byte), which is what
+    makes the SQL `ascii()` base alphabet equal to the kernel's UTF-8
+    bytes; the kernel itself encodes real UTF-8 so non-ASCII corpora still
+    tokenize correctly (only the SQL-oracle equivalence is ASCII-scoped).
+    """
+    from pyspark.sql import types as T
+
+    merges = vocab.merges
+
+    def kernel(batches):
+        ranks = {tuple(p): _BASE_VOCAB + i for i, p in enumerate(merges)}
+        cache: dict[str, list[int]] = {}
+        for pdf in batches:
+            ids_out, n_out, fp_out = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[int] = []
+                for w in (text or "").lower().split():
+                    ids = cache.get(w)
+                    if ids is None:
+                        ids = encode_word(w.encode("utf-8"), ranks)
+                        cache[w] = ids
+                    toks.extend(ids)
+                fp = 0
+                for t in toks:
+                    fp = (fp * _FP_MULT + t) % _FP_MOD
+                ids_out.append(doc_id)
+                n_out.append(len(toks))
+                fp_out.append(fp)
+            yield pd.DataFrame({id_col: ids_out, "n_tok": n_out, "tok_fp": fp_out})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_tok", T.LongType()),
+            T.StructField("tok_fp", T.LongType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
 def tokenize_corpus(
     df: DataFrame,
     vocab: BpeVocab,

@@ -171,3 +171,41 @@ def test_encode_null_and_empty(spark):
     got = bpe_encode(df, v).orderBy("doc_id").collect()
     assert got[0]["tokens"] is None
     assert got[1]["tokens"] == []
+
+
+def test_encode_words_fingerprint(spark):
+    """Driver-gate shape: n_tok + polynomial fold per doc, matching a
+    driver-side reference; zero-word/null docs emit (0, 0)."""
+    from numalogic_spark.functions.bpe import (
+        _FP_MOD,
+        _FP_MULT,
+        encode_word,
+        encode_words_fingerprint,
+        train_bpe_from_word_counts,
+    )
+
+    wc: dict[str, int] = {}
+    for line in CORPUS:
+        for w in line.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    v = train_bpe_from_word_counts(wc, 40)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(len(CORPUS) + 2)],
+            "text": CORPUS + ["", None],
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["tok_fp"])
+        for r in encode_words_fingerprint(df, v).collect()
+    }
+    ranks = v.ranks
+    for i, line in enumerate(CORPUS):
+        toks = [t for w in line.lower().split() for t in encode_word(w.encode(), ranks)]
+        fp = 0
+        for t in toks:
+            fp = (fp * _FP_MULT + t) % _FP_MOD
+        assert got[f"d{i}"] == (len(toks), fp)
+    assert got[f"d{len(CORPUS)}"] == (0, 0)
+    assert got[f"d{len(CORPUS) + 1}"] == (0, 0)
