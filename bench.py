@@ -134,7 +134,8 @@ def main() -> None:
                  "dedup_exact_documents", "text_quality_documents",
                  "embedding_cosine_scores",
                  "simhash_near_dup_documents",
-                 "token_frequencies_documents", "sequence_pack_documents"):
+                 "token_frequencies_documents", "sequence_pack_documents",
+                 "bpe_encode_documents"):
         fn = E.queries()[name]
         t0 = time.time()
         _noop(fn(spark, SF_DIR))

@@ -272,3 +272,43 @@ def test_streaming_minhash_candidates(spark, tmp_path):
     assert len(cross) >= len(base)
     # no candidate pairs across unrelated base texts
     assert all(a.split("_")[0] == b.split("_")[0] for a, b in cand)
+
+
+def test_streaming_minhash_no_duplicate_emission(spark, tmp_path):
+    """ADVICE round-2: a row that enters state must not ALSO be compared
+    via the within-batch list — each (id_a, id_b, band) candidate is
+    emitted at most once per batch."""
+    import glob
+    import os
+    import time as _time
+
+    from numalogic_spark.streaming.dedup_stream import streaming_minhash_candidates
+
+    # one batch of three near-identical docs: every pair collides in many
+    # bands; the pre-fix code double-compared rows that entered state
+    text = "the same text repeated across documents for bucket collision purposes"
+    rows = [{"doc_id": f"d{i}", "text": text + (" extra" if i == 2 else "")} for i in range(3)]
+    schema = "doc_id string, text string"
+    d = tmp_path / "lsh_dup"
+    spark.createDataFrame(pd.DataFrame(rows), schema).repartition(1).write.parquet(str(d / "p0"))
+    now = _time.time()
+    for f in glob.glob(str(d / "p0" / "*.parquet")):
+        os.utime(f, (now - 60, now - 60))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(d) + "/p*")
+    )
+    q = (
+        streaming_minhash_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("lsh_dupcheck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from lsh_dupcheck").toPandas()
+    assert len(got) > 0
+    dup_mask = got.duplicated(["id_a", "id_b", "band"], keep=False)
+    assert not dup_mask.any(), got[dup_mask].to_string()
