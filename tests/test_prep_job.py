@@ -47,3 +47,58 @@ def test_prep_job_end_to_end(tmp_path):
     ).fetchone()
     assert cnt == funnel["packs"]
     assert mx <= 128
+
+
+@pytest.mark.skipif(not os.path.exists(SUBMIT), reason="spark-submit not available")
+def test_stream_job_end_to_end(tmp_path):
+    """jobs/stream_job.py --once drains a static token dir through the
+    watermarked streaming rollup; emitted 1m buckets must agree with the
+    batch rollup on every bucket the watermark finalized."""
+    import duckdb
+
+    zip_path = tmp_path / "pkg.zip"
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", str(zip_path), "numalogic_spark"],
+        cwd=REPO, check=True,
+    )
+    src = tmp_path / "tokens"
+    gen = (
+        "import sys; sys.path.insert(0, %r); "
+        "from numalogic_spark.session import get_spark; "
+        "from numalogic_spark.datagen import gen_tokens_spark; "
+        "s = get_spark('gen', cores=2); "
+        "gen_tokens_spark(s, 20000, n_sources=5).coalesce(4).write.parquet(%r); s.stop()"
+        % (REPO, str(src))
+    )
+    subprocess.run([sys.executable, "-c", gen], cwd=REPO, check=True, timeout=240)
+    out, ckpt = tmp_path / "tier1m", tmp_path / "ckpt"
+    r = subprocess.run(
+        [
+            SUBMIT, "--master", "local[4]", "--py-files", str(zip_path),
+            "jobs/stream_job.py", "--input", str(src), "--output", str(out),
+            "--checkpoint", str(ckpt), "--once", "--max-files-per-trigger", "2",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["tier_rows"] > 0 and summary["sources"] == 5
+    # streamed buckets match the batch aggregate for the same (source, bucket)
+    mism = duckdb.sql(
+        f"""
+        WITH streamed AS (
+          SELECT source, bucket_ts, "count" AS cnt, n_tok_sum
+          FROM '{out}/*/*.parquet'
+        ), batch AS (
+          SELECT source, date_trunc('minute', event_ts) AS bucket_ts,
+                 count(*) AS cnt, sum(CAST(n_tok AS DOUBLE)) AS n_tok_sum
+          FROM '{src}/*.parquet' GROUP BY 1, 2
+        )
+        SELECT count(*) FROM streamed s JOIN batch b
+          USING (source, bucket_ts)
+        WHERE s.cnt != b.cnt OR abs(s.n_tok_sum - b.n_tok_sum) > 1e-6
+        """
+    ).fetchone()[0]
+    assert mism == 0
