@@ -1437,7 +1437,7 @@ WITH docs AS (
          list_distinct(list_transform(
            generate_series(1, greatest(length(t) - {n - 1}, 1)), i -> {code})) AS codes
   FROM (SELECT doc_id, lower(text) AS t FROM documents)
-  WHERE len(trim(t)) > 0  -- engine's degenerate-doc guard
+  WHERE len(regexp_replace(t, '\s', '', 'g')) > 0  -- engine's degenerate-doc guard
 ), hs AS (
   SELECT id, list_transform(codes, c -> c % {p}) AS h FROM docs
 ), sig AS (
@@ -1821,7 +1821,7 @@ def _bpe_encode_sql() -> str:
     order and folded with the same (acc·1000003 + id) mod 2^31−1."""
     from numalogic_spark.functions.bpe import _FP_MOD, _FP_MULT, BpeVocab
 
-    vocab = BpeVocab.loads(open(_BPE_VOCAB_PATH).read())
+    vocab = BpeVocab.load(_BPE_VOCAB_PATH)
     K = 1 << 32
     vals = ", ".join(
         f"({a}, {b}, {256 + i})" for i, (a, b) in enumerate(vocab.merges)

@@ -124,10 +124,11 @@ def main() -> None:
         from numalogic_spark.functions.bpe import BpeVocab, tokenize_corpus, train_bpe
 
         if args.bpe_vocab:
-            vocab = BpeVocab.load(args.bpe_vocab)
+            vocab = BpeVocab.load_hadoop(spark, args.bpe_vocab)
         else:
             vocab = train_bpe(docs, args.bpe_merges, text_col=args.text_col)
-            vocab.save(args.output.rstrip("/") + ".bpe_vocab.json")
+            # through the Hadoop FS API: --output may be s3a/hdfs
+            vocab.save_hadoop(spark, args.output.rstrip("/") + ".bpe_vocab.json")
         funnel["bpe_merges"] = len(vocab.merges)
         tokenized = tokenize_corpus(
             docs, vocab, text_col=args.text_col, id_col=args.id_col,

@@ -49,10 +49,24 @@ def main() -> None:
     ap.add_argument("--once", action="store_true",
                     help="availableNow trigger: drain input and exit")
     ap.add_argument("--max-files-per-trigger", type=int, default=8)
+    ap.add_argument("--schema-from", default=None,
+                    help="parquet path to infer the stream schema from when "
+                         "--input is still empty at startup (a stream job "
+                         "deployed BEFORE its producer needs one; schema "
+                         "inference requires at least one data file)")
     args = ap.parse_args()
 
     spark = get_spark("stream_job")
-    static = spark.read.parquet(args.input)  # schema from the at-rest table
+    try:
+        static = spark.read.parquet(args.input)  # schema from the at-rest table
+        static.schema  # force analysis — raises if the dir is empty/absent
+    except Exception:
+        if not args.schema_from:
+            raise SystemExit(
+                "--input has no readable parquet yet; pass --schema-from "
+                "<existing parquet> to start the stream before data lands"
+            )
+        static = spark.read.parquet(args.schema_from)
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", args.max_files_per_trigger)

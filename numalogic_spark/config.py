@@ -158,7 +158,7 @@ def _doc_stage_factory():
 
     def tokenize(df, *, text_col, id_col, source_col="source", method="hash",
                  vocab_path=None, n_merges=4096, max_words=100_000,
-                 sample_fraction=None):
+                 sample_fraction=None, save_vocab_path=None):
         if method == "bpe":
             from numalogic_spark.functions.bpe import (
                 BpeVocab,
@@ -166,13 +166,18 @@ def _doc_stage_factory():
                 train_bpe,
             )
 
-            vocab = (
-                BpeVocab.load(vocab_path)
-                if vocab_path
-                else train_bpe(df, n_merges, text_col=text_col,
-                               max_words=max_words,
-                               sample_fraction=sample_fraction)
-            )
+            if vocab_path:
+                vocab = BpeVocab.load_hadoop(df.sparkSession, vocab_path)
+            else:
+                # trains on THIS corpus, every run — pass save_vocab_path
+                # to persist the replayable artifact (and vocab_path on
+                # later runs to reuse it); untracked retraining gives two
+                # runs over drifted corpora different token-id spaces
+                vocab = train_bpe(df, n_merges, text_col=text_col,
+                                  max_words=max_words,
+                                  sample_fraction=sample_fraction)
+                if save_vocab_path:
+                    vocab.save_hadoop(df.sparkSession, save_vocab_path)
             return tokenize_corpus(df, vocab, text_col=text_col,
                                    id_col=id_col, source_col=source_col)
         return df.select(

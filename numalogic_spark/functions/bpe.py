@@ -99,6 +99,36 @@ class BpeVocab:
         with open(path) as f:
             return cls.loads(f.read())
 
+    def save_hadoop(self, spark, path: str) -> None:
+        """Save through the Hadoop FileSystem API so s3a/hdfs/file URIs all
+        work (builtin open() only handles local paths — a cluster prep job
+        writing to s3a would otherwise crash AFTER training completed)."""
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(self.dumps().encode("utf-8")))
+        finally:
+            out.close()
+
+    @classmethod
+    def load_hadoop(cls, spark, path: str) -> "BpeVocab":
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.open(p)
+        try:
+            reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            chunks = []
+            line = reader.readLine()
+            while line is not None:
+                chunks.append(line)
+                line = reader.readLine()
+            return cls.loads("\n".join(chunks))
+        finally:
+            stream.close()
+
 
 def encode_word(word_bytes: bytes, ranks: dict[tuple[int, int], int]) -> list[int]:
     """Reference-path encode of ONE pre-token: repeatedly merge the

@@ -327,6 +327,21 @@ def sig_est_jaccard(sig_a: Column | str, sig_b: Column | str, num_hashes: int) -
     )
 
 
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> int:
+    """Unpersist every frame the pair generators cached under
+    ``materialize="persist"`` (they are internal — the caller never holds a
+    handle to them) and return how many were released. Narrower than
+    ``spark.catalog.clearCache()``, which would evict unrelated caches."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
+
 def _materialize(df: DataFrame, mode) -> DataFrame:
     """Cut a diamond DAG once, by caller-chosen mode:
 
@@ -336,16 +351,24 @@ def _materialize(df: DataFrame, mode) -> DataFrame:
       instead of recomputing. Right for single-JVM/local runs.
     - ``"persist"``: lazy ``persist(MEMORY_AND_DISK)`` — fault-tolerant
       (lineage retained, lost blocks recompute) and the right choice on a
-      real cluster; the caller owns the release (``df.unpersist()`` on the
-      RETURNED frame, or ``spark.catalog.clearCache()``).
+      real cluster. The persisted frames are pipeline-internal, so they
+      are registered module-side; call ``release_persisted()`` when the
+      returned pairs frame has been consumed.
     - ``False``: no materialization — fully lazy, subtree re-evaluated per
       join side (~4×).
+
+    Any other value raises — a typo like ``"Persist"`` must not silently
+    flip the caller to the non-fault-tolerant eager path.
     """
     if mode == "persist":
-        return df.persist()
-    if mode:
+        df = df.persist()
+        _PERSISTED.append(df)
+        return df
+    if mode is True:
         return df.localCheckpoint()
-    return df
+    if mode is False or mode is None:
+        return df
+    raise ValueError(f"materialize must be True, False or 'persist', got {mode!r}")
 
 
 def minhash_lsh_pairs(
@@ -387,9 +410,12 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # Degenerate-doc guard: empty/whitespace/null texts all shingle to the
     # same padded code, land in one LSH bucket and pair QUADRATICALLY as
-    # fake hamming/jaccard matches — drop them before signature generation
-    # (run a quality filter first if they should be deduped some other way).
-    nonempty = df.filter(F.length(F.trim(F.lower(F.col(text_col)))) > 0)
+    # fake jaccard matches — drop them before signature generation (run a
+    # quality filter first if they should be deduped some other way).
+    # \s-strip, not trim(): trim only strips spaces, and a tab/newline-only
+    # corpus would still blow up; also keeps the guard consistent with
+    # simhash_near_pairs' zero-WORD filter.
+    nonempty = df.filter(F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0)
     base = ensure_parallelism(nonempty).select(
         F.col(id_col).alias("id"), char_shingle_codes(text_col, shingle_n).alias("codes")
     )

@@ -212,33 +212,49 @@ def ivf_train_centroids(
     row universe).
     """
     src = df.filter(F.col(vec_col).isNotNull())
-    if (
+    auto = (
         presample_fraction is None
         and portable_order_id is None
         and auto_presample_rows is not None
-    ):
-        n_raw = df.count()  # metadata-only on parquet/Iceberg (no filter)
+    )
+    if auto:
+        # NOTE: counted pre-filter — metadata-only when df is a plain
+        # columnar scan; on derived frames this is a real (cheap, narrow)
+        # job. The fraction is sized off the raw count, so a null-heavy
+        # corpus can undersample — the shortfall retry below covers that.
+        n_raw = df.count()
         if n_raw > auto_presample_rows:
             presample_fraction = min(1.0, 50.0 * sample_rows / n_raw)
-    if presample_fraction is not None:
-        src = src.sample(fraction=presample_fraction, seed=seed)
-    if portable_order_id is not None:
-        from numalogic_spark.operators.sampling import uniform_hash_unit
 
-        frac_df = (
-            src.orderBy(
-                uniform_hash_unit(portable_order_id, salt=seed),
-                F.col(portable_order_id),
+    def collect_sample(frame):
+        if portable_order_id is not None:
+            from numalogic_spark.operators.sampling import uniform_hash_unit
+
+            frac_df = (
+                frame.orderBy(
+                    uniform_hash_unit(portable_order_id, salt=seed),
+                    F.col(portable_order_id),
+                )
+                .select(vec_col)
+                .limit(sample_rows)
             )
-            .select(vec_col)
-            .limit(sample_rows)
-        )
-    else:
-        frac_df = src.select(vec_col).orderBy(
-            F.xxhash64(F.col(vec_col), F.lit(seed))
-        ).limit(sample_rows)
-    rows = [np.asarray(r[0], dtype=float) for r in frac_df.collect()]
-    rows = [v for v in rows if v.ndim == 1 and np.linalg.norm(v) > 0]
+        else:
+            frac_df = frame.select(vec_col).orderBy(
+                F.xxhash64(F.col(vec_col), F.lit(seed))
+            ).limit(sample_rows)
+        rows = [np.asarray(r[0], dtype=float) for r in frac_df.collect()]
+        return [v for v in rows if v.ndim == 1 and np.linalg.norm(v) > 0]
+
+    sampled = src
+    if presample_fraction is not None:
+        sampled = src.sample(fraction=presample_fraction, seed=seed)
+    rows = collect_sample(sampled)
+    if auto and presample_fraction is not None and len(rows) < min(sample_rows, 50 * n_centroids):
+        # Auto-presample undershot (fraction was sized off the pre-filter
+        # count; most rows must have had NULL embeddings) — fall back to
+        # the exact full-corpus order rather than training a degenerate
+        # codebook on a sliver.
+        rows = collect_sample(src)
     if not rows:
         raise ValueError("no non-null, non-zero embeddings available to train IVF centroids")
     return kmeans_fit(np.asarray(rows), n_centroids, iters, seed)
@@ -401,13 +417,20 @@ def centroid_cosine(
     v = F.col(vec_col).cast("array<double>")
     if dim > _CENTROID_INLINE_DIMS:
         # exact decimal sum -> double -> IEEE divide, identical arithmetic
-        # to the inline branch, just in long-skinny shape.
+        # to the inline branch, just in long-skinny shape. The divisor is
+        # the GROUP row count (broadcast-joined), not the per-(group,pos)
+        # exploded count — on ragged vectors (shorter than the inferred
+        # dim) the two differ, and the inline branch divides by rows.
+        gcnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
         cents = (
             df.select(F.col(group_col), F.posexplode(v).alias("_pos", "_val"))
             .groupBy(group_col, "_pos")
-            .agg(
-                (F.sum(F.col("_val").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1)))
-                .alias("_mean")
+            .agg(F.sum(F.col("_val").cast("decimal(27,12)")).alias("_sum"))
+            .join(F.broadcast(gcnt), group_col)
+            .select(
+                group_col,
+                "_pos",
+                (F.col("_sum").cast("double") / F.col("_n")).alias("_mean"),
             )
             .groupBy(group_col)
             .agg(F.array_sort(F.collect_list(F.struct("_pos", "_mean"))).alias("_pm"))
@@ -418,9 +441,15 @@ def centroid_cosine(
             *[
                 # exact decimal sum -> double -> IEEE divide: each step is
                 # order-independent and engine-identical (a decimal QUOTIENT's
-                # scale/rounding would differ per engine)
-                (F.sum(v[i].cast("decimal(27,12)")).cast("double") / F.count(F.lit(1)))
-                .alias(f"_c{i}")
+                # scale/rounding would differ per engine). try_element_at, not
+                # v[i]: ANSI mode throws on a ragged (shorter) vector; a null
+                # element is skipped by sum while the divisor stays the group
+                # row count — i.e. ragged tails are zero-imputed, matching
+                # the exploded branch exactly.
+                (
+                    F.sum(F.try_element_at(v, F.lit(i + 1)).cast("decimal(27,12)"))
+                    .cast("double") / F.count(F.lit(1))
+                ).alias(f"_c{i}")
                 for i in range(dim)
             ]
         ).select(group_col, F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("_cent"))

@@ -225,14 +225,14 @@ def streaming_minhash_candidates(
                     out_b.append(b)
                     out_e.append(est)
             # at-least-once replay guard: a re-delivered id must not burn a
-            # second state slot. Rows that DID enter state are visible to
-            # later batch rows via `ids` — adding them to batch_ids too
-            # would make later rows compare against them twice (duplicate
-            # emission, masked only by downstream dropDuplicates).
+            # second state slot. A row visible via `ids` (it just entered
+            # state OR was re-delivered from an earlier batch) must not
+            # ALSO join batch_ids — later rows would compare against it
+            # twice and emit the pair twice in one batch.
             if len(ids) < max_bucket and row["id"] not in ids:
                 ids.append(row["id"])
                 sigs.append(sig)
-            else:
+            elif row["id"] not in ids:  # post-saturation arrival
                 batch_ids.append(row["id"])
                 batch_sigs.append(sig)
         state.update((ids, [int(x) for s in sigs for x in s]))

@@ -209,3 +209,15 @@ def test_encode_words_fingerprint(spark):
         assert got[f"d{i}"] == (len(toks), fp)
     assert got[f"d{len(CORPUS)}"] == (0, 0)
     assert got[f"d{len(CORPUS) + 1}"] == (0, 0)
+
+
+def test_vocab_hadoop_roundtrip(spark, tmp_path):
+    """save_hadoop/load_hadoop through the FileSystem API (file:// here;
+    same code path handles s3a/hdfs on a cluster)."""
+    from numalogic_spark.functions.bpe import BpeVocab, train_bpe_from_word_counts
+
+    v = train_bpe_from_word_counts({"hadoop": 5, "handle": 3, "hand": 7}, 12)
+    p = "file://" + str(tmp_path / "vocab_hdfs.json")
+    v.save_hadoop(spark, p)
+    got = BpeVocab.load_hadoop(spark, p)
+    assert got.merges == v.merges

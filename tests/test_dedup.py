@@ -404,8 +404,9 @@ def test_degenerate_docs_excluded_from_near_dup_pairs(spark):
 
     pdf = pd.DataFrame(
         {
-            "doc_id": [f"d{i}" for i in range(6)],
-            "text": ["", "   ", None, "\t\n ", "real document body here words", ""],
+            "doc_id": [f"d{i}" for i in range(7)],
+            "text": ["", "   ", None, "\t\n ", "real document body here words", "",
+                     "\t\t"],  # tab-only pair with d3: trim() would leak these
         }
     )
     df = spark.createDataFrame(pdf, "doc_id string, text string")
@@ -424,4 +425,9 @@ def test_materialize_persist_mode(spark, corpus):
     got = lazy.toPandas()
     key = lambda p: sorted(map(tuple, p[["id_a", "id_b"]].to_numpy()))
     assert key(got) == key(eager)
-    spark.catalog.clearCache()
+    from numalogic_spark.operators.dedup import release_persisted
+
+    assert release_persisted() == 2  # base + slim signature frames
+    assert release_persisted() == 0  # idempotent
+    with pytest.raises(ValueError, match="materialize"):
+        minhash_lsh_pairs(df, materialize="Persist")

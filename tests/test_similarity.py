@@ -324,3 +324,31 @@ def test_codebook_save_load_roundtrip(tmp_path):
     got = load_codebook(p)
     assert got.shape == c.shape
     assert (got == c).all()  # exact (hex) roundtrip
+
+
+def test_centroid_cosine_ragged_vectors_branch_parity(spark):
+    """Ragged vectors (shorter than the inferred dim): the exploded branch
+    must divide by the GROUP row count like the inline branch, so both
+    yield identical scores (review finding round 3)."""
+    import numpy as np
+    import pandas as pd
+
+    from numalogic_spark.operators import similarity as S
+
+    rows = [
+        ("a", 0, [1.0, 2.0, 3.0, 4.0]),
+        ("b", 0, [3.0]),            # ragged
+        ("c", 0, [2.0, 1.0]),       # ragged
+        ("d", 1, [1.0, 1.0, 1.0, 1.0]),
+        ("e", 1, [2.0, 0.0, 2.0]),  # ragged
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    df = spark.createDataFrame(pdf, "vec_id string, label int, embedding array<double>")
+    inline = S.centroid_cosine(df).toPandas().set_index("vec_id")["cos_to_centroid"]
+    try:
+        S._CENTROID_INLINE_DIMS = 0  # force the exploded branch
+        exploded = S.centroid_cosine(df).toPandas().set_index("vec_id")["cos_to_centroid"]
+    finally:
+        S._CENTROID_INLINE_DIMS = 256
+    got, exp = exploded.sort_index().to_numpy(), inline.sort_index().to_numpy()
+    assert (got == exp).all() or np.allclose(got, exp, atol=0, rtol=0, equal_nan=True)

@@ -312,3 +312,47 @@ def test_streaming_minhash_no_duplicate_emission(spark, tmp_path):
     assert len(got) > 0
     dup_mask = got.duplicated(["id_a", "id_b", "band"], keep=False)
     assert not dup_mask.any(), got[dup_mask].to_string()
+
+
+def test_streaming_minhash_redelivery_no_duplicate(spark, tmp_path):
+    """At-least-once replay: a state-resident id re-delivered in a later
+    batch must not also enter the within-batch list — a new row matching it
+    emits the candidate pair exactly once (review finding round 3)."""
+    import glob
+    import os
+    import time as _time
+
+    from numalogic_spark.streaming.dedup_stream import streaming_minhash_candidates
+
+    text = "identical text shared by every document in this redelivery scenario"
+    schema = "doc_id string, text string"
+    d = tmp_path / "lsh_redeliver"
+    b0 = pd.DataFrame([{"doc_id": "dA", "text": text}])
+    # batch 2 RE-delivers dA alongside the new dB
+    b1 = pd.DataFrame([{"doc_id": "dA", "text": text}, {"doc_id": "dB", "text": text}])
+    now = _time.time()
+    for i, b in enumerate([b0, b1]):
+        spark.createDataFrame(b, schema).repartition(1).write.parquet(str(d / f"p{i}"))
+        for f in glob.glob(str(d / f"p{i}" / "*.parquet")):
+            os.utime(f, (now - 60 + 10 * i, now - 60 + 10 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/p*")
+    )
+    q = (
+        streaming_minhash_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("lsh_redeliver")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from lsh_redeliver").toPandas()
+    # the (dA, dB) pair must appear exactly once per band — the pre-fix
+    # code compared dB against dA twice (state copy + batch copy)
+    per_band = got.groupby(["id_a", "id_b", "band"]).size()
+    assert (per_band == 1).all(), got.to_string()
+    assert {("dA", "dB")} == set(zip(got["id_a"], got["id_b"]))
