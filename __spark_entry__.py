@@ -1877,6 +1877,85 @@ FROM docs d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+_NB_VOCAB = 5000
+
+
+def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable domain classifier (multinomial Naive Bayes, closed-form):
+    fit on the EVEN-doc_id half with label = lang, score the odd half.
+    All log-probabilities are 6dp-quantized at train time and summed as
+    decimals, so the joint scores are engine-exact (operators/classify.py)."""
+    from numalogic_spark.operators.classify import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    priors, lik = nb_train(train, label_col="lang", max_vocab=_NB_VOCAB)
+    return nb_score(test, priors, lik).select("doc_id", "pred", "score")
+
+
+def _nb_classify_sql() -> str:
+    """DuckDB replay of train AND score: same vocabulary cap + tie-break,
+    same add-1 smoothing, same 6dp quantization before decimal sums."""
+    v = _NB_VOCAB
+    return rf"""
+WITH tr AS (
+  SELECT lang AS label,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents WHERE doc_id % 2 = 0
+), tok AS (
+  SELECT label, t.w AS word FROM tr, unnest(tr.ws) AS t(w)
+), vocab AS (
+  SELECT word FROM (SELECT word, count(*) AS cnt FROM tok GROUP BY 1)
+  ORDER BY cnt DESC, word LIMIT {v}
+), iv AS (
+  SELECT tok.label, tok.word FROM tok JOIN vocab USING (word)
+), wl AS (
+  SELECT word, label, count(*) AS c FROM iv GROUP BY 1, 2
+), tot AS (
+  SELECT label, count(*) AS t FROM iv GROUP BY 1
+), vs AS (SELECT count(*) AS vv FROM vocab),
+nd AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+labcnt AS (
+  SELECT lang AS label, count(*) AS nl FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+), pri AS (
+  SELECT lc.label,
+         floor(ln(lc.nl / CAST((SELECT n FROM nd) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS log_prior,
+         floor(ln(1.0 / (coalesce(tot.t, 0) + 1.0 * ((SELECT vv FROM vs) + 1))) * 1000000 + 0.5) / 1000000.0 AS log_unk
+  FROM labcnt lc LEFT JOIN tot ON tot.label = lc.label
+), lik AS (
+  SELECT vocab.word, tot.label,
+         floor(ln((coalesce(wl.c, 0) + 1.0) / (tot.t + 1.0 * ((SELECT vv FROM vs) + 1))) * 1000000 + 0.5) / 1000000.0 AS log_p
+  FROM vocab CROSS JOIN tot
+  LEFT JOIN wl ON wl.word = vocab.word AND wl.label = tot.label
+), te AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents WHERE doc_id % 2 = 1
+), ttok AS (
+  SELECT doc_id, t.w AS word FROM te, unnest(te.ws) AS t(w)
+), pl AS (
+  SELECT ttok.doc_id, p.label,
+         CAST(coalesce(lik.log_p, p.log_unk) AS DECIMAL(28,6)) AS lp
+  FROM ttok CROSS JOIN pri p
+  LEFT JOIN lik ON lik.word = ttok.word AND lik.label = p.label
+), sums AS (
+  SELECT doc_id, label, sum(lp) AS wsum FROM pl GROUP BY 1, 2
+), sc AS (
+  SELECT te.doc_id, p.label,
+         CAST(p.log_prior AS DECIMAL(28,6)) + coalesce(s.wsum, CAST(0 AS DECIMAL(28,6))) AS score
+  FROM te CROSS JOIN pri p
+  LEFT JOIN sums s ON s.doc_id = te.doc_id AND s.label = p.label
+), ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+  FROM sc
+)
+SELECT doc_id, label AS pred, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": _q_rollup("1m"),
@@ -1926,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prometheus_frame_events": _q_prometheus_frame,
         "dedup_clusters_documents": _q_dedup_clusters,
         "bpe_encode_documents": _q_bpe_encode,
+        "nb_classify_documents": _q_nb_classify,
     }
 
 
@@ -1977,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_documents": _dedup_clusters_sql(),
         "ann_topk_embeddings": _ann_sql(),
         "bpe_encode_documents": _bpe_encode_sql(),
+        "nb_classify_documents": _nb_classify_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

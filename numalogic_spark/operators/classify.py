@@ -1,0 +1,150 @@
+"""Distributed multinomial Naive Bayes text classifier — the trainable
+domain/quality-classifier stage of a training-data pipeline (the role
+fastText/CCNet-style filters play at corpus scale), built closed-form:
+
+- **Training is two aggregations** (no iterative optimizer): corpus word
+  counts pick a capped vocabulary (top-K by frequency — Zipf makes the cap
+  nearly lossless), then per-(word, label) counts become add-alpha
+  log-likelihoods. Both are map-side-combining groupBys; the model is a
+  small (V·L) table — broadcastable at any corpus size.
+- **Scoring is relational**: explode doc words (multiplicity kept), LEFT
+  broadcast-join the per-word log-likelihood row (OOV words fall back to
+  the per-label unknown mass), per-doc decimal sum per label + prior,
+  argmax with deterministic label-order tie-break.
+
+Cross-engine exactness (the driver hash gate): every log-probability is
+QUANTIZED to 6 decimals (floor(x·1e6+0.5)/1e6) at train time and summed
+as DECIMAL — order-independent and bit-identical between Spark and the
+DuckDB oracle, the same discipline as the rollup/entropy oracles.
+
+No reference analog (numalogic's domain is metric streams); this covers
+the "text analysis / quality scoring" capability of the build brief with
+a *trainable* model rather than fixed heuristics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_Q = 1_000_000  # 6-dp quantization for cross-engine exact sums
+
+
+def _q6(col):
+    return F.floor(col * _Q + F.lit(0.5)) / _Q
+
+
+def _words(text_col: str):
+    return F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+
+
+def nb_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    max_vocab: int = 50_000,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the model; returns (priors, likelihoods).
+
+    priors: (label, log_prior, log_unk) — log_unk is the smoothed mass for
+    out-of-vocabulary words under that label.
+    likelihoods: (word, label, log_p) for the top-``max_vocab`` corpus
+    words (ties broken by word asc — deterministic across engines).
+
+    log_p(w|l) = ln((c_{w,l} + alpha) / (T_l + alpha·(V+1))) where T_l is
+    the label's total IN-VOCAB token count and V the realized vocabulary
+    size; the +1 reserves one smoothing slot for the OOV bucket, whose
+    mass is ln(alpha / (T_l + alpha·(V+1))). All three are quantized to
+    6dp at train time so score sums are engine-exact.
+    """
+    tok = df.select(
+        F.col(label_col).alias("label"), F.explode(_words(text_col)).alias("word")
+    )
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        wc.orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(int(max_vocab))  # TakeOrdered — no full sort of the dict
+        .select("word")
+    )
+    in_vocab = tok.join(F.broadcast(vocab), "word")
+    wl = in_vocab.groupBy("word", "label").agg(F.count(F.lit(1)).alias("c"))
+    totals = in_vocab.groupBy("label").agg(F.count(F.lit(1)).alias("t"))
+    v_size = vocab.count()
+    denom = F.col("t") + F.lit(alpha) * F.lit(float(v_size + 1))
+
+    n_docs = df.count()
+    priors = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(totals, "label", "left")
+        .na.fill({"t": 0})
+        .select(
+            "label",
+            _q6(F.log(F.col("n") / F.lit(float(n_docs)))).alias("log_prior"),
+            _q6(F.log(F.lit(alpha) / denom)).alias("log_unk"),
+        )
+    )
+    # full (word × label) grid so a word unseen under one label still gets
+    # its smoothed alpha mass there (not the OOV mass)
+    grid = vocab.crossJoin(totals.select("label"))
+    likelihoods = (
+        grid.join(wl, ["word", "label"], "left")
+        .na.fill({"c": 0})
+        .join(totals, "label")
+        .select(
+            "word",
+            "label",
+            _q6(F.log((F.col("c") + F.lit(alpha)) / denom)).alias("log_p"),
+        )
+    )
+    return priors, likelihoods
+
+
+def nb_score(
+    df: DataFrame,
+    priors: DataFrame,
+    likelihoods: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents: (id, pred, score) — score is the winning label's
+    decimal joint log-probability (prior + Σ per-word quantized log-p),
+    pred breaks score ties by label asc. Zero-word docs fall back to the
+    prior-only argmax. Labels come from the model, not the data."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("word"))
+    # every (doc-word, label) pair: OOV words take the label's unk mass
+    per_label = (
+        tok.crossJoin(F.broadcast(priors.select("label", "log_unk")))
+        .join(F.broadcast(likelihoods), ["word", "label"], "left")
+        .select(
+            "id",
+            "label",
+            F.coalesce(F.col("log_p"), F.col("log_unk"))
+            .cast("decimal(28,6)")
+            .alias("lp"),
+        )
+    )
+    sums = per_label.groupBy("id", "label").agg(F.sum("lp").alias("wsum"))
+    # prior-only rows keep zero-word docs scoreable
+    scored = (
+        df.select(F.col(id_col).alias("id"))
+        .crossJoin(F.broadcast(priors.select("label", "log_prior")))
+        .join(sums, ["id", "label"], "left")
+        .na.fill({"wsum": 0.0})
+        .select(
+            "id",
+            "label",
+            (F.col("log_prior").cast("decimal(28,6)") + F.col("wsum")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("label"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("label").alias("pred"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )
