@@ -135,7 +135,7 @@ def main() -> None:
                  "embedding_cosine_scores",
                  "simhash_near_dup_documents",
                  "token_frequencies_documents", "sequence_pack_documents",
-                 "bpe_encode_documents"):
+                 "bpe_encode_documents", "nb_classify_documents"):
         fn = E.queries()[name]
         t0 = time.time()
         _noop(fn(spark, SF_DIR))
