@@ -42,7 +42,10 @@ from pyspark.sql import functions as F
 # other-symbol runs, each capturing one optional leading space — keeps
 # merges from crossing word boundaries while preserving the exact text.
 _PRETOKEN_RE = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    # NB: the symbol-run class must be "not whitespace, not letter, not
+    # digit" — [^\s\w] alone would drop '_' (it is \w but neither letter
+    # nor digit), breaking the lossless-roundtrip property.
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
     re.UNICODE,
 )
 
@@ -270,7 +273,7 @@ def word_counts_df(df: DataFrame, text_col: str = "text") -> DataFrame:
     # string-literal escaping). Java \w/\W are ASCII vs Python's unicode
     # default: identical on the ASCII fixture corpora (tested); at real
     # scale pass (?U) flags if the corpus is unicode-heavy.
-    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
     words = df.select(
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias("word")
     )

@@ -221,3 +221,54 @@ def test_vocab_hadoop_roundtrip(spark, tmp_path):
     v.save_hadoop(spark, p)
     got = BpeVocab.load_hadoop(spark, p)
     assert got.merges == v.merges
+
+
+# ---------------------------------------------------------------------------
+# property-based gates (hypothesis): the encoder must roundtrip ARBITRARY
+# unicode and the heap trainer must equal the naive reference on random
+# word-count dicts — not just the fixed seeds above.
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(max_size=200))
+    def test_encode_decode_roundtrip_any_unicode(text):
+        """Byte-level base alphabet == lossless on any input, merges or not."""
+        wc = {w: 1 for w in pretokenize(text)}
+        v = train_bpe_from_word_counts(wc, 30) if wc else BpeVocab()
+        assert decode_ids(encode_text(text, v), v) == text
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abcdef", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=40),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(min_value=1, max_value=25),
+    )
+    def test_trainer_equals_naive_on_random_counts(wc, n_merges):
+        assert train_bpe_from_word_counts(wc, n_merges).merges == naive_train(wc, n_merges)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(max_size=120))
+    def test_frozen_vocab_encode_decode(text):
+        """The committed driver vocab roundtrips arbitrary text too."""
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "numalogic_spark", "resources", "bpe_frozen_150.json",
+        )
+        v = BpeVocab.load(path)
+        assert decode_ids(encode_text(text, v), v) == text
