@@ -62,15 +62,23 @@ def nb_train(
         F.col(label_col).alias("label"), F.explode(_words(text_col)).alias("word")
     )
     wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = (
-        wc.orderBy(F.col("cnt").desc(), F.col("word"))
-        .limit(int(max_vocab))  # TakeOrdered — no full sort of the dict
-        .select("word")
+    # collect the capped vocabulary ONCE (≤ max_vocab strings — driver-sized
+    # by construction) and rebuild it as a literal frame: leaving it as a
+    # lazy TakeOrdered subtree would re-run the full corpus tokenization
+    # under every downstream lineage (vocab.count, in_vocab, grid).
+    vocab_words = [
+        r["word"]
+        for r in wc.orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(int(max_vocab))
+        .collect()
+    ]
+    v_size = len(vocab_words)
+    vocab = df.sparkSession.createDataFrame(
+        [(w,) for w in vocab_words], "word string"
     )
     in_vocab = tok.join(F.broadcast(vocab), "word")
     wl = in_vocab.groupBy("word", "label").agg(F.count(F.lit(1)).alias("c"))
     totals = in_vocab.groupBy("label").agg(F.count(F.lit(1)).alias("t"))
-    v_size = vocab.count()
     denom = F.col("t") + F.lit(alpha) * F.lit(float(v_size + 1))
 
     n_docs = df.count()

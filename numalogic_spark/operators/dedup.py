@@ -335,10 +335,11 @@ def release_persisted() -> int:
     ``materialize="persist"`` (they are internal — the caller never holds a
     handle to them) and return how many were released. Narrower than
     ``spark.catalog.clearCache()``, which would evict unrelated caches."""
-    n = len(_PERSISTED)
-    for df in _PERSISTED:
+    n = 0
+    while _PERSISTED:  # pop-as-you-go: one failed unpersist (e.g. stopped
+        df = _PERSISTED.pop()  # context) must not strand the rest in the registry
         df.unpersist()
-    _PERSISTED.clear()
+        n += 1
     return n
 
 
@@ -412,10 +413,12 @@ def minhash_lsh_pairs(
     # same padded code, land in one LSH bucket and pair QUADRATICALLY as
     # fake jaccard matches — drop them before signature generation (run a
     # quality filter first if they should be deduped some other way).
-    # \s-strip, not trim(): trim only strips spaces, and a tab/newline-only
-    # corpus would still blow up; also keeps the guard consistent with
-    # simhash_near_pairs' zero-WORD filter.
-    nonempty = df.filter(F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0)
+    # rlike('\S'), not trim() (which only strips spaces — tab/newline-only
+    # corpora would still blow up) and not a regexp_replace-then-length
+    # (which allocates a rewritten string per doc): the rlike predicate
+    # short-circuits at the first non-whitespace char. Same truth value as
+    # the oracle's regexp_replace form; consistent with simhash's word guard.
+    nonempty = df.filter(F.col(text_col).rlike(r"\S"))
     base = ensure_parallelism(nonempty).select(
         F.col(id_col).alias("id"), char_shingle_codes(text_col, shingle_n).alias("codes")
     )

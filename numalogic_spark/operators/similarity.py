@@ -433,8 +433,23 @@ def centroid_cosine(
                 (F.col("_sum").cast("double") / F.col("_n")).alias("_mean"),
             )
             .groupBy(group_col)
-            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_mean"))).alias("_pm"))
-            .select(F.col(group_col), F.col("_pm._mean").alias("_cent"))
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_pos", "_mean")))
+            ).alias("_m"))
+            # re-densify to exactly `dim` entries, NULL where a group has
+            # no vector reaching that position — the inline branch's
+            # sum(all-null)=NULL semantics; without this, a group whose
+            # vectors are ALL shorter than dim would get a short centroid
+            # here but a null-padded one inline, and the branches would
+            # disagree (review finding round 3).
+            .select(
+                F.col(group_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    # try_element_at: ANSI element_at throws on missing keys
+                    lambda i: F.try_element_at(F.col("_m"), i),
+                ).alias("_cent"),
+            )
         )
     else:
         cents = df.groupBy(group_col).agg(

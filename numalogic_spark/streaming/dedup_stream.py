@@ -214,26 +214,28 @@ def streaming_minhash_candidates(
         batch_ids: list = []
         batch_sigs: list = []
         for _, row in whole.sort_values("id").iterrows():
+            rid = row["id"]
+            # at-least-once replay guard, BEFORE any comparison: an id that
+            # is already represented (state from an earlier batch, or an
+            # earlier duplicate row of this batch) must neither re-compare
+            # (its pairs were emitted when it was first seen) nor occupy a
+            # second slot — otherwise a later matching row would iterate
+            # over both copies and emit the pair twice per band.
+            if rid in ids or rid in batch_ids:
+                continue
             sig = np.asarray(row["sig"], dtype=np.int64)
             for seen_id, seen_sig in zip(ids + batch_ids, sigs + batch_sigs):
-                if seen_id == row["id"]:
-                    continue
                 est = float((sig == seen_sig).sum()) / k
                 if est >= est_floor:
-                    a, b = sorted((seen_id, row["id"]))
+                    a, b = sorted((seen_id, rid))
                     out_a.append(a)
                     out_b.append(b)
                     out_e.append(est)
-            # at-least-once replay guard: a re-delivered id must not burn a
-            # second state slot. A row visible via `ids` (it just entered
-            # state OR was re-delivered from an earlier batch) must not
-            # ALSO join batch_ids — later rows would compare against it
-            # twice and emit the pair twice in one batch.
-            if len(ids) < max_bucket and row["id"] not in ids:
-                ids.append(row["id"])
+            if len(ids) < max_bucket:
+                ids.append(rid)
                 sigs.append(sig)
-            elif row["id"] not in ids:  # post-saturation arrival
-                batch_ids.append(row["id"])
+            else:  # post-saturation arrival: visible within this batch only
+                batch_ids.append(rid)
                 batch_sigs.append(sig)
         state.update((ids, [int(x) for s in sigs for x in s]))
         if state_ttl is not None:

@@ -341,6 +341,9 @@ def test_centroid_cosine_ragged_vectors_branch_parity(spark):
         ("c", 0, [2.0, 1.0]),       # ragged
         ("d", 1, [1.0, 1.0, 1.0, 1.0]),
         ("e", 1, [2.0, 0.0, 2.0]),  # ragged
+        ("f", 2, [1.0, 2.0]),       # group 2: EVERY vector shorter than dim
+        ("g", 2, [2.0, 4.0]),       # (inline yields NULL cosines; branches
+                                    # must agree on that too)
     ]
     pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
     df = spark.createDataFrame(pdf, "vec_id string, label int, embedding array<double>")

@@ -327,9 +327,12 @@ def test_streaming_minhash_redelivery_no_duplicate(spark, tmp_path):
     text = "identical text shared by every document in this redelivery scenario"
     schema = "doc_id string, text string"
     d = tmp_path / "lsh_redeliver"
-    b0 = pd.DataFrame([{"doc_id": "dA", "text": text}])
-    # batch 2 RE-delivers dA alongside the new dB
-    b1 = pd.DataFrame([{"doc_id": "dA", "text": text}, {"doc_id": "dB", "text": text}])
+    # re-delivered id sorts AFTER the new id — the harder order: the new
+    # row is processed first, pairs against state, and the replayed row
+    # must then be skipped entirely (not just kept out of batch_ids)
+    b0 = pd.DataFrame([{"doc_id": "dZ", "text": text}])
+    b1 = pd.DataFrame([{"doc_id": "dZ", "text": text}, {"doc_id": "dA", "text": text},
+                       {"doc_id": "dA", "text": text}])  # + same-batch duplicate
     now = _time.time()
     for i, b in enumerate([b0, b1]):
         spark.createDataFrame(b, schema).repartition(1).write.parquet(str(d / f"p{i}"))
@@ -351,8 +354,9 @@ def test_streaming_minhash_redelivery_no_duplicate(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql("select * from lsh_redeliver").toPandas()
-    # the (dA, dB) pair must appear exactly once per band — the pre-fix
-    # code compared dB against dA twice (state copy + batch copy)
+    # the (dA, dZ) pair must appear exactly once per band — the pre-fix
+    # code emitted it twice (replayed state copy re-ran the compare loop,
+    # and a same-batch duplicate occupied two batch slots)
     per_band = got.groupby(["id_a", "id_b", "band"]).size()
     assert (per_band == 1).all(), got.to_string()
-    assert {("dA", "dB")} == set(zip(got["id_a"], got["id_b"]))
+    assert {("dA", "dZ")} == set(zip(got["id_a"], got["id_b"]))
