@@ -1877,6 +1877,46 @@ FROM docs d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+def _q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing of documents' word-token counts into
+    512-token packs (docs whole; sequential per-source fill — the packing
+    variant for training setups where sequences must not straddle doc
+    boundaries)."""
+    from numalogic_spark.operators.tokens import pack_greedy_no_split
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("n_tok"),
+    )
+    return pack_greedy_no_split(docs, 512)
+
+
+_PACK_GREEDY_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+  FROM (SELECT source, doc_id, text FROM documents)
+  WHERE len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) > 0
+), rec(source, i, pack_id, doc_id, pack_offset, n_tok, off_next) AS (
+  SELECT source, i, CAST(0 AS BIGINT), doc_id, CAST(0 AS BIGINT), n_tok, n_tok
+  FROM d WHERE i = 1
+  UNION ALL
+  -- current fill off_next is always > 0 (every doc has n_tok > 0), so the
+  -- engine's `off > 0 AND off + n > cap` reduces to the overflow test
+  SELECT d.source, d.i,
+         CASE WHEN r.off_next + d.n_tok > 512 THEN r.pack_id + 1 ELSE r.pack_id END,
+         d.doc_id,
+         CASE WHEN r.off_next + d.n_tok > 512 THEN CAST(0 AS BIGINT) ELSE r.off_next END,
+         d.n_tok,
+         CASE WHEN r.off_next + d.n_tok > 512 THEN d.n_tok ELSE r.off_next + d.n_tok END
+  FROM rec r JOIN d ON d.source = r.source AND d.i = r.i + 1
+)
+SELECT source, pack_id, doc_id, pack_offset, n_tok FROM rec
+"""
+
+
 _NB_VOCAB = 5000
 
 
@@ -2006,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _q_dedup_clusters,
         "bpe_encode_documents": _q_bpe_encode,
         "nb_classify_documents": _q_nb_classify,
+        "pack_greedy_documents": _q_pack_greedy,
     }
 
 
@@ -2058,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_embeddings": _ann_sql(),
         "bpe_encode_documents": _bpe_encode_sql(),
         "nb_classify_documents": _nb_classify_sql(),
+        "pack_greedy_documents": _PACK_GREEDY_SQL,
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -191,3 +191,68 @@ def pack_tokens(
         )
         .withColumn("n_tok", F.size("tokens"))
     )
+
+
+def pack_greedy_no_split(
+    df: DataFrame,
+    max_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """NO-SPLIT greedy packing: documents are kept whole; per source, docs
+    are taken in id order and appended to the current pack while they fit,
+    else a new pack starts — the packing variant used when training
+    sequences must not straddle document boundaries (vs sequence_pack_plan's
+    concat-and-chunk, which splits). Docs longer than max_tokens get a pack
+    of their own (truncation is the caller's policy decision).
+
+    Returns (source, pack_id, doc_id, pack_offset, n_tok). Invariants
+    (tests/test_tokens.py): per-pack sums ≤ max_tokens (except singleton
+    oversized docs), token mass conserved, and the greedy property — a doc
+    opens a new pack iff it did not fit in the current one.
+
+    Scale shape: the fill state is a sequential recurrence per source, so
+    the kernel is applyInPandas keyed by source (the same per-series unit
+    of work as gap-fill); each group's pass is O(n) over a sorted pandas
+    frame — no per-row Python in the Spark sense (one Arrow batch per
+    source). Skewed sources are bounded by the corpus's per-source doc
+    count, not token count.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("pack_offset", T.LongType()),
+            T.StructField("n_tok", T.LongType()),
+        ]
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        pack, off = 0, 0
+        packs, offs = [], []
+        for n in pdf[len_col].astype("int64"):
+            if off > 0 and off + n > max_tokens:
+                pack += 1
+                off = 0
+            packs.append(pack)
+            offs.append(off)
+            off += int(n)
+        return pd.DataFrame(
+            {
+                "source": pdf[source_col],
+                "pack_id": packs,
+                "doc_id": pdf[id_col],
+                "pack_offset": offs,
+                "n_tok": pdf[len_col].astype("int64"),
+            }
+        )
+
+    src = df.select(source_col, id_col, len_col).filter(F.col(len_col) > 0)
+    return src.groupBy(source_col).applyInPandas(fill, out_schema)

@@ -111,3 +111,48 @@ def test_pack_plan_tied_order_keys(spark):
     plan = sequence_pack_plan(df, 512, order_cols=["ts", "doc_id"]).toPandas()
     assert sorted(plan["offset"].unique()) == [0, 300, 600]
     assert (plan["tok_end"] - plan["tok_start"]).sum() == 900
+
+
+def test_pack_greedy_no_split_invariants(spark):
+    """No-split packing: docs whole, greedy fill per source — per-pack sums
+    bounded, mass conserved, greedy property exact vs a python reference."""
+    import numpy as np
+    import pandas as pd
+
+    from numalogic_spark.operators.tokens import pack_greedy_no_split
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for s in range(3):
+        for i in range(40):
+            n = int(rng.integers(1, 90))
+            if i % 17 == 0:
+                n = 300  # oversized: must land alone in its own pack
+            rows.append({"source": f"s{s}", "doc_id": s * 1000 + i, "n_tok": n})
+    rows.append({"source": "s0", "doc_id": 99999, "n_tok": 0})  # dropped
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    cap = 128
+    got = pack_greedy_no_split(df, cap).toPandas()
+
+    # python reference
+    exp_rows = []
+    for s, g in pdf[pdf["n_tok"] > 0].groupby("source"):
+        g = g.sort_values("doc_id")
+        pack, off = 0, 0
+        for r in g.itertuples():
+            if off > 0 and off + r.n_tok > cap:
+                pack, off = pack + 1, 0
+            exp_rows.append((s, pack, r.doc_id, off, r.n_tok))
+            off += r.n_tok
+    exp = pd.DataFrame(exp_rows, columns=["source", "pack_id", "doc_id", "pack_offset", "n_tok"])
+    key = ["source", "doc_id"]
+    got_s = got.sort_values(key, ignore_index=True)
+    exp_s = exp.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+    # invariants: mass conserved; packs ≤ cap unless a singleton oversize
+    assert got["n_tok"].sum() == pdf[pdf["n_tok"] > 0]["n_tok"].sum()
+    per_pack = got.groupby(["source", "pack_id"]).agg(tot=("n_tok", "sum"), cnt=("n_tok", "size"))
+    over = per_pack[per_pack["tot"] > cap]
+    assert (over["cnt"] == 1).all()  # only oversized singletons exceed cap
