@@ -1877,6 +1877,52 @@ FROM docs d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum data order: per SOURCE (the scale-safe
+    partitioned form), docs tier into quartiles of the 6dp-rounded quality
+    score (clean docs in tier 1) with a reproducible portable-hash shuffle
+    inside each tier."""
+    from numalogic_spark.operators.sampling import curriculum_order
+    from numalogic_spark.operators.textstats import text_stats
+
+    docs = _docs(spark, sf_dir)
+    scores = text_stats(docs, "text", "doc_id").select(
+        "doc_id", _r6(F.col("quality_score")).alias("q6")
+    )
+    scored = docs.select("doc_id", "source").join(scores, "doc_id")
+    out = curriculum_order(scored, "q6", n_tiers=4, partition_cols=["source"])
+    return out.select("doc_id", "source", "q6", "tier", "ord")
+
+
+_CURRICULUM_SQL = r"""
+WITH s AS (
+  SELECT doc_id, source,
+    length(text) AS n_chars,
+    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_words,
+    len(list_filter(list_distinct(string_split_regex(lower(text), '\s+')), x -> x <> '')) AS n_distinct_words,
+    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM documents
+), q AS (
+  SELECT doc_id, source,
+    floor((least(n_words / 100.0, 1.0) * 0.4
+         + least(n_distinct_words * 1.0 / n_words, 1.0) * 0.4
+         + (1.0 - least(n_punct * 1.0 / greatest(n_chars, 1), 1.0)) * 0.2) * 1000000 + 0.5) / 1000000.0 AS q6
+  FROM s
+), h AS (
+  SELECT doc_id, source, q6,
+         (1103515245 * (list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, greatest(length(CAST(doc_id AS VARCHAR)), 1)),
+              i -> CAST(ascii(CAST(doc_id AS VARCHAR)[i]) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647)) + 12345) % 2147483647 AS oh,
+         ntile(4) OVER (PARTITION BY source ORDER BY q6 DESC, doc_id) AS tier
+  FROM q
+)
+SELECT doc_id, source, q6, CAST(tier AS INTEGER) AS tier,
+       CAST(row_number() OVER (PARTITION BY source, tier ORDER BY oh, doc_id) - 1 AS INTEGER) AS ord
+FROM h
+"""
+
+
 def _q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split greedy packing of documents' word-token counts into
     512-token packs (docs whole; sequential per-source fill — the packing
@@ -2047,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_documents": _q_bpe_encode,
         "nb_classify_documents": _q_nb_classify,
         "pack_greedy_documents": _q_pack_greedy,
+        "curriculum_order_documents": _q_curriculum,
     }
 
 
@@ -2100,6 +2147,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_documents": _bpe_encode_sql(),
         "nb_classify_documents": _nb_classify_sql(),
         "pack_greedy_documents": _PACK_GREEDY_SQL,
+        "curriculum_order_documents": _CURRICULUM_SQL,
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

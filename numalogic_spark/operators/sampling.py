@@ -145,3 +145,35 @@ def training_order(
         .withColumn("ord", F.row_number().over(w) - 1)
         .drop(tmp)
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_tiers: int = 4,
+    key_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Curriculum ordering: tier = ntile(n_tiers) over score DESC (highest-
+    quality docs in tier 1), within-tier order = the portable hash — a
+    reproducible shuffle WITHIN each difficulty band, the standard
+    quality-curriculum data order (easy/clean tiers first, random inside).
+
+    ``partition_cols`` tiers within partitions (e.g. per source) — the
+    scale-safe form: a global ntile is a single total order (one-partition
+    sort) and is only appropriate for bounded metadata frames. Ties break
+    on ``key_cols`` (default [doc_id]) keeping the order total; different
+    salts give independent within-tier epoch orders."""
+    keys = key_cols or ["doc_id"]
+    parts = partition_cols or []
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in keys])
+    tmp = "__curriculum_hash"
+    w_tier = Window.partitionBy(*parts).orderBy(F.col(score_col).desc(), *keys)
+    w_ord = Window.partitionBy(*parts, "tier").orderBy(tmp, *keys)
+    return (
+        df.withColumn(tmp, portable_hash_long(key, salt))
+        .withColumn("tier", F.ntile(n_tiers).over(w_tier))
+        .withColumn("ord", F.row_number().over(w_ord) - 1)
+        .drop(tmp)
+    )

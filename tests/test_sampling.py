@@ -111,3 +111,43 @@ def test_training_order_deterministic_shuffle(spark, tokens_df):
         .sort_values("doc_id", ignore_index=True)
     )
     assert d.equals(a)
+
+
+def test_curriculum_order(spark):
+    """Quality-curriculum ordering: quartile tiers by score (tier 1 =
+    best), balanced ntile sizes, reproducible within-tier shuffle that is
+    layout-independent and salt-sensitive."""
+    import numpy as np
+    import pandas as pd
+
+    from numalogic_spark.operators.sampling import curriculum_order
+
+    rng = np.random.default_rng(12)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:03d}" for i in range(80)],
+            "score": rng.uniform(size=80).round(6),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = curriculum_order(df, "score", n_tiers=4).toPandas()
+    # balanced quartiles
+    assert sorted(got.groupby("tier").size().tolist()) == [20, 20, 20, 20]
+    # tier 1 holds the best scores: min(tier1) >= max(tier2)
+    t = got.groupby("tier")["score"]
+    assert t.min()[1] >= t.max()[2] >= 0
+    # ord is a dense 0..n-1 permutation inside each tier
+    for _, g in got.groupby("tier"):
+        assert sorted(g["ord"]) == list(range(len(g)))
+    # layout-independent: a repartitioned input gives identical output
+    got2 = curriculum_order(df.repartition(7), "score", n_tiers=4).toPandas()
+    k = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(k, ignore_index=True)[["doc_id", "tier", "ord"]],
+        got2.sort_values(k, ignore_index=True)[["doc_id", "tier", "ord"]],
+    )
+    # a different salt permutes within tiers but keeps tier membership
+    got3 = curriculum_order(df, "score", n_tiers=4, salt=9).toPandas()
+    m = got.merge(got3, on="doc_id", suffixes=("", "_s"))
+    assert (m["tier"] == m["tier_s"]).all()
+    assert (m["ord"] != m["ord_s"]).any()
