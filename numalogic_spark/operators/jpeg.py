@@ -1,0 +1,300 @@
+"""Baseline JPEG (JFIF) decoder — pure numpy + stdlib, no codec libraries.
+
+Covers the baseline sequential DCT process (ITU-T T.81): DQT/DHT/SOF0/SOS
+marker parsing, byte-stuffed Huffman entropy decoding with DC prediction
+and restart markers, dequantization, 8×8 inverse DCT (orthonormal basis
+matmul), chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, and BT.601
+YCbCr→RGB. Progressive (SOF2) and arithmetic coding are rejected with a
+clear error — baseline is the overwhelmingly dominant profile.
+
+Consumed by operators/multimodal.decode_features for mime image/jpeg; the
+test suite cross-checks against an independent spec-faithful encoder
+(tests/test_jpeg.py) block-by-block and end-to-end (JPEG is lossy, so the
+end-to-end gate is exact-match against the decoder's OWN arithmetic and
+PSNR vs the source image).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag order: index = zigzag position, value = row-major position
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis D: spatial = D.T @ freq @ D."""
+    n = np.arange(8)
+    k = n[:, None]
+    d = np.cos((2 * n[None, :] + 1) * k * np.pi / 16) / 2.0
+    d[0, :] *= 1 / np.sqrt(2)
+    return d
+
+
+_D = _dct_basis()
+
+
+def idct2_blocks(freq: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) frequency blocks → spatial, one einsum (vectorized)."""
+    return np.einsum("ki,nkl,lj->nij", _D, freq, _D, optimize=True)
+
+
+def dct2_blocks(spatial: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial → frequency (the encoder's forward transform)."""
+    return np.einsum("ik,nkl,jl->nij", _D, spatial, _D, optimize=True)
+
+
+class HuffTable:
+    """Canonical Huffman table from the DHT (bits, values) spec form,
+    decoded via the standard mincode/maxcode/valptr walk (T.81 F.2.2.3)."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        self.values = np.frombuffer(bytes(values), dtype=np.uint8)
+        code = 0
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        p = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = p
+                self.mincode[length] = code
+                code += bits[length - 1]
+                p += bits[length - 1]
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+
+class BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; restart markers are consumed via `restart()`."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0  # pad past end (spec allows)
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: stop filling, handled explicitly
+                else:
+                    break  # EOI or next segment
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+            else:
+                self.pos += 1
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                return 0
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker; reset bit state."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker")
+
+    def decode_symbol(self, t: HuffTable) -> int:
+        code = self.read_bit()
+        length = 1
+        while code > t.maxcode[length]:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            if length > 16:
+                raise ValueError("corrupt JPEG: huffman code longer than 16 bits")
+        return int(t.values[t.valptr[length] + code - t.mincode[length]])
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF → (h, w, 3) uint8 RGB (grayscale replicated)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], HuffTable] = {}
+    restart_interval = 0
+    frame = None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        body = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if pq:
+                    tbl = np.frombuffer(body[j : j + 128], dtype=">u2").astype(np.int32)
+                    j += 128
+                else:
+                    tbl = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    j += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                huff[(tc, th)] = HuffTable(bits, body[j + 17 : j + 17 + nv])
+                j += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG (SOF0/1) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan[cid] = (tabs >> 4, tabs & 15)
+            data_start = i + 2 + seglen
+            return _decode_scan(payload, data_start, frame, scan, qt, huff, restart_interval)
+        i += 2 + seglen
+    raise ValueError("corrupt JPEG: no SOS segment")
+
+
+def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
+    if frame is None:
+        raise ValueError("corrupt JPEG: SOS before SOF")
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    reader = BitReader(payload, start)
+    pred = [0] * len(comps)
+    # de-zigzagged quant table per component (coef is stored de-zigzagged)
+    dezig_q = []
+    for c in comps:
+        dq = np.zeros(64, dtype=np.int64)
+        dq[ZIGZAG] = qt[c["tq"]]
+        dezig_q.append(dq)
+    # collect dequantized frequency blocks, IDCT them all at once at the end
+    blocks: list[list[tuple[int, int, np.ndarray]]] = [[] for _ in comps]
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        t = reader.decode_symbol(huff[(0, dc_t)])
+                        diff = _extend(reader.receive(t), t)
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(huff[(1, ac_t)])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC index overflow")
+                            coef[ZIGZAG[k]] = _extend(reader.receive(s), s)
+                            k += 1
+                        blocks[ci].append(
+                            (
+                                (my * c["v"] + by) * 8,
+                                (mx * c["h"] + bx) * 8,
+                                coef * dezig_q[ci],
+                            )
+                        )
+            mcu_count += 1
+    for ci, c in enumerate(comps):
+        if not blocks[ci]:
+            continue
+        freqs = np.stack([b[2].reshape(8, 8) for b in blocks[ci]])
+        spatial = idct2_blocks(freqs.astype(np.float64)) + 128.0
+        for (y0, x0, _), sp in zip(blocks[ci], spatial):
+            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = sp
+    # upsample each component to full (mcu-padded) resolution, then crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise ValueError(f"unsupported component count {len(full)}")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2) + 0.5, 0, 255).astype(np.uint8)

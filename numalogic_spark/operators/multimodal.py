@@ -3,15 +3,17 @@
 Image/audio/video are treated as `binary` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched kernels over mapInPandas.
 
-Decode support (pure numpy + stdlib zlib, no codec libraries needed):
+Decode support (pure numpy + stdlib, no codec libraries needed):
+- image/jpeg — baseline sequential JFIF (operators/jpeg.py: huffman +
+  dequant + IDCT + 4:2:0/4:2:2/4:4:4 + restart markers)
 - image/png  — 8-bit gray/gray+alpha/palette/RGB/RGBA, all 5 row filters
 - image/ppm  — binary PPM (P6), any maxval ≤ 255
 - image/bmp  — uncompressed 24-bit BITMAPINFOHEADER
 - audio/wav  — RIFF PCM 16-bit
 
-Container formats needing real codecs (JPEG/MP4/...) go through
-`decode_stub`, which raises NotImplementedError — swap in PIL/ffmpeg on a
-cluster that has them. `extract_features(..., encoder="fake")` keeps a
+Container formats needing real codecs (video/MP4, progressive JPEG, ...)
+go through `decode_stub`, which raises NotImplementedError — swap in
+PIL/ffmpeg on a cluster that has them. `extract_features(..., encoder="fake")` keeps a
 deterministic hash-derived path for plumbing tests that don't care about
 pixels.
 """
@@ -322,6 +324,10 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def decode_features(payload: bytes, mime: str) -> np.ndarray:
     """Dispatch a real decode + feature extraction by mime type."""
+    if mime in ("image/jpeg", "image/jpg"):
+        from numalogic_spark.operators.jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(bytes(payload)))
     if mime == "image/png":
         return image_features(decode_png(bytes(payload)))
     if mime in ("image/ppm", "image/x-portable-pixmap"):

@@ -272,3 +272,37 @@ def test_png_features_flow_through_spark(spark):
     for i, row in enumerate(rows):
         exp = image_features(decode_png(bytes(row["payload"])))
         np.testing.assert_allclose(got[f"png{i}"], exp, rtol=1e-6)
+
+
+def test_jpeg_features_flow_through_spark(spark):
+    """JPEG payloads run the REAL decoder end-to-end in extract_features."""
+    from tests.test_jpeg import encode_jpeg
+
+    from numalogic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        image_features,
+    )
+    from numalogic_spark.operators.jpeg import decode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    rows = []
+    for i, sub in enumerate(["444", "420"]):
+        img = np.stack(
+            [128 + 70 * np.sin(xx / (7 + i)), 128 + 50 * np.cos(yy / 6.0),
+             128 + 60 * np.sin((xx + yy) / 9.0)], axis=2
+        ).clip(0, 255).astype(np.uint8)
+        rows.append(
+            {
+                "doc_id": f"jpg{i}",
+                "modality": "image",
+                "payload": bytearray(encode_jpeg(img, subsample=sub)),
+                "meta": {"mime": "image/jpeg", "width": 32, "height": 24,
+                         "duration_ms": None},
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    got = {r["doc_id"]: np.array(r["features"]) for r in extract_features(df).collect()}
+    for i, row in enumerate(rows):
+        exp = image_features(decode_jpeg(bytes(row["payload"])))
+        np.testing.assert_allclose(got[f"jpg{i}"], exp, rtol=1e-6)
