@@ -10,8 +10,10 @@ Decode support (pure numpy + stdlib, no codec libraries needed):
 - image/ppm  — binary PPM (P6), any maxval ≤ 255
 - image/bmp  — uncompressed 24-bit BITMAPINFOHEADER
 - audio/wav  — RIFF PCM 16-bit
+- video/avi  — uncompressed RIFF AVI (raw 24-bit DIB frames) with fused
+  every-n frame sampling
 
-Container formats needing real codecs (video/MP4, progressive JPEG, ...)
+Container formats needing real codecs (H.264/MP4, progressive JPEG, ...)
 go through `decode_stub`, which raises NotImplementedError — swap in
 PIL/ffmpeg on a cluster that has them. `extract_features(..., encoder="fake")` keeps a
 deterministic hash-derived path for plumbing tests that don't care about
@@ -259,6 +261,88 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return data, rate
 
 
+def decode_avi_frames(payload: bytes, every_n: int = 1) -> tuple[list[np.ndarray], float]:
+    """Uncompressed AVI (RIFF 'AVI ' with raw 24-bit DIB '00db' frames) →
+    (frames [(h, w, 3) uint8 RGB], fps). The codec-free video container —
+    the video analog of the BMP/WAV decoders; compressed codecs (H.264 in
+    MP4/AVI '00dc') stay behind decode_stub. ``every_n`` keeps every n-th
+    frame (the frame-sampling step fused into the decode so untouched
+    frames are never materialized)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    us_per_frame = 0
+    frames: list[np.ndarray] = []
+    idx = 0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, us_per_frame, idx
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack_from("<I", payload, i + 4)
+            body_at = i + 8
+            if cid in (b"RIFF", b"LIST"):
+                walk(body_at + 4, body_at + size)  # skip the list type tag
+            elif cid == b"avih":
+                (us_per_frame,) = struct.unpack_from("<I", payload, body_at)
+                w, h = struct.unpack_from("<II", payload, body_at + 32)
+            elif cid == b"00db":  # uncompressed DIB frame (bottom-up BGR)
+                if w is None:
+                    raise ValueError("AVI frame before avih header")
+                if idx % every_n == 0:
+                    stride = (w * 3 + 3) & ~3
+                    rows = np.frombuffer(
+                        payload, dtype=np.uint8, count=stride * h, offset=body_at
+                    )
+                    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    frames.append(img[::-1, :, ::-1].copy())  # flip + BGR→RGB
+                idx += 1
+            elif cid == b"00dc":
+                raise ValueError(
+                    "compressed AVI stream ('00dc') requires a codec — "
+                    "only raw DIB ('00db') decodes here"
+                )
+            i = body_at + size + (size & 1)
+
+    walk(12, len(payload))
+    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+    return frames, fps
+
+
+def video_features(frames: list[np.ndarray], fps: float) -> np.ndarray:
+    """16-dim video descriptor: first/mid/last frame luminance stats,
+    mean inter-frame absolute difference (motion proxy), frame count/fps."""
+    if not frames:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    lum = [f.astype(np.float64).mean(axis=2) / 255.0 for f in frames]
+    first, mid, last = lum[0], lum[len(lum) // 2], lum[-1]
+    if len(lum) > 1:
+        motion = float(np.mean([np.abs(b - a).mean() for a, b in zip(lum, lum[1:])]))
+    else:
+        motion = 0.0
+    h, w = first.shape
+    feats = np.array(
+        [
+            first.mean(), first.std(),
+            mid.mean(), mid.std(),
+            last.mean(), last.std(),
+            motion,
+            float(np.abs(last - first).mean()),
+            min(len(frames), 4096) / 4096.0,
+            min(fps, 120.0) / 120.0,
+            min(h, 4096) / 4096.0,
+            min(w, 4096) / 4096.0,
+            h / w if w else 0.0,
+            float(np.mean([f.std() for f in lum])),
+            float(min(f.min() for f in lum)),
+            float(max(f.max() for f in lum)),
+        ],
+        dtype=np.float32,
+    )
+    return feats
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize via index gather (no interpolation libs)."""
     h, w = img.shape[:2]
@@ -336,6 +420,8 @@ def decode_features(payload: bytes, mime: str) -> np.ndarray:
         return image_features(decode_bmp(bytes(payload)))
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(*decode_wav_pcm16(bytes(payload)))
+    if mime in ("video/avi", "video/x-msvideo"):
+        return video_features(*decode_avi_frames(bytes(payload)))
     return decode_stub(bytes(payload), mime)
 
 

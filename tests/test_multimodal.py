@@ -306,3 +306,103 @@ def test_jpeg_features_flow_through_spark(spark):
     for i, row in enumerate(rows):
         exp = image_features(decode_jpeg(bytes(row["payload"])))
         np.testing.assert_allclose(got[f"jpg{i}"], exp, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# uncompressed AVI (video modality): writer built from the RIFF spec,
+# independent of the decoder under test.
+# ---------------------------------------------------------------------------
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + _struct.pack("<I", len(body)) + body + pad
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def encode_avi(frames, fps=10) -> bytes:
+    """Minimal spec-faithful uncompressed AVI: avih header + raw bottom-up
+    BGR '00db' frames with 4-byte row padding."""
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    avih = _struct.pack(
+        "<IIIIIIIIIIIIII",
+        int(1e6 / fps), 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    movi = b""
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up, BGR
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi += _chunk(b"00db", rows.tobytes())
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih))
+    body = b"AVI " + hdrl + _list(b"movi", movi)
+    return _chunk(b"RIFF", body)
+
+
+def test_avi_roundtrip_and_sampling():
+    from numalogic_spark.operators.multimodal import decode_avi_frames
+
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8) for _ in range(7)]
+    payload = encode_avi(frames, fps=25)
+    got, fps = decode_avi_frames(payload)
+    assert fps == pytest.approx(25, rel=1e-4)
+    assert len(got) == 7
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a, b)
+    # fused frame sampling: every 3rd frame only
+    sampled, _ = decode_avi_frames(payload, every_n=3)
+    assert len(sampled) == 3
+    np.testing.assert_array_equal(sampled[1], frames[3])
+
+
+def test_avi_rejects_compressed_and_garbage():
+    from numalogic_spark.operators.multimodal import decode_avi_frames
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_frames(b"\x00" * 32)
+    comp = _chunk(
+        b"RIFF",
+        b"AVI "
+        + _list(b"hdrl", _chunk(b"avih", b"\x00" * 56))
+        + _list(b"movi", _chunk(b"00dc", b"\x01\x02")),
+    )
+    with pytest.raises(ValueError, match="codec"):
+        decode_avi_frames(comp)
+
+
+def test_avi_features_flow_through_spark(spark):
+    from numalogic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_avi_frames,
+        extract_features,
+        video_features,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        (np.full((8, 8, 3), 20 * i, dtype=np.uint8)) for i in range(5)
+    ]  # monotone brightness ramp -> nonzero motion
+    payload = encode_avi(frames, fps=4)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "doc_id": "v0",
+                    "modality": "video",
+                    "payload": bytearray(payload),
+                    "meta": {"mime": "video/avi", "width": 8, "height": 8,
+                             "duration_ms": 1250},
+                }
+            ]
+        ),
+        MEDIA_SCHEMA,
+    )
+    got = np.array(extract_features(df).collect()[0]["features"])
+    exp = video_features(*decode_avi_frames(payload))
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
+    assert got[6] > 0  # motion proxy sees the brightness ramp
