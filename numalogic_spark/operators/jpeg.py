@@ -163,6 +163,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip them so the marker id is the first non-FF byte
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -217,6 +221,11 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
     if frame is None:
         raise ValueError("corrupt JPEG: SOS before SOF")
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(scan) != len(comps):
+        raise ValueError(
+            "only a single interleaved scan is supported "
+            f"(SOS covers {len(scan)} of {len(comps)} components)"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -289,7 +298,9 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        # +0.5 rounding like the color path (astype alone truncates and
+        # would bias every grayscale sample -0.5 LSB)
+        y = np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     if len(full) != 3:
         raise ValueError(f"unsupported component count {len(full)}")

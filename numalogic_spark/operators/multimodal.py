@@ -89,9 +89,10 @@ def _fake_features(payloads: pd.Series) -> list[np.ndarray]:
 
 
 def decode_stub(payload: bytes, modality: str):
-    """Codec-bound container decode (JPEG/MP4/...) would go here
-    (PIL/torchaudio/ffmpeg) — not available in this environment. PNG and
-    the uncompressed formats below decode for real."""
+    """Codec-bound container decode (H.264/MP4, progressive JPEG, ...)
+    would go here (PIL/torchaudio/ffmpeg) — not available in this
+    environment. Baseline JPEG, PNG and the uncompressed formats decode
+    for real (see the module docstring)."""
     raise NotImplementedError(
         f"media decode for {modality} requires codec libraries not present in this container"
     )
@@ -268,6 +269,8 @@ def decode_avi_frames(payload: bytes, every_n: int = 1) -> tuple[list[np.ndarray
     MP4/AVI '00dc') stay behind decode_stub. ``every_n`` keeps every n-th
     frame (the frame-sampling step fused into the decode so untouched
     frames are never materialized)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = None
@@ -290,8 +293,19 @@ def decode_avi_frames(payload: bytes, every_n: int = 1) -> tuple[list[np.ndarray
             elif cid == b"00db":  # uncompressed DIB frame (bottom-up BGR)
                 if w is None:
                     raise ValueError("AVI frame before avih header")
+                if not w or not h:
+                    raise ValueError(
+                        "avih declares zero dimensions — dims-in-strf-only "
+                        "AVIs are not supported"
+                    )
                 if idx % every_n == 0:
                     stride = (w * 3 + 3) & ~3
+                    if size < stride * h:
+                        raise ValueError(
+                            f"'00db' chunk holds {size} bytes but a padded "
+                            f"24-bpp {w}x{h} frame needs {stride * h} — "
+                            "unpadded or non-24-bpp DIB frames unsupported"
+                        )
                     rows = np.frombuffer(
                         payload, dtype=np.uint8, count=stride * h, offset=body_at
                     )

@@ -225,7 +225,7 @@ def pack_greedy_no_split(
 
     out_schema = T.StructType(
         [
-            T.StructField("source", T.StringType()),
+            T.StructField("source", df.schema[source_col].dataType),
             T.StructField("pack_id", T.LongType()),
             T.StructField("doc_id", df.schema[id_col].dataType),
             T.StructField("pack_offset", T.LongType()),
