@@ -1877,6 +1877,69 @@ FROM docs d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII redaction (email/IPv4/phone, typed placeholders, per-
+    category counts); the scrubbed text itself is hash-gated."""
+    from numalogic_spark.operators.textstats import scrub_pii
+
+    return scrub_pii(_docs(spark, sf_dir))
+
+
+def _scrub_pii_sql() -> str:
+    """DuckDB replay: identical conservative patterns (RE2 ≡ Java on
+    char-classes + bounded quantifiers), same sequencing — each category
+    counted on the text as scrubbed by the PREVIOUS categories."""
+    from numalogic_spark.operators.textstats import PII_PATTERNS
+
+    cur = "text"
+    count_cols = []
+    for name, pat, repl in PII_PATTERNS:
+        count_cols.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       {', '.join(count_cols)},
+       {cur} AS scrubbed
+FROM documents
+"""
+
+
+_BOILER_SQL = r"""
+WITH ex AS (
+  SELECT d.doc_id AS id, t.i - 1 AS pos, d.ls[t.i] AS line, trim(d.ls[t.i]) AS tline
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents) d,
+       unnest(generate_series(1, len(d.ls))) AS t(i)
+), boiler AS (
+  SELECT tline FROM (
+    SELECT tline, count(*) AS n_docs
+    FROM (SELECT DISTINCT id, tline FROM ex WHERE length(tline) >= 5)
+    GROUP BY 1
+  ) WHERE n_docs >= 3
+), marked AS (
+  SELECT ex.id, ex.pos, ex.line,
+         EXISTS (SELECT 1 FROM boiler b WHERE b.tline = ex.tline) AS is_b
+  FROM ex
+)
+SELECT id AS doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY pos), '') AS cleaned
+FROM marked
+GROUP BY id
+"""
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-line (boilerplate) removal: lines in ≥3 distinct
+    docs are dropped from every doc (trimmed match, short lines exempt);
+    the reconstructed text is hash-gated line for line."""
+    from numalogic_spark.operators.textstats import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(_docs(spark, sf_dir), min_docs=3).select(
+        F.col("id").alias("doc_id"), "n_lines", "n_kept", "cleaned"
+    )
+
+
 def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum data order: per SOURCE (the scale-safe
     partitioned form), docs tier into quartiles of the 6dp-rounded quality
@@ -2094,6 +2157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify_documents": _q_nb_classify,
         "pack_greedy_documents": _q_pack_greedy,
         "curriculum_order_documents": _q_curriculum,
+        "scrub_pii_documents": _q_scrub_pii,
+        "boilerplate_lines_documents": _q_boilerplate,
     }
 
 
@@ -2148,6 +2213,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify_documents": _nb_classify_sql(),
         "pack_greedy_documents": _PACK_GREEDY_SQL,
         "curriculum_order_documents": _CURRICULUM_SQL,
+        "scrub_pii_documents": _scrub_pii_sql(),
+        "boilerplate_lines_documents": _BOILER_SQL,
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

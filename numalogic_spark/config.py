@@ -151,6 +151,20 @@ def _doc_stage_factory():
         ok = scores.filter(F.col("contamination") <= max_contamination).select(id_col)
         return df.join(ok, id_col, "left_semi")
 
+    def scrub_pii(df, *, text_col, id_col):
+        out = TS.scrub_pii(df, text_col, id_col).select(id_col, "scrubbed")
+        return df.drop(text_col).join(out, id_col).withColumnRenamed(
+            "scrubbed", text_col
+        )
+
+    def boilerplate_filter(df, *, text_col, id_col, min_docs=3, min_line_chars=5):
+        out = TS.remove_boilerplate_lines(
+            df, text_col, id_col, min_docs=min_docs, min_line_chars=min_line_chars
+        ).select(F.col("id").alias(id_col), "cleaned")
+        return df.drop(text_col).join(out, id_col).withColumnRenamed(
+            "cleaned", text_col
+        )
+
     def sample(df, *, text_col, id_col, rate, salt=0):
         from numalogic_spark.operators.sampling import deterministic_sample
 
@@ -203,6 +217,8 @@ def _doc_stage_factory():
         "QualityFilter": quality_filter,
         "LangFilter": lang_filter,
         "RepetitionFilter": repetition_filter,
+        "PiiScrub": scrub_pii,
+        "BoilerplateFilter": boilerplate_filter,
         "ExactDedup": exact_dedup,
         "NearDedup": near_dedup,
         "Decontaminate": decontaminate,

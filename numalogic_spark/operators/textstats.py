@@ -354,3 +354,99 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         lambda acc, w: (acc * B + _word_char_fold(w, _CHAR_MULT_1)) % M,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (the C4-style cleanup step) — conservative patterns chosen
+# to behave identically in Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes + bounded quantifiers only, no lookaround/backrefs.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement) — applied IN ORDER: email before ipv4
+    # (an address inside user@1.2.3.4 is part of the email), ipv4 before
+    # phone (the phone class [0-9()\-. ] would otherwise swallow dotted
+    # quads as "phone numbers")
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses with typed
+    placeholders and count the redactions per category: (id, scrubbed,
+    n_email, n_ipv4, n_phone). Patterns apply in PII_PATTERNS order (see
+    its comment for why email < ipv4 < phone). Pure JVM regexp
+    expressions — one projection, no shuffle, no Python."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide boilerplate-line removal (the repeated-line dedup of
+# C4/CCNet: navigation chrome, cookie banners, footers recur across docs)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_line_chars: int = 5,
+) -> DataFrame:
+    """Drop every line that occurs in ≥ ``min_docs`` DISTINCT documents
+    (after trimming; lines shorter than ``min_line_chars`` are exempt —
+    short lines repeat by chance). Returns (id, n_lines, n_kept, cleaned)
+    with ``cleaned`` = surviving lines rejoined in order.
+
+    Scale shape: explode(lines) → two-level distinct-doc count (the same
+    never-shuffle-a-wide-distinct discipline as token_frequencies) →
+    the boilerplate set (tiny by Zipf: chrome lines are few but frequent)
+    joins back BROADCAST against the exploded lines, and docs reassemble
+    with an order-safe sort by line position. No Python anywhere."""
+    lines = F.split(F.col(text_col), "\n")
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(lines).alias("pos", "line")
+    ).withColumn("tline", F.trim(F.col("line")))
+    # distinct (doc, line) first — map-side combine collapses within-doc
+    # repeats before the count shuffle
+    boiler = (
+        exploded.filter(F.length("tline") >= min_line_chars)
+        .select("id", "tline")
+        .distinct()
+        .groupBy("tline")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("tline")
+    )
+    marked = exploded.join(
+        F.broadcast(boiler.withColumn("_boiler", F.lit(True))), "tline", "left"
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_boiler").isNull(), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_boiler").isNull(), F.struct("pos", "line"))
+                )
+            ).alias("_kept"),
+        )
+        .select(
+            F.col("id"),
+            F.col("n_lines"),
+            F.col("n_kept"),
+            F.array_join(F.col("_kept.line"), "\n").alias("cleaned"),
+        )
+    )

@@ -95,3 +95,25 @@ def test_doc_pipeline_as_data(spark):
     toks = funnel["Tokenize"].select(F.sum("n_tok")).collect()[0][0]
     assert packs["n_tok"].sum() == toks
     assert (packs["n_tok"] <= 8).all()
+
+
+def test_pii_and_boilerplate_stages(spark):
+    """The PiiScrub and BoilerplateFilter corpus stages rewrite text in
+    place and compose inside run_doc_pipeline."""
+    import pandas as pd
+
+    from numalogic_spark.config import StageConf, run_doc_pipeline
+
+    chrome = "Subscribe to our newsletter right away"
+    rows = [
+        (f"d{i}", "s0", f"{chrome}\nwrite to user{i}@example.com for info number {i}")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    stages = [StageConf("PiiScrub", {}), StageConf("BoilerplateFilter", {"min_docs": 3})]
+    out = dict(run_doc_pipeline(df, stages))
+    final = out["BoilerplateFilter"].orderBy("doc_id").collect()
+    assert len(final) == 4
+    for i, r in enumerate(final):
+        assert r["text"] == f"write to <EMAIL> for info number {i}"
+        assert r["source"] == "s0"

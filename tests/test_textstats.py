@@ -183,3 +183,57 @@ def test_lang_id_ngram_confusion_matrix_12_languages(spark):
     confusion = {(exp, got[exp]) for exp in samples}
     off_diagonal = {p for p in confusion if p[0] != p[1]}
     assert not off_diagonal, f"misclassified: {sorted(off_diagonal)}"
+
+
+def test_scrub_pii(spark):
+    """Emails / IPv4s / phone numbers redact with typed placeholders and
+    per-category counts; ordering keeps emails whole and IPs out of the
+    phone class."""
+    import pandas as pd
+
+    from numalogic_spark.operators.textstats import scrub_pii
+
+    rows = [
+        ("a", "contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+        ("b", "server at 192.168.1.100 and 10.0.0.1 responded"),
+        ("c", "mail root@10.0.0.1 for help"),  # no alpha TLD -> not an email; IP scrubbed
+        ("d", "totally clean text with numbers 42 and 7"),
+        ("e", "dial 555.867.5309 then 555 867 5310"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii(df).collect()}
+    assert got["a"]["n_email"] == 1 and got["a"]["n_phone"] == 1
+    assert got["a"]["scrubbed"] == "contact <EMAIL> or call <PHONE> now"
+    assert got["b"]["n_ipv4"] == 2 and got["b"]["n_phone"] == 0
+    assert got["b"]["scrubbed"] == "server at <IP> and <IP> responded"
+    assert got["c"]["n_email"] == 0 and got["c"]["n_ipv4"] == 1
+    assert got["c"]["scrubbed"] == "mail root@<IP> for help"
+    assert got["d"] == {"doc_id": "d", "n_email": 0, "n_ipv4": 0, "n_phone": 0,
+                        "scrubbed": rows[3][1]}
+    assert got["e"]["n_phone"] == 2
+    assert got["e"]["scrubbed"] == "dial <PHONE> then <PHONE>"
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines recurring across >= min_docs docs vanish from every doc;
+    unique lines and short lines survive; order is preserved."""
+    import pandas as pd
+
+    from numalogic_spark.operators.textstats import remove_boilerplate_lines
+
+    chrome = "Subscribe to our newsletter today"
+    footer = "Copyright Example Corp 2026"
+    docs = []
+    for i in range(4):
+        body = f"unique content of document number {i}"
+        docs.append((f"d{i}", f"{chrome}\n{body}\n--\n{footer}"))
+    docs.append(("solo", "a single document\nwith its own lines\n--"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {r["id"]: r.asDict() for r in remove_boilerplate_lines(df, min_docs=3).collect()}
+    for i in range(4):
+        r = got[f"d{i}"]
+        assert r["n_lines"] == 4 and r["n_kept"] == 2
+        # "--" is under min_line_chars -> exempt; chrome+footer removed
+        assert r["cleaned"] == f"unique content of document number {i}\n--"
+    assert got["solo"]["n_kept"] == 3
+    assert got["solo"]["cleaned"] == "a single document\nwith its own lines\n--"
