@@ -152,17 +152,25 @@ def _doc_stage_factory():
         return df.join(ok, id_col, "left_semi")
 
     def scrub_pii(df, *, text_col, id_col):
-        out = TS.scrub_pii(df, text_col, id_col).select(id_col, "scrubbed")
-        return df.drop(text_col).join(out, id_col).withColumnRenamed(
-            "scrubbed", text_col
-        )
+        # row-local rewrite: ONE projection, no join/shuffle, NULL text
+        # passes through, duplicate ids cannot multiply
+        return df.withColumn(text_col, TS.scrub_pii_expr(text_col))
 
     def boilerplate_filter(df, *, text_col, id_col, min_docs=3, min_line_chars=5):
+        # reserved temp name (never clobbers a caller column) + LEFT join:
+        # a NULL-text doc has no lines and no aggregate row — it must pass
+        # through unchanged, not be silently dropped by an inner join
+        tmp = "__boilerplate_cleaned"
         out = TS.remove_boilerplate_lines(
             df, text_col, id_col, min_docs=min_docs, min_line_chars=min_line_chars
-        ).select(F.col("id").alias(id_col), "cleaned")
-        return df.drop(text_col).join(out, id_col).withColumnRenamed(
-            "cleaned", text_col
+        ).select(F.col("id").alias(id_col), F.col("cleaned").alias(tmp))
+        return (
+            df.join(out, id_col, "left")
+            .withColumn(
+                text_col,
+                F.when(F.col(text_col).isNull(), F.col(text_col)).otherwise(F.col(tmp)),
+            )
+            .drop(tmp)
         )
 
     def sample(df, *, text_col, id_col, rate, salt=0):

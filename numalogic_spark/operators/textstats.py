@@ -373,6 +373,15 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def scrub_pii_expr(text_col: str) -> Column:
+    """The chained redaction as ONE column expression — the row-local form
+    for in-place rewrites (no join, no shuffle; NULL text stays NULL)."""
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return scrubbed
+
+
 def scrub_pii(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -403,17 +412,24 @@ def remove_boilerplate_lines(
     id_col: str = "doc_id",
     min_docs: int = 3,
     min_line_chars: int = 5,
+    broadcast_boiler: bool = False,
 ) -> DataFrame:
     """Drop every line that occurs in ≥ ``min_docs`` DISTINCT documents
     (after trimming; lines shorter than ``min_line_chars`` are exempt —
     short lines repeat by chance). Returns (id, n_lines, n_kept, cleaned)
-    with ``cleaned`` = surviving lines rejoined in order.
+    with ``cleaned`` = surviving lines rejoined in order. NULL-text docs
+    produce no output row (they have no lines) — rewrite callers should
+    LEFT-join (config's BoilerplateFilter does).
 
     Scale shape: explode(lines) → two-level distinct-doc count (the same
     never-shuffle-a-wide-distinct discipline as token_frequencies) →
-    the boilerplate set (tiny by Zipf: chrome lines are few but frequent)
-    joins back BROADCAST against the exploded lines, and docs reassemble
-    with an order-safe sort by line position. No Python anywhere."""
+    the boilerplate set joins back against the exploded lines, and docs
+    reassemble with an order-safe sort by line position. No Python
+    anywhere. The join is left to Spark's planner by default — on clean
+    corpora the set IS tiny (chrome lines: few but frequent) and
+    auto-broadcasts, but on duplicate-heavy raw crawls run BEFORE exact
+    dedup it can scale with total distinct lines, so the forced-broadcast
+    hint is opt-in (``broadcast_boiler=True``), not assumed."""
     lines = F.split(F.col(text_col), "\n")
     exploded = df.select(
         F.col(id_col).alias("id"), F.posexplode(lines).alias("pos", "line")
@@ -429,9 +445,10 @@ def remove_boilerplate_lines(
         .filter(F.col("n_docs") >= min_docs)
         .select("tline")
     )
-    marked = exploded.join(
-        F.broadcast(boiler.withColumn("_boiler", F.lit(True))), "tline", "left"
-    )
+    bset = boiler.withColumn("_boiler", F.lit(True))
+    if broadcast_boiler:
+        bset = F.broadcast(bset)
+    marked = exploded.join(bset, "tline", "left")
     return (
         marked.groupBy("id")
         .agg(

@@ -117,3 +117,28 @@ def test_pii_and_boilerplate_stages(spark):
     for i, r in enumerate(final):
         assert r["text"] == f"write to <EMAIL> for info number {i}"
         assert r["source"] == "s0"
+
+
+def test_rewrite_stages_null_text_and_collisions(spark):
+    """Null-text docs pass through both rewrite stages unchanged; an input
+    column named 'scrubbed'/'cleaned' never collides (review findings)."""
+    import pandas as pd
+
+    from numalogic_spark.config import StageConf, run_doc_pipeline
+
+    chrome = "Subscribe to our newsletter right away"
+    rows = [(f"d{i}", "s0", f"{chrome}\nbody {i} mail x@y.com", "keepme")
+            for i in range(3)]
+    rows.append(("dn", "s0", None, "keepme"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text", "cleaned"]),
+        "doc_id string, source string, text string, cleaned string",
+    )
+    stages = [StageConf("PiiScrub", {}), StageConf("BoilerplateFilter", {"min_docs": 3})]
+    out = dict(run_doc_pipeline(df, stages))["BoilerplateFilter"]
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert len(got) == 4  # null-text row NOT dropped
+    assert got["dn"]["text"] is None
+    for i in range(3):
+        assert got[f"d{i}"]["text"] == f"body {i} mail <EMAIL>"
+        assert got[f"d{i}"]["cleaned"] == "keepme"  # caller column untouched
