@@ -61,6 +61,11 @@ def main() -> None:
     ap.add_argument("--max-word-len", type=float, default=25.0,
                     help="drop docs whose mean word length exceeds this (garbage filter)")
     ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/IPv4s/phones in place before any filter")
+    ap.add_argument("--boilerplate-min-docs", type=int, default=0,
+                    help="> 0: remove lines recurring in >= N distinct docs "
+                         "(corpus-wide boilerplate dedup) before quality filtering")
     ap.add_argument("--tokenizer", choices=["bpe", "hash"], default="bpe",
                     help="bpe: byte-level BPE (train on the filtered corpus "
                          "or load --bpe-vocab); hash: legacy word-hash ids")
@@ -79,6 +84,27 @@ def main() -> None:
     funnel: dict[str, int] = {}
     docs = spark.read.parquet(args.input)
     funnel["input_docs"] = docs.count()
+
+    # 0. optional text cleanup BEFORE any filtering (C4 ordering: scrub and
+    # de-boilerplate first so the quality stats judge the retained text)
+    if args.scrub_pii:
+        from numalogic_spark.operators.textstats import scrub_pii_expr
+
+        docs = docs.withColumn(args.text_col, scrub_pii_expr(args.text_col))
+    if args.boilerplate_min_docs > 0:
+        from numalogic_spark.operators.textstats import remove_boilerplate_lines
+
+        cleaned = remove_boilerplate_lines(
+            docs, args.text_col, args.id_col, min_docs=args.boilerplate_min_docs
+        ).select(F.col("id").alias(args.id_col), "cleaned")
+        docs = (
+            docs.join(cleaned, args.id_col, "left")
+            .withColumn(
+                args.text_col,
+                F.coalesce(F.col("cleaned"), F.col(args.text_col)),
+            )
+            .drop("cleaned")
+        )
 
     # 1. quality filter: word count + mean word length bounds (JVM-only)
     stats = text_stats(docs, args.text_col, args.id_col)
