@@ -1877,6 +1877,25 @@ FROM docs d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style text normalization (control-char strip, whitespace
+    collapse, blank-line squeeze, trim) — normalized text hash-gated."""
+    from numalogic_spark.operators.textstats import normalize_text_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize_text_expr("text").alias("normalized")
+    )
+
+
+def _normalize_sql() -> str:
+    from numalogic_spark.operators.textstats import NORMALIZE_STEPS
+
+    cur = "text"
+    for pat, repl in NORMALIZE_STEPS:
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, trim({cur}) AS normalized FROM documents"
+
+
 def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style PII redaction (email/IPv4/phone, typed placeholders, per-
     category counts); the scrubbed text itself is hash-gated."""
@@ -2159,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order_documents": _q_curriculum,
         "scrub_pii_documents": _q_scrub_pii,
         "boilerplate_lines_documents": _q_boilerplate,
+        "normalize_text_documents": _q_normalize,
     }
 
 
@@ -2215,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order_documents": _CURRICULUM_SQL,
         "scrub_pii_documents": _scrub_pii_sql(),
         "boilerplate_lines_documents": _BOILER_SQL,
+        "normalize_text_documents": _normalize_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

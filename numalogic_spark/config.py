@@ -151,6 +151,11 @@ def _doc_stage_factory():
         ok = scores.filter(F.col("contamination") <= max_contamination).select(id_col)
         return df.join(ok, id_col, "left_semi")
 
+    def normalize(df, *, text_col, id_col):
+        # row-local rewrite: control chars stripped, whitespace collapsed,
+        # line structure preserved (BoilerplateFilter still sees lines)
+        return df.withColumn(text_col, TS.normalize_text_expr(text_col))
+
     def scrub_pii(df, *, text_col, id_col):
         # row-local rewrite: ONE projection, no join/shuffle, NULL text
         # passes through, duplicate ids cannot multiply
@@ -225,6 +230,7 @@ def _doc_stage_factory():
         "QualityFilter": quality_filter,
         "LangFilter": lang_filter,
         "RepetitionFilter": repetition_filter,
+        "Normalize": normalize,
         "PiiScrub": scrub_pii,
         "BoilerplateFilter": boilerplate_filter,
         "ExactDedup": exact_dedup,

@@ -467,3 +467,24 @@ def remove_boilerplate_lines(
             F.array_join(F.col("_kept.line"), "\n").alias("cleaned"),
         )
     )
+
+
+# normalization patterns (applied in order): RE2 ≡ Java on hex escapes,
+# char classes and bounded quantifiers
+NORMALIZE_STEPS: list[tuple[str, str]] = [
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),  # strip control chars (keep \t \n)
+    (r"[ \t]+", " "),                             # collapse spaces/tabs
+    (r" ?\n ?", "\n"),                            # trim around newlines
+    (r"\n{3,}", "\n\n"),                          # squeeze blank-line runs
+]
+
+
+def normalize_text_expr(text_col: str) -> Column:
+    """CCNet-style text normalization as ONE chained expression: control
+    characters stripped, horizontal whitespace collapsed, line structure
+    preserved (so BoilerplateFilter still sees lines), ≥3 blank lines
+    squeezed to one, ends trimmed. NULL passes through."""
+    out = F.col(text_col)
+    for pat, repl in NORMALIZE_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)

@@ -237,3 +237,22 @@ def test_remove_boilerplate_lines(spark):
         assert r["cleaned"] == f"unique content of document number {i}\n--"
     assert got["solo"]["n_kept"] == 3
     assert got["solo"]["cleaned"] == "a single document\nwith its own lines\n--"
+
+
+def test_normalize_text(spark):
+    import pandas as pd
+
+    from numalogic_spark.operators.textstats import normalize_text_expr
+
+    rows = [
+        ("a", "  hello\tworld  \n\n\n\n  next   line \x07\x00 done  "),
+        ("b", "already clean\nsecond line"),
+        ("n", None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]),
+                               "doc_id string, text string")
+    got = {r["doc_id"]: r["norm"] for r in
+           df.select("doc_id", normalize_text_expr("text").alias("norm")).collect()}
+    assert got["a"] == "hello world\n\nnext line done"
+    assert got["b"] == "already clean\nsecond line"
+    assert got["n"] is None
