@@ -2,11 +2,14 @@
 domain/quality-classifier stage of a training-data pipeline (the role
 fastText/CCNet-style filters play at corpus scale), built closed-form:
 
-- **Training is two aggregations** (no iterative optimizer): corpus word
-  counts pick a capped vocabulary (top-K by frequency — Zipf makes the cap
-  nearly lossless), then per-(word, label) counts become add-alpha
-  log-likelihoods. Both are map-side-combining groupBys; the model is a
-  small (V·L) table — broadcastable at any corpus size.
+- **Training is two aggregations over ONE tokenization pass** (no
+  iterative optimizer): the word-array frame is persisted once; corpus
+  word counts pick a capped vocabulary (top-K by frequency — Zipf makes
+  the cap nearly lossless), then per-(word, label) counts become
+  add-alpha log-likelihoods. Both are map-side-combining groupBys; the
+  model is a small (V·L) table — localCheckpointed and broadcastable at
+  any corpus size; label totals and the doc-count prior derive from the
+  model counts / a label-column-only scan, never a second corpus pass.
 - **Scoring is relational**: explode doc words (multiplicity kept), LEFT
   broadcast-join the per-word log-likelihood row (OOV words fall back to
   the per-label unknown mass), per-doc decimal sum per label + prior,
@@ -58,10 +61,18 @@ def nb_train(
     mass is ln(alpha / (T_l + alpha·(V+1))). All three are quantized to
     6dp at train time so score sums are engine-exact.
     """
-    tok = df.select(
-        F.col(label_col).alias("label"), F.explode(_words(text_col)).alias("word")
+    # Tokenize the corpus EXACTLY ONCE: persist the word-array frame (the
+    # regex split/lower is the expensive part; explode from cache is cheap)
+    # so the vocabulary pass and the per-(word,label) count pass share it.
+    # The earlier shape re-ran full tokenization three times (wc, in_vocab,
+    # totals) — at 100 TB that is three corpus jobs instead of one.
+    warr = df.select(F.col(label_col).alias("label"), _words(text_col).alias("ws"))
+    warr = warr.persist()
+    wc = (
+        warr.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     # collect the capped vocabulary ONCE (≤ max_vocab strings — driver-sized
     # by construction) and rebuild it as a literal frame: leaving it as a
     # lazy TakeOrdered subtree would re-run the full corpus tokenization
@@ -76,20 +87,36 @@ def nb_train(
     vocab = df.sparkSession.createDataFrame(
         [(w,) for w in vocab_words], "word string"
     )
+    tok = warr.select("label", F.explode("ws").alias("word"))
     in_vocab = tok.join(F.broadcast(vocab), "word")
     wl = in_vocab.groupBy("word", "label").agg(F.count(F.lit(1)).alias("c"))
-    totals = in_vocab.groupBy("label").agg(F.count(F.lit(1)).alias("t"))
+    # Materialize wl eagerly (≤ V·L rows — model-sized, tiny) and release
+    # the token cache; every downstream consumer (totals, grid, likelihoods,
+    # the returned frames) now reads the checkpointed counts, never the
+    # corpus.
+    wl = wl.localCheckpoint()
+    warr.unpersist()
+    # totals is derivable from wl (Σ c per label == in-vocab token count) —
+    # the earlier separate in_vocab aggregation was a whole corpus pass for
+    # a value already present in the model counts.
+    totals = wl.groupBy("label").agg(F.sum("c").alias("t"))
     denom = F.col("t") + F.lit(alpha) * F.lit(float(v_size + 1))
 
-    n_docs = df.count()
+    # n_docs as a window total over the per-label doc counts (L rows) —
+    # avoids a separate df.count() corpus pass; this scan reads only the
+    # label column.
+    label_counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    label_counts = label_counts.withColumn(
+        "n_docs", F.sum("n").over(Window.partitionBy())
+    )
     priors = (
-        df.groupBy(F.col(label_col).alias("label"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(totals, "label", "left")
+        label_counts.join(totals, "label", "left")
         .na.fill({"t": 0})
         .select(
             "label",
-            _q6(F.log(F.col("n") / F.lit(float(n_docs)))).alias("log_prior"),
+            _q6(F.log(F.col("n") / F.col("n_docs").cast("double"))).alias("log_prior"),
             _q6(F.log(F.lit(alpha) / denom)).alias("log_unk"),
         )
     )

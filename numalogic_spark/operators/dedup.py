@@ -418,6 +418,13 @@ def minhash_lsh_pairs(
     # (which allocates a rewritten string per doc): the rlike predicate
     # short-circuits at the first non-whitespace char. Same truth value as
     # the oracle's regexp_replace form; consistent with simhash's word guard.
+    # Whitespace-class caveat: Java's \s includes \x0B (vertical tab), RE2's
+    # (DuckDB) does not — a doc made ONLY of \x0B would be dropped here but
+    # kept by the oracle. The downstream word/shingle splits share the exact
+    # same divergence, so an explicit char class in the guard alone would not
+    # close it; instead the engine assumes ASCII-space/tab/newline whitespace
+    # (true of the test corpora and of normalize_text output, which strips
+    # control chars).
     nonempty = df.filter(F.col(text_col).rlike(r"\S"))
     base = ensure_parallelism(nonempty).select(
         F.col(id_col).alias("id"), char_shingle_codes(text_col, shingle_n).alias("codes")
@@ -805,9 +812,12 @@ def simhash_near_pairs(
         raise ValueError("max_hamming too large: chunks need >= 4 bits")
     # Degenerate-doc guard: zero-word docs all collapse to signature (0,0)
     # and would pair quadratically as hamming-0 "near-dups" of each other.
-    df = df.filter(
-        F.size(F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")) > 0
-    )
+    # rlike('\S') — same truth value as "splits to >= 1 word" (a doc has a
+    # word iff it has a non-whitespace char) but non-allocating: the earlier
+    # split+array_remove form materialized a word array per doc just to test
+    # emptiness, a measurable cost on a 100 TB corpus. See the whitespace
+    # caveat below: Java \s vs the oracle's RE2 \s differ only on \x0B.
+    df = df.filter(F.col(text_col).rlike(r"\S"))
     # signature: Arrow kernel by default — bit-identical to the expression
     # path (tested) and ~10× faster; unlike MinHash the signature IS the
     # dominant stage here (per-word interpreted folds), so the kernel wins
