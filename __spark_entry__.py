@@ -2124,6 +2124,153 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _q_sklearn_scalers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four sklearn PreprocessFactory scalers (Standard/MinMax/MaxAbs/
+    Robust, reference config/factory.py:45,59-63) fit per series and
+    applied through the engine's affine-scaler machinery: four model-sized
+    fitted frames, broadcast-joined back, one projection each. Standard
+    uses decimal-sum moments (order-independent exactness); MinMax/MaxAbs
+    stats are exact extrema; Robust uses exact linear-interp percentiles."""
+    from numalogic_spark.functions.scalers import (
+        fit_maxabs_scaler,
+        fit_minmax_scaler,
+        fit_robust_scaler,
+        fit_standard_scaler,
+        transform_affine_scaler,
+    )
+
+    df = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    by = ["event_type"]
+    out = df
+    for fit, kw, sfx in (
+        (fit_standard_scaler, {"decimal_stats": True}, "__std"),
+        (fit_minmax_scaler, {}, "__mm"),
+        (fit_maxabs_scaler, {}, "__ma"),
+        (fit_robust_scaler, {}, "__rb"),
+    ):
+        stats = fit(df, ["value"], by=by, **kw)
+        out = transform_affine_scaler(out, stats, ["value"], by=by, suffix=sfx)
+    return out.select(
+        "event_id",
+        _r6("value__std").alias("std_scaled"),
+        _r6("value__mm").alias("minmax_scaled"),
+        _r6("value__ma").alias("maxabs_scaled"),
+        _r6("value__rb").alias("robust_scaled"),
+    )
+
+
+_SKLEARN_SCALERS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value) AS mu,
+         sqrt(greatest(CAST(sum(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value)
+              - (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value))
+                * (CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value)), 0.0)) AS sigma,
+         min(value) AS mn, max(value) AS mx,
+         max(abs(value)) AS mab,
+         quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id,
+  floor(((e.value - s.mu) / (CASE WHEN s.sigma = 0.0 THEN 1.0 ELSE s.sigma END) + 0.0) * 1000000 + 0.5) / 1000000.0 AS std_scaled,
+  floor(((e.value - s.mn) / ((CASE WHEN s.mx - s.mn = 0.0 THEN 1.0 ELSE s.mx - s.mn END) / 1.0) + 0.0) * 1000000 + 0.5) / 1000000.0 AS minmax_scaled,
+  floor(((e.value - 0.0) / (CASE WHEN s.mab = 0.0 THEN 1.0 ELSE s.mab END) + 0.0) * 1000000 + 0.5) / 1000000.0 AS maxabs_scaled,
+  floor(((e.value - s.med) / (CASE WHEN s.iqr = 0.0 THEN 1.0 ELSE s.iqr END) + 0.0) * 1000000 + 0.5) / 1000000.0 AS robust_scaled
+FROM events e JOIN s ON e.event_type = s.event_type
+"""
+
+
+def _q_robust_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustMahalanobisThreshold (ThresholdFactory, reference
+    _mahalanobis.py:188-230) per series over the same integer-quantized
+    2-feature matrix as mahalanobis_events: deterministic-MCD fit in one
+    applyInPandas task per series, relational d²-term scoring. The oracle
+    replays the identical numpy fit (shared robust_mahalanobis_fit_np)
+    and embeds the fitted location/precision/threshold as SQL literals —
+    the IVF-codebook discipline."""
+    from numalogic_spark.functions.robust import (
+        fit_robust_mahalanobis,
+        score_robust_mahalanobis,
+    )
+
+    df = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).alias("f0"),
+    ).withColumn("f1", F.col("f0") % F.lit(1000))
+    stats = fit_robust_mahalanobis(
+        df, ["f0", "f1"], by=["source"], order_by=["event_id"], seed=42
+    )
+    out = score_robust_mahalanobis(df, stats, ["f0", "f1"], by=["source"])
+    return out.select(
+        "source", "event_id",
+        _r6("md").alias("md"), _r6("md_score").alias("md_score"), "md_pred",
+    )
+
+
+def _robust_mahalanobis_sql() -> str:
+    """Replay the deterministic MCD fit per event_type on the driver's
+    oracle-scale data (sf0.01, like _ivf_sql) with the SAME numpy function
+    the Spark kernel runs, then score in SQL with the fitted stats as
+    literals — the i-major term order matches score_robust_mahalanobis
+    exactly, so the doubles are bit-identical."""
+    import duckdb as _dd
+    import numpy as _np
+
+    from numalogic_spark.functions.robust import robust_mahalanobis_fit_np
+
+    rows = _dd.sql(
+        "SELECT event_type, event_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS f0 "
+        "FROM '/root/testdata/sf0.01/events.parquet' ORDER BY event_type, event_id"
+    ).fetchall()
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for et, _eid, f0 in rows:
+        groups.setdefault(et, []).append((f0, f0 % 1000))
+    cases = {"loc0": [], "loc1": [], "p": [[] for _ in range(4)], "thr": []}
+    keys = sorted(groups)
+    for et in keys:
+        x = _np.array(groups[et], dtype=_np.float64)
+        loc, prec, thr = robust_mahalanobis_fit_np(x, seed=42)
+        cases["loc0"].append((et, repr(float(loc[0]))))
+        cases["loc1"].append((et, repr(float(loc[1]))))
+        for i in range(4):
+            cases["p"][i].append((et, repr(float(prec.reshape(-1)[i]))))
+        cases["thr"].append((et, repr(float(thr))))
+
+    def case(pairs: list) -> str:
+        whens = " ".join(f"WHEN source = '{et}' THEN {v}" for et, v in pairs)
+        return f"(CASE {whens} END)"
+
+    loc0, loc1 = case(cases["loc0"]), case(cases["loc1"])
+    p00, p01, p10, p11 = (case(cases["p"][i]) for i in range(4))
+    thr = case(cases["thr"])
+    dc0 = f"(CAST(f0 AS DOUBLE) - {loc0})"
+    dc1 = f"(CAST(f1 AS DOUBLE) - {loc1})"
+    md2 = (
+        f"{p00} * {dc0} * {dc0} + {p01} * {dc0} * {dc1} "
+        f"+ {p10} * {dc1} * {dc0} + {p11} * {dc1} * {dc1}"
+    )
+    return f"""
+WITH f AS (
+  SELECT event_type AS source, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS f0
+  FROM events
+), f2 AS (
+  SELECT source, event_id, f0, f0 % 1000 AS f1 FROM f
+), md AS (
+  SELECT source, event_id, sqrt(greatest({md2}, 0.0)) AS md, {thr} AS thr
+  FROM f2
+)
+SELECT source, event_id,
+       floor(md * 1000000 + 0.5) / 1000000.0 AS md,
+       floor((md / greatest(thr, 1e-12)) * 1000000 + 0.5) / 1000000.0 AS md_score,
+       CAST(CASE WHEN md >= thr THEN 1 ELSE 0 END AS BIGINT) AS md_pred
+FROM md
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": _q_rollup("1m"),
@@ -2170,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_metric_rollup_lineitem": _q_multi_rollup_lineitem,
         "ewm_smooth_events": _q_ewm_smooth,
         "mahalanobis_events": _q_mahalanobis,
+        "sklearn_scalers_events": _q_sklearn_scalers,
+        "robust_mahalanobis_events": _q_robust_mahalanobis,
         "prometheus_frame_events": _q_prometheus_frame,
         "dedup_clusters_documents": _q_dedup_clusters,
         "bpe_encode_documents": _q_bpe_encode,
@@ -2224,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_documents": _simhash_sql(),
         "doc_fingerprint_documents": _FINGERPRINT_SQL,
         "mahalanobis_events": _mahalanobis_sql(),
+        "sklearn_scalers_events": _SKLEARN_SCALERS_SQL,
         "ewm_smooth_events": _ewm_smooth_sql(),
         "backtest_events": _backtest_sql(),
         "prometheus_frame_events": _prom_frame_sql(),
@@ -2244,6 +2394,12 @@ def oracle_sql() -> dict[str, str]:
     # fall back to rows-only rather than failing EVERY oracle.
     try:
         out["ivf_ann_topk_embeddings"] = _ivf_sql()
+    except Exception:
+        pass
+    # Same discipline: the robust-Mahalanobis oracle replays the MCD fit
+    # over the sf0.01 fixture and embeds the fitted stats as literals.
+    try:
+        out["robust_mahalanobis_events"] = _robust_mahalanobis_sql()
     except Exception:
         pass
     return out

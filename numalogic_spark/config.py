@@ -18,7 +18,10 @@ from pyspark.sql import Column, DataFrame
 
 from numalogic_spark.functions import transforms as TX
 
-# stateless transforms + score functions: name → Column-expr builder
+# stateless transforms + score functions: name → Column-expr builder.
+# DifferenceTransform/GaussianNoiseAdder are column exprs too — their conf
+# carries the context the closed forms need (order_by/partition_by resp.
+# id_col for counter-based seeded noise).
 TRANSFORM_FACTORY = {
     "LogTransformer": TX.log_transform,
     "StaticPowerTransformer": TX.static_power_transform,
@@ -28,17 +31,62 @@ TRANSFORM_FACTORY = {
     "StaticThreshold": TX.static_threshold_score,
     "SigmoidThreshold": TX.sigmoid_threshold_score,
     "ImputeNanInf": TX.impute_nan_inf,
+    "DifferenceTransform": TX.difference_transform,
+    "GaussianNoiseAdder": TX.seeded_gaussian_noise,
 }
 
-# fitted estimators: name → (fit_fn, transform/score_fn)
+# fitted estimators: name → (fit_fn, transform/score_fn); covers every
+# PreprocessFactory/ThresholdFactory scaler the reference dispatches by
+# name (config/factory.py:45,59-63,100-119) that has a closed-form fit
 def _scaler_factory():
+    from numalogic_spark.functions import robust as RB
     from numalogic_spark.functions import scalers as SC
 
     return {
+        "RobustMahalanobisThreshold": (
+            RB.fit_robust_mahalanobis,
+            RB.score_robust_mahalanobis,
+        ),
         "TanhScaler": (SC.fit_tanh_scaler, SC.transform_tanh_scaler),
         "PercentileScaler": (SC.fit_percentile_scaler, SC.transform_percentile_scaler),
         "StdDevThreshold": (SC.fit_stddev_threshold, SC.score_threshold),
         "MaxPercentileThreshold": (SC.fit_max_percentile_threshold, SC.score_threshold),
+        "StandardScaler": (SC.fit_standard_scaler, SC.transform_affine_scaler),
+        "MinMaxScaler": (SC.fit_minmax_scaler, SC.transform_affine_scaler),
+        "MaxAbsScaler": (SC.fit_maxabs_scaler, SC.transform_affine_scaler),
+        "RobustScaler": (SC.fit_robust_scaler, SC.transform_affine_scaler),
+    }
+
+
+# frame-level transforms: name → callable(df, metrics, **conf) returning
+# (DataFrame, new_metric_cols). These reshape the frame or need a per-series
+# sort, so they cannot fold into a single Column projection; apply_preprocess
+# flushes the pending column chain before running one.
+def _df_transform_factory():
+    from numalogic_spark.operators import reshape as RS
+    from numalogic_spark.operators import windows as W
+
+    def exp_moving_average(df, metrics, *, beta=0.5, source_col="source",
+                           ts_col="event_ts"):
+        return W.ewm_smooth(df, metrics, beta=beta, source_col=source_col,
+                            ts_col=ts_col), metrics
+
+    def flatten_vector(df, metrics, *, id_cols):
+        return RS.flatten_rows(df, id_cols, metrics), ["value"]
+
+    def flatten_vector_with_padding(df, metrics, *, flatten_features, order_by,
+                                    partition_by=None, padding_with=0.0):
+        pads = [m for m in metrics if m not in set(flatten_features)]
+        out = RS.flatten_rows_with_padding(
+            df, order_by, list(flatten_features), pads,
+            partition_by=partition_by, padding_with=padding_with,
+        )
+        return out, ["value", *pads]
+
+    return {
+        "ExpMovingAverage": exp_moving_average,
+        "FlattenVector": flatten_vector,
+        "FlattenVectorWithPadding": flatten_vector_with_padding,
     }
 
 
@@ -73,9 +121,60 @@ def compile_transform_chain(col: Column | str, stages: list[StageConf]) -> Colum
     return out
 
 
-def apply_preprocess(df: DataFrame, cfg: PipelineConf, suffix: str = "__pre") -> DataFrame:
-    for m in cfg.metrics:
-        df = df.withColumn(f"{m}{suffix}", compile_transform_chain(m, cfg.preprocess))
+def apply_preprocess(
+    df: DataFrame,
+    cfg: PipelineConf,
+    suffix: str = "__pre",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Run cfg.preprocess in declared order. Consecutive Column-expr stages
+    fold into ONE projection (the make_pipeline analog); a fitted-scaler
+    stage becomes fit-aggregate + broadcast-join transform; a frame-level
+    stage (EWM smoothing, flatten reshapes) runs via _df_transform_factory
+    and may rename the working metric columns. The first transforming
+    flush writes `{metric}{suffix}` so callers keep the raw columns;
+    later stages chain on the transformed names."""
+    df_factory = _df_transform_factory()
+    scalers = _scaler_factory()
+    metrics = list(cfg.metrics)
+    pending: list[StageConf] = []
+    suffixed = False
+
+    def flush(frame, cols):
+        nonlocal pending, suffixed
+        if not pending:
+            return frame, cols
+        out_cols = cols if suffixed else [f"{m}{suffix}" for m in cols]
+        for m, om in zip(cols, out_cols):
+            frame = frame.withColumn(om, compile_transform_chain(m, pending))
+        pending, suffixed = [], True
+        return frame, out_cols
+
+    for st in cfg.preprocess:
+        if st.name in TRANSFORM_FACTORY:
+            pending.append(st)
+        elif st.name in scalers:
+            df, metrics = flush(df, metrics)
+            fit_fn, tx_fn = scalers[st.name]
+            stats = fit_fn(df, metrics, by=by, **st.conf)
+            df = tx_fn(df, stats, metrics, by=by)
+            out_sfx = (
+                "__score"
+                if st.name in ("StdDevThreshold", "MaxPercentileThreshold")
+                else "__scaled"
+            )
+            metrics = [f"{m}{out_sfx}" for m in metrics]
+            suffixed = True
+        elif st.name in df_factory:
+            df, metrics = flush(df, metrics)
+            df, metrics = df_factory[st.name](df, metrics, **st.conf)
+            suffixed = True
+        else:
+            raise ValueError(
+                f"unknown transform: {st.name!r}; available: "
+                f"{sorted({*TRANSFORM_FACTORY, *scalers, *df_factory})}"
+            )
+    df, metrics = flush(df, metrics)
     return df
 
 

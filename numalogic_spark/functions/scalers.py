@@ -99,6 +99,169 @@ def transform_percentile_scaler(
 
 
 # --------------------------------------------------------------------------
+# sklearn-preprocessing scalers (PreprocessFactory names the four directly,
+# config/factory.py:45,59-63, and reference configs use them:
+# tests/udfs/resources/_config2.yaml). All are affine per-column maps
+# out = (x - center)/scale + offset with a 2-stat (or 0/1-stat) fit, so one
+# generic transform applies them all; fitted frames stay model-sized and
+# broadcast. Zero-spread features map scale -> 1 (shift-only), sklearn's
+# _handle_zeros_in_scale behavior for exactly-constant columns.
+# --------------------------------------------------------------------------
+
+def _affine_cols(c: str) -> tuple[str, str, str]:
+    return f"{c}__center", f"{c}__scale", f"{c}__offset"
+
+
+def _nz(scale):
+    """sklearn _handle_zeros_in_scale for exactly-constant features."""
+    return F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+
+
+def fit_standard_scaler(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    with_mean: bool = True,
+    with_std: bool = True,
+    decimal_stats: bool = False,
+) -> DataFrame:
+    """sklearn StandardScaler: center = mean, scale = std_pop (ddof=0).
+
+    `decimal_stats` computes the moments from exact decimal(20,4) sums —
+    order-independent under distributed aggregation, the discipline the
+    oracle-gated queries need (same trick as fit_stddev_threshold)."""
+    aggs = []
+    for c in cols:
+        if decimal_stats:
+            d = F.col(c).cast("decimal(20,4)")
+            n = F.count(d)
+            s1 = F.sum(d).cast("double")
+            s2 = F.sum(d * d).cast("double")
+            mu = s1 / n
+            sigma = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
+        else:
+            mu, sigma = F.avg(c), F.stddev_pop(c)
+        ctr, scl, off = _affine_cols(c)
+        aggs += [
+            (mu if with_mean else F.lit(0.0)).alias(ctr),
+            (_nz(sigma) if with_std else F.lit(1.0)).alias(scl),
+            F.lit(0.0).alias(off),
+        ]
+    return df.groupBy(*(by or [])).agg(*aggs)
+
+
+def fit_minmax_scaler(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    feature_range: tuple[float, float] = (0.0, 1.0),
+) -> DataFrame:
+    """sklearn MinMaxScaler: x -> (x - min)·(b-a)/(max-min) + a, expressed
+    in divide form as center = min, scale = (max-min)/(b-a), offset = a."""
+    a, b = float(feature_range[0]), float(feature_range[1])
+    if b <= a:
+        raise ValueError(f"feature_range max must exceed min, got {feature_range}")
+    aggs = []
+    for c in cols:
+        ctr, scl, off = _affine_cols(c)
+        aggs += [
+            F.min(c).alias(ctr),
+            (_nz(F.max(c) - F.min(c)) / F.lit(b - a)).alias(scl),
+            F.lit(a).alias(off),
+        ]
+    return df.groupBy(*(by or [])).agg(*aggs)
+
+
+def fit_maxabs_scaler(
+    df: DataFrame, cols: list[str], by: list[str] | None = None
+) -> DataFrame:
+    """sklearn MaxAbsScaler: x -> x / max(|x|); no centering (sparse-safe
+    in sklearn; here it just means center = 0)."""
+    aggs = []
+    for c in cols:
+        ctr, scl, off = _affine_cols(c)
+        aggs += [
+            F.lit(0.0).alias(ctr),
+            _nz(F.max(F.abs(F.col(c)))).alias(scl),
+            F.lit(0.0).alias(off),
+        ]
+    return df.groupBy(*(by or [])).agg(*aggs)
+
+
+def fit_robust_scaler(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    with_centering: bool = True,
+    with_scaling: bool = True,
+    quantile_range: tuple[float, float] = (25.0, 75.0),
+) -> DataFrame:
+    """sklearn RobustScaler: center = median, scale = IQR (q_hi - q_lo).
+
+    Percentiles via Spark's exact `percentile` (linear interpolation —
+    numpy/np.percentile and DuckDB quantile_cont semantics), NOT
+    percentile_approx: the fitted stats must be engine-reproducible for the
+    hash gate, and an exact single-pass percentile over a per-group
+    aggregation is cheap at any corpus size (the stats frame stays tiny)."""
+    q_lo, q_hi = float(quantile_range[0]) / 100.0, float(quantile_range[1]) / 100.0
+    if not 0.0 <= q_lo < q_hi <= 1.0:
+        raise ValueError(f"invalid quantile_range {quantile_range}")
+    aggs = []
+    for c in cols:
+        ctr, scl, off = _affine_cols(c)
+        med = F.percentile(F.col(c), F.lit(0.5))
+        iqr = F.percentile(F.col(c), F.lit(q_hi)) - F.percentile(F.col(c), F.lit(q_lo))
+        aggs += [
+            (med if with_centering else F.lit(0.0)).alias(ctr),
+            (_nz(iqr) if with_scaling else F.lit(1.0)).alias(scl),
+            F.lit(0.0).alias(off),
+        ]
+    return df.groupBy(*(by or [])).agg(*aggs)
+
+
+def transform_affine_scaler(
+    df: DataFrame,
+    stats: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    suffix: str = "__scaled",
+) -> DataFrame:
+    """Apply any fitted affine scaler: out = (x - center)/scale + offset.
+    One broadcast join + one projection regardless of how many columns or
+    which scaler produced the stats."""
+    out = _join_stats(df, stats, by)
+    drop = []
+    for c in cols:
+        ctr, scl, off = _affine_cols(c)
+        out = out.withColumn(
+            f"{c}{suffix}", (F.col(c) - F.col(ctr)) / F.col(scl) + F.col(off)
+        )
+        drop += [ctr, scl, off]
+    return out.drop(*drop)
+
+
+def inverse_affine_scaler(
+    df: DataFrame,
+    stats: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    suffix: str = "__orig",
+) -> DataFrame:
+    """Inverse map x = (y - offset)·scale + center (sklearn
+    inverse_transform parity; reference pipelines invert scalers after
+    reconstruction, e.g. transforms/_scaler.py round-trips)."""
+    out = _join_stats(df, stats, by)
+    drop = []
+    for c in cols:
+        ctr, scl, off = _affine_cols(c)
+        out = out.withColumn(
+            f"{c}{suffix}", (F.col(c) - F.col(off)) * F.col(scl) + F.col(ctr)
+        )
+        drop += [ctr, scl, off]
+    return out.drop(*drop)
+
+
+# --------------------------------------------------------------------------
 # StdDevThreshold: thr = mean + k*std_pop (>= min_threshold); score = x/thr;
 # predict = x >= thr
 # --------------------------------------------------------------------------

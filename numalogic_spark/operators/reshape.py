@@ -103,3 +103,50 @@ def flatten_rows(df: DataFrame, id_cols: list[str], metric_cols: list[str]) -> D
     """(n, f) → (n·f, 1) as rows, keeping provenance (row id, feature pos)."""
     arr = flatten_array_expr(metric_cols)
     return df.select(*id_cols, F.posexplode(arr).alias("feature_pos", "value"))
+
+
+def flatten_rows_with_padding(
+    df: DataFrame,
+    order_by: list[str],
+    flatten_cols: list[str],
+    padding_cols: list[str],
+    partition_by: list[str] | None = None,
+    padding_with: float = 0.0,
+) -> DataFrame:
+    """DataFrame-level FlattenVectorWithPadding (F10): flatten chosen
+    columns row-major into a single `value` column (n·f rows) and pad the
+    remaining columns from n to n·f rows with ``padding_with``, exactly the
+    reference's matrix semantics (transforms/_stateless.py:167-215 —
+    X[:, flat].flatten() next to zero-padded X[:, pad]).
+
+    Relationally: out_pos = row_idx·f + feature_idx; the padding columns
+    survive at out_pos < n via an equi-join on (partition, out_pos) and
+    take ``padding_with`` beyond. The row index is a per-partition
+    row_number — pass ``partition_by`` (e.g. the series key) so the sort
+    and join parallelize across series; the unpartitioned default is the
+    single-matrix small-data path, matching the reference's in-memory use.
+    """
+    if not padding_cols:
+        raise ValueError("At least one feature should be left for padding.")
+    nf = len(flatten_cols)
+    part = list(partition_by or [])
+    w = Window.partitionBy(*part).orderBy(*order_by)
+    base = df.withColumn("_idx", F.row_number().over(w) - F.lit(1))
+    flat = base.select(
+        *part,
+        "_idx",
+        F.posexplode(flatten_array_expr(flatten_cols)).alias("_j", "value"),
+    ).select(
+        *part,
+        (F.col("_idx") * nf + F.col("_j")).cast("long").alias("out_pos"),
+        "value",
+    )
+    pads = base.select(
+        *part,
+        F.col("_idx").cast("long").alias("out_pos"),
+        *[F.col(p) for p in padding_cols],
+    )
+    out = flat.join(pads, [*part, "out_pos"], "left")
+    for p in padding_cols:
+        out = out.withColumn(p, F.coalesce(F.col(p), F.lit(float(padding_with))))
+    return out.select(*part, "out_pos", "value", *padding_cols)

@@ -142,3 +142,120 @@ def test_rewrite_stages_null_text_and_collisions(spark):
     for i in range(3):
         assert got[f"d{i}"]["text"] == f"body {i} mail <EMAIL>"
         assert got[f"d{i}"]["cleaned"] == "keepme"  # caller column untouched
+
+
+def test_factory_dispatch_covers_reference_preprocess_names(spark):
+    """Every PreprocessFactory name with a closed-form analog is reachable
+    declaratively (reference UX, config/factory.py:42-97): column exprs
+    (DifferenceTransform, GaussianNoiseAdder), fitted scalers
+    (Standard/MinMax/MaxAbs/Robust), frame-level stages (ExpMovingAverage,
+    FlattenVector, FlattenVectorWithPadding)."""
+    from numalogic_spark.config import (
+        TRANSFORM_FACTORY,
+        _df_transform_factory,
+        _scaler_factory,
+    )
+
+    names = set(TRANSFORM_FACTORY) | set(_scaler_factory()) | set(_df_transform_factory())
+    reference_preprocess = {
+        "StandardScaler", "MinMaxScaler", "MaxAbsScaler", "RobustScaler",
+        "LogTransformer", "StaticPowerTransformer", "TanhScaler", "DataClipper",
+        "GaussianNoiseAdder", "DifferenceTransform", "FlattenVector",
+        "FlattenVectorWithPadding", "PercentileScaler", "ExpMovingAverage",
+    }
+    assert reference_preprocess <= names
+
+
+def test_config_difference_and_noise_stages(spark, df):
+    import pyspark.sql.functions as F
+
+    cfg = PipelineConf(
+        metrics=["x"],
+        preprocess=[
+            StageConf("DifferenceTransform", {"order_by": ["i"], "partition_by": ["source"]}),
+        ],
+    )
+    got = apply_preprocess(df, cfg).orderBy("i").toPandas()
+    x = df.orderBy("i").toPandas()["x"].to_numpy()
+    exp = np.diff(x, prepend=np.nan)
+    exp[0] = exp[1]  # bfill
+    np.testing.assert_allclose(got["x__pre"], exp, rtol=1e-9)
+
+    noisy_cfg = PipelineConf(
+        metrics=["x"],
+        preprocess=[StageConf("GaussianNoiseAdder", {"id_col": "i", "scale": 1e-3})],
+    )
+    noisy = apply_preprocess(df, noisy_cfg).orderBy("i").toPandas()
+    # positive-only |N(0,scale)| noise: strictly >= x, seeded-deterministic
+    assert (noisy["x__pre"].to_numpy() >= x).all()
+    again = apply_preprocess(df, noisy_cfg).orderBy("i").toPandas()
+    np.testing.assert_array_equal(noisy["x__pre"], again["x__pre"])
+
+
+def test_config_fitted_scaler_stage_chain(spark, df):
+    """A column stage then a fitted sklearn-scaler stage: the scaler fits
+    on the log-transformed column and the chain's final name is
+    x__pre__scaled."""
+    cfg = PipelineConf(
+        metrics=["x"],
+        preprocess=[
+            StageConf("LogTransformer", {"add_factor": 1.0}),
+            StageConf("StandardScaler", {}),
+        ],
+    )
+    got = apply_preprocess(df, cfg).orderBy("i").toPandas()
+    x = df.orderBy("i").toPandas()["x"].to_numpy()
+    lx = np.log(x + 1.0)
+    exp = (lx - lx.mean()) / lx.std()
+    np.testing.assert_allclose(got["x__pre__scaled"], exp, rtol=1e-9)
+    # all four sklearn names dispatch
+    for name in ("MinMaxScaler", "MaxAbsScaler", "RobustScaler"):
+        out = apply_preprocess(df, PipelineConf(metrics=["x"], preprocess=[StageConf(name)]))
+        assert "x__scaled" in out.columns
+
+
+def test_config_frame_level_stages(spark):
+    """ExpMovingAverage / FlattenVector / FlattenVectorWithPadding run as
+    frame-level stages and rename the working metrics."""
+    import pyspark.sql.functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "event_ts": pd.date_range("2024-01-01", periods=8, freq="1min"),
+            "a": np.arange(8, dtype=float),
+            "b": np.arange(8, dtype=float) * 10,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ewm_cfg = PipelineConf(
+        metrics=["a"], preprocess=[StageConf("ExpMovingAverage", {"beta": 0.5})]
+    )
+    got = apply_preprocess(df, ewm_cfg).orderBy("event_ts").toPandas()
+    exp = pdf["a"].astype(np.float32).ewm(alpha=0.5).mean().astype(np.float32)
+    np.testing.assert_allclose(got["a"], exp, rtol=1e-6)
+
+    flat_cfg = PipelineConf(
+        metrics=["a", "b"],
+        preprocess=[StageConf("FlattenVector", {"id_cols": ["source", "event_ts"]})],
+    )
+    flat = apply_preprocess(df, flat_cfg).orderBy("event_ts", "feature_pos").toPandas()
+    assert len(flat) == 16
+    np.testing.assert_allclose(
+        flat["value"], np.column_stack([pdf["a"], pdf["b"]]).flatten(), rtol=1e-12
+    )
+
+    pad_cfg = PipelineConf(
+        metrics=["a", "b"],
+        preprocess=[
+            StageConf(
+                "FlattenVectorWithPadding",
+                {"flatten_features": ["a"], "order_by": ["event_ts"],
+                 "partition_by": ["source"], "padding_with": -1.0},
+            )
+        ],
+    )
+    pad = apply_preprocess(df, pad_cfg).orderBy("out_pos").toPandas()
+    assert len(pad) == 8  # 1 flatten col -> n·1 rows
+    np.testing.assert_allclose(pad["value"], pdf["a"], rtol=1e-12)
+    np.testing.assert_allclose(pad["b"], pdf["b"], rtol=1e-12)

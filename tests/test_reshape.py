@@ -99,3 +99,31 @@ def test_synthetic_and_anomalies(spark):
     for srs, g in inj.groupby("series"):
         pos = np.flatnonzero(g["is_anomaly"].to_numpy())
         assert (np.diff(pos) == 1).all()
+
+
+def test_flatten_rows_with_padding_matches_np_kernel(spark):
+    """DataFrame-level FlattenVectorWithPadding reproduces the numpy
+    matrix kernel exactly, per series."""
+    import pandas as pd
+    from numalogic_spark.operators.reshape import flatten_rows_with_padding
+
+    rng = np.random.default_rng(11)
+    x = rng.random((6, 3))
+    pdf = pd.DataFrame(
+        {"s": "g", "i": range(6), "a": x[:, 0], "b": x[:, 1], "c": x[:, 2]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        flatten_rows_with_padding(
+            df, order_by=["i"], flatten_cols=["a", "b"], padding_cols=["c"],
+            partition_by=["s"], padding_with=0.5,
+        )
+        .orderBy("out_pos")
+        .toPandas()
+    )
+    exp = flatten_vector_with_padding_np(x, flatten_idx=[0, 1], padding_idx=[2], padding_with=0.5)
+    assert len(out) == 12
+    np.testing.assert_allclose(out["value"], exp[:, 0], rtol=1e-12)
+    np.testing.assert_allclose(out["c"], exp[:, 1], rtol=1e-12)
+    with pytest.raises(ValueError, match="padding"):
+        flatten_rows_with_padding(df, ["i"], ["a", "b", "c"], [])

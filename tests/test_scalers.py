@@ -214,3 +214,158 @@ def test_max_percentile_threshold_golden_csv(spark):
             test[c].to_numpy(dtype=np.float64) / exp_thr[i],
             rtol=1e-6,
         )
+
+
+# --------------------------------------------------------------------------
+# sklearn-preprocessing scalers (Standard/MinMax/MaxAbs/Robust) — numpy
+# oracle replicates sklearn's fit math (ddof=0, linear-interp percentiles,
+# zero-scale -> 1); when sklearn is importable the same assertions run
+# against the real estimators on float32 fixtures (the reference's own
+# test discipline, tests/udfs/test_preprocess.py).
+# --------------------------------------------------------------------------
+
+def _sk(name, **kw):
+    try:
+        import sklearn.preprocessing as P
+    except ImportError:
+        return None
+    return getattr(P, name)(**kw)
+
+
+def test_standard_scaler(mat):
+    from numalogic_spark.functions.scalers import fit_standard_scaler, transform_affine_scaler
+
+    df, x, pdf = mat
+    stats = fit_standard_scaler(df, ["a", "b"])
+    out = transform_affine_scaler(df, stats, ["a", "b"]).orderBy("i").toPandas()
+    exp = (x[:, 0] - x[:, 0].mean()) / x[:, 0].std()
+    np.testing.assert_allclose(out["a__scaled"], exp, rtol=1e-9)
+    # constant column: scale -> 1 (sklearn _handle_zeros_in_scale) => all 0
+    np.testing.assert_allclose(out["b__scaled"], 0.0, atol=1e-12)
+    est = _sk("StandardScaler")
+    if est is not None:
+        sk = est.fit_transform(x.astype(np.float32).astype(np.float64))
+        np.testing.assert_allclose(out[["a__scaled", "b__scaled"]].to_numpy(), sk, rtol=1e-5)
+
+
+def test_standard_scaler_decimal_stats_and_flags(mat):
+    from numalogic_spark.functions.scalers import fit_standard_scaler, transform_affine_scaler
+
+    df, x, pdf = mat
+    stats = fit_standard_scaler(df, ["a"], decimal_stats=True)
+    out = transform_affine_scaler(df, stats, ["a"]).orderBy("i").toPandas()
+    exp = (x[:, 0] - x[:, 0].mean()) / x[:, 0].std()
+    # decimal stats quantize inputs to 4dp (order-independent exactness for
+    # fixed-dp telemetry) — full-precision random doubles land within ~1e-4
+    np.testing.assert_allclose(out["a__scaled"], exp, rtol=1e-4, atol=1e-4)
+    # with_mean=False keeps location, with_std=False keeps spread
+    s2 = fit_standard_scaler(df, ["a"], with_mean=False)
+    o2 = transform_affine_scaler(df, s2, ["a"]).orderBy("i").toPandas()
+    np.testing.assert_allclose(o2["a__scaled"], x[:, 0] / x[:, 0].std(), rtol=1e-9)
+    s3 = fit_standard_scaler(df, ["a"], with_std=False)
+    o3 = transform_affine_scaler(df, s3, ["a"]).orderBy("i").toPandas()
+    np.testing.assert_allclose(o3["a__scaled"], x[:, 0] - x[:, 0].mean(), rtol=1e-9)
+
+
+def test_minmax_scaler(mat):
+    from numalogic_spark.functions.scalers import fit_minmax_scaler, transform_affine_scaler
+
+    df, x, pdf = mat
+    stats = fit_minmax_scaler(df, ["a", "b"])
+    out = transform_affine_scaler(df, stats, ["a", "b"]).orderBy("i").toPandas()
+    exp = (x[:, 0] - x[:, 0].min()) / (x[:, 0].max() - x[:, 0].min())
+    np.testing.assert_allclose(out["a__scaled"], exp, rtol=1e-9)
+    # constant column: range -> 1 => x - min == 0
+    np.testing.assert_allclose(out["b__scaled"], 0.0, atol=1e-12)
+    # non-default feature_range (sklearn: X_std*(b-a)+a)
+    s2 = fit_minmax_scaler(df, ["a"], feature_range=(-1.0, 3.0))
+    o2 = transform_affine_scaler(df, s2, ["a"]).orderBy("i").toPandas()
+    np.testing.assert_allclose(o2["a__scaled"], exp * 4.0 - 1.0, rtol=1e-9)
+    est = _sk("MinMaxScaler", feature_range=(-1, 3))
+    if est is not None:
+        sk = est.fit_transform(x[:, :1])
+        np.testing.assert_allclose(o2["a__scaled"].to_numpy(), sk[:, 0], rtol=1e-6)
+    with pytest.raises(ValueError, match="feature_range"):
+        fit_minmax_scaler(df, ["a"], feature_range=(2.0, 1.0))
+
+
+def test_maxabs_scaler(spark):
+    from numalogic_spark.functions.scalers import fit_maxabs_scaler, transform_affine_scaler
+
+    x = np.array([-4.0, -1.0, 0.0, 2.0])
+    df = spark.createDataFrame(pd.DataFrame({"i": range(4), "a": x, "z": 0.0}))
+    stats = fit_maxabs_scaler(df, ["a", "z"])
+    out = transform_affine_scaler(df, stats, ["a", "z"]).orderBy("i").toPandas()
+    np.testing.assert_allclose(out["a__scaled"], x / 4.0, rtol=1e-12)
+    # all-zero column: scale -> 1 => unchanged
+    np.testing.assert_allclose(out["z__scaled"], 0.0, atol=1e-15)
+    est = _sk("MaxAbsScaler")
+    if est is not None:
+        sk = est.fit_transform(x.reshape(-1, 1))
+        np.testing.assert_allclose(out["a__scaled"].to_numpy(), sk[:, 0], rtol=1e-12)
+
+
+def test_robust_scaler(mat):
+    from numalogic_spark.functions.scalers import fit_robust_scaler, transform_affine_scaler
+
+    df, x, pdf = mat
+    stats = fit_robust_scaler(df, ["a", "b"])
+    out = transform_affine_scaler(df, stats, ["a", "b"]).orderBy("i").toPandas()
+    med = np.percentile(x[:, 0], 50.0)
+    iqr = np.percentile(x[:, 0], 75.0) - np.percentile(x[:, 0], 25.0)
+    np.testing.assert_allclose(out["a__scaled"], (x[:, 0] - med) / iqr, rtol=1e-9)
+    # constant column: IQR -> 1 => centered zeros
+    np.testing.assert_allclose(out["b__scaled"], 0.0, atol=1e-12)
+    est = _sk("RobustScaler")
+    if est is not None:
+        sk = est.fit_transform(x)
+        np.testing.assert_allclose(out[["a__scaled", "b__scaled"]].to_numpy(), sk, rtol=1e-7)
+    # custom quantile range + flags
+    s2 = fit_robust_scaler(df, ["a"], quantile_range=(10.0, 90.0), with_centering=False)
+    o2 = transform_affine_scaler(df, s2, ["a"]).orderBy("i").toPandas()
+    dr = np.percentile(x[:, 0], 90.0) - np.percentile(x[:, 0], 10.0)
+    np.testing.assert_allclose(o2["a__scaled"], x[:, 0] / dr, rtol=1e-9)
+    with pytest.raises(ValueError, match="quantile_range"):
+        fit_robust_scaler(df, ["a"], quantile_range=(80.0, 20.0))
+
+
+def test_affine_inverse_roundtrip(mat):
+    from numalogic_spark.functions.scalers import (
+        fit_robust_scaler,
+        fit_standard_scaler,
+        inverse_affine_scaler,
+        transform_affine_scaler,
+    )
+
+    from pyspark.sql import functions as F
+
+    df, x, pdf = mat
+    for fit in (fit_standard_scaler, fit_robust_scaler):
+        stats = fit(df, ["a"])
+        # stats prefixes are keyed by column name: feed the scaled values
+        # back under the fitted name "a" for the inverse map
+        fwd = transform_affine_scaler(df.select("i", "a"), stats, ["a"]).select(
+            "i", F.col("a__scaled").alias("a")
+        )
+        back = inverse_affine_scaler(fwd, stats, ["a"]).orderBy("i").toPandas()
+        np.testing.assert_allclose(back["a__orig"], x[:, 0], rtol=1e-9)
+
+
+def test_affine_scalers_per_group(spark):
+    from numalogic_spark.functions.scalers import fit_standard_scaler, transform_affine_scaler
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "i": np.arange(200),
+            "g": np.repeat(["p", "q"], 100),
+            "v": np.concatenate([rng.random(100) * 3, rng.random(100) * 50 + 10]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    stats = fit_standard_scaler(df, ["v"], by=["g"])
+    out = transform_affine_scaler(df, stats, ["v"], by=["g"]).orderBy("i").toPandas()
+    for g in ("p", "q"):
+        vals = pdf[pdf["g"] == g]["v"].to_numpy()
+        exp = (vals - vals.mean()) / vals.std()
+        np.testing.assert_allclose(out[out["g"] == g]["v__scaled"], exp, rtol=1e-9)
