@@ -1790,10 +1790,9 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-_BPE_VOCAB_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "numalogic_spark", "resources", "bpe_frozen_150.json",
-)
+_BPE_VOCAB_RESOURCE = "bpe_frozen_150.json"  # loaded via
+# importlib.resources so a --py-files zip deployment works (a
+# __file__-relative path would point inside the archive)
 
 
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1804,7 +1803,7 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gates every token id and their order through the driver's value hash."""
     from numalogic_spark.functions.bpe import BpeVocab, encode_words_fingerprint
 
-    vocab = BpeVocab.load(_BPE_VOCAB_PATH)
+    vocab = BpeVocab.load_resource(_BPE_VOCAB_RESOURCE)
     return encode_words_fingerprint(_docs(spark, sf_dir), vocab).select(
         "doc_id", "n_tok", "tok_fp"
     )
@@ -1821,7 +1820,7 @@ def _bpe_encode_sql() -> str:
     order and folded with the same (acc·1000003 + id) mod 2^31−1."""
     from numalogic_spark.functions.bpe import _FP_MOD, _FP_MULT, BpeVocab
 
-    vocab = BpeVocab.load(_BPE_VOCAB_PATH)
+    vocab = BpeVocab.load_resource(_BPE_VOCAB_RESOURCE)
     K = 1 << 32
     vals = ", ".join(
         f"({a}, {b}, {256 + i})" for i, (a, b) in enumerate(vocab.merges)

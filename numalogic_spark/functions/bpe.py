@@ -102,6 +102,21 @@ class BpeVocab:
         with open(path) as f:
             return cls.loads(f.read())
 
+    @classmethod
+    def load_resource(cls, name: str = "bpe_frozen_150.json") -> "BpeVocab":
+        """Load a frozen vocab shipped inside the package via
+        importlib.resources — works both from a checkout and from a
+        --py-files zip, where a __file__-relative path would point inside
+        the archive and builtin open() would fail."""
+        from importlib import resources
+
+        data = (
+            resources.files("numalogic_spark.resources")
+            .joinpath(name)
+            .read_text(encoding="utf-8")
+        )
+        return cls.loads(data)
+
     def save_hadoop(self, spark, path: str) -> None:
         """Save through the Hadoop FileSystem API so s3a/hdfs/file URIs all
         work (builtin open() only handles local paths — a cluster prep job

@@ -184,6 +184,7 @@ def ivf_train_centroids(
     presample_fraction: float | None = None,
     portable_order_id: str | None = None,
     auto_presample_rows: int | None = 1_000_000,
+    row_count_hint: int | None = None,
 ) -> np.ndarray:
     """IVF coarse quantizer: deterministic mini k-means on a seeded sample.
 
@@ -217,13 +218,29 @@ def ivf_train_centroids(
         and portable_order_id is None
         and auto_presample_rows is not None
     )
+    n_raw = None
     if auto:
-        # NOTE: counted pre-filter — metadata-only when df is a plain
-        # columnar scan; on derived frames this is a real (cheap, narrow)
-        # job. The fraction is sized off the raw count, so a null-heavy
-        # corpus can undersample — the shortfall retry below covers that.
-        n_raw = df.count()
-        if n_raw > auto_presample_rows:
+        if row_count_hint is not None:
+            n_raw = int(row_count_hint)
+        else:
+            # The fraction needs a row count, but df.count() is only
+            # metadata-cheap on a PLAIN columnar scan; on a derived frame
+            # (post-filter/join lineage) it is a full extra job before
+            # training even starts. Gate the automatic count on the
+            # optimized plan being a bare relation; for derived frames
+            # auto-presample is opt-in via row_count_hint (or an explicit
+            # presample_fraction).
+            try:
+                plan = df._jdf.queryExecution().optimizedPlan().toString()
+                lines = [ln for ln in plan.strip().splitlines() if ln.strip()]
+                plain_scan = len(lines) == 1 and lines[0].lstrip().startswith(
+                    ("Relation", "LocalRelation")
+                )
+            except Exception:  # non-classic backends: stay conservative
+                plain_scan = False
+            if plain_scan:
+                n_raw = df.count()
+        if n_raw is not None and n_raw > auto_presample_rows:
             presample_fraction = min(1.0, 50.0 * sample_rows / n_raw)
 
     def collect_sample(frame):

@@ -365,11 +365,23 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 PII_PATTERNS: list[tuple[str, str, str]] = [
     # (name, pattern, replacement) — applied IN ORDER: email before ipv4
     # (an address inside user@1.2.3.4 is part of the email), ipv4 before
-    # phone (the phone class [0-9()\-. ] would otherwise swallow dotted
-    # quads as "phone numbers")
+    # phone (a dotted quad would otherwise read as a dotted phone number).
+    # The phone pattern requires PHONE-SHAPED grouping: either a bare
+    # 10-14 digit run, or 1-2 short (2-3 digit) groups between a 1-4 digit
+    # lead and a 4-digit tail, each separated by EXACTLY ONE of [-. ].
+    # An earlier [0-9()\-. ]{7,} class allowed unlimited interior spaces
+    # and redacted any >=9-char run of numbers ("100 200 300", year
+    # lists, score tables) to <PHONE>, silently mangling number-heavy
+    # text. 4-digit interior groups are deliberately excluded — they are
+    # what makes year lists ("2019 2020 2021") phone-shaped.
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+    (
+        "phone",
+        r"\+?[0-9]{10,14}"
+        r"|\+?\(?[0-9]{1,4}\)?(?:[-. ]\(?[0-9]{2,3}\)?){1,2}[-. ]?[0-9]{4}",
+        "<PHONE>",
+    ),
 ]
 
 

@@ -307,6 +307,20 @@ def test_ivf_auto_presample_bounds_training_scan(spark):
                               portable_order_id="vec_id",
                               auto_presample_rows=100)
         assert "fraction" not in captured
+        # DERIVED frame (filter lineage over a real scan — a filter over a
+        # LocalRelation is folded away by ConvertToLocalRelation, so use
+        # parquet): no automatic count — a count on a non-plain scan is a
+        # full job, so auto-presample is opt-in...
+        derived = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+            "vec_id % 2 = 0"
+        )
+        S.ivf_train_centroids(derived, n_centroids=4, sample_rows=2,
+                              auto_presample_rows=100)
+        assert "fraction" not in captured
+        # ...via row_count_hint, which sizes the fraction without any count
+        S.ivf_train_centroids(derived, n_centroids=4, sample_rows=2,
+                              auto_presample_rows=100, row_count_hint=300)
+        assert captured["fraction"] == min(1.0, 50.0 * 2 / 300)
     finally:
         type(df).sample = orig_sample
     # and the presampled codebook still trains something usable

@@ -199,6 +199,8 @@ def test_scrub_pii(spark):
         ("c", "mail root@10.0.0.1 for help"),  # no alpha TLD -> not an email; IP scrubbed
         ("d", "totally clean text with numbers 42 and 7"),
         ("e", "dial 555.867.5309 then 555 867 5310"),
+        ("f", "scores 100 200 300 and years 2019 2020 2021 2022 stay"),
+        ("g", "bare 4155550123 redacts"),
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     got = {r["doc_id"]: r.asDict() for r in scrub_pii(df).collect()}
@@ -212,6 +214,9 @@ def test_scrub_pii(spark):
                         "scrubbed": rows[3][1]}
     assert got["e"]["n_phone"] == 2
     assert got["e"]["scrubbed"] == "dial <PHONE> then <PHONE>"
+    # number-heavy prose is NOT phone-shaped (single-sep short-group rule)
+    assert got["f"]["n_phone"] == 0 and got["f"]["scrubbed"] == rows[5][1]
+    assert got["g"]["n_phone"] == 1 and got["g"]["scrubbed"] == "bare <PHONE> redacts"
 
 
 def test_remove_boilerplate_lines(spark):
