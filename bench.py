@@ -170,6 +170,25 @@ def main() -> None:
     _noop(near_dup_clusters(pairs).select("id", "cluster_id"))
     queries["dedup_clusters_documents"] = time.time() - t0
     pairs.unpersist()
+
+    # skewed-fixture packing row: the WHOLE token table projected onto ONE
+    # source (the pathological low-source-cardinality corpus). The
+    # sequential no-split path serializes into a single per-source task;
+    # the salted sub-partition path (sub_salt docs per chunk + boundary
+    # fix-up) is the scale answer — both timed so the speedup is evidence,
+    # not a claim. Only (doc_id, n_tok) are read — the tokens column is
+    # pruned from the scan.
+    from numalogic_spark.operators.tokens import pack_greedy_no_split
+
+    skew = spark.read.parquet(token_path).select(
+        F.lit("s0").alias("source"), "doc_id", "n_tok"
+    )
+    t0 = time.time()
+    _noop(pack_greedy_no_split(skew, 2048))
+    queries["pack_greedy_skewed_seq"] = time.time() - t0
+    t0 = time.time()
+    _noop(pack_greedy_no_split(skew, 2048, sub_salt=100_000, chunk_by="range"))
+    queries["pack_greedy_skewed_salted"] = time.time() - t0
     spark.stop()
 
     # scaling evidence: same job, same input, same plan (fixed shuffle

@@ -193,12 +193,45 @@ def pack_tokens(
     )
 
 
+def _greedy_fill_np(lens, max_tokens: int):
+    """Vectorized greedy no-split fill: (pack_idx, pack_offset) for doc
+    lengths in order. Instead of a per-doc Python loop, iterate over PACK
+    boundaries with searchsorted on the cumulative sums — O(packs·log n)
+    python-level steps instead of O(docs): at ~C/avg_len docs per pack the
+    loop shrinks by that factor (matters when one source holds millions of
+    docs). Semantics identical to the sequential rule: append while it
+    fits, else new pack; an oversized doc at offset 0 keeps its pack.
+    """
+    import numpy as np
+
+    lens = np.asarray(lens, dtype=np.int64)
+    n = len(lens)
+    cum = np.cumsum(lens)
+    starts = [0]
+    while True:
+        s = starts[-1]
+        base = cum[s - 1] if s > 0 else 0
+        j = int(np.searchsorted(cum, base + max_tokens, side="right"))
+        if j <= s:  # doc s alone exceeds max_tokens → its own pack
+            j = s + 1
+        if j >= n:
+            break
+        starts.append(j)
+    starts = np.asarray(starts, dtype=np.int64)
+    pack_idx = np.searchsorted(starts, np.arange(n), side="right") - 1
+    pack_base = np.where(starts > 0, cum[starts - 1], 0)[pack_idx]
+    offsets = np.concatenate([[0], cum[:-1]]) - pack_base
+    return pack_idx, offsets
+
+
 def pack_greedy_no_split(
     df: DataFrame,
     max_tokens: int,
     source_col: str = "source",
     id_col: str = "doc_id",
     len_col: str = "n_tok",
+    sub_salt: int | None = None,
+    chunk_by: str = "rank",
 ) -> DataFrame:
     """NO-SPLIT greedy packing: documents are kept whole; per source, docs
     are taken in id order and appended to the current pack while they fit,
@@ -214,45 +247,134 @@ def pack_greedy_no_split(
 
     Scale shape: the fill state is a sequential recurrence per source, so
     the kernel is applyInPandas keyed by source (the same per-series unit
-    of work as gap-fill); each group's pass is O(n) over a sorted pandas
-    frame — no per-row Python in the Spark sense (one Arrow batch per
-    source). Skewed sources are bounded by the corpus's per-source doc
-    count, not token count.
+    of work as gap-fill); the fill itself is searchsorted-vectorized
+    (_greedy_fill_np — python steps scale with PACKS, not docs). Skewed /
+    low-cardinality corpora (one giant source would serialize into one
+    task) opt into ``sub_salt``: each source is cut into positional chunks
+    of ``sub_salt`` docs, chunks pack independently in parallel, and a
+    windowed BOUNDARY FIX-UP merges a chunk's first pack into the previous
+    chunk's final pack when the two fit together (guarded to multi-pack
+    chunks so merge decisions never cascade — one window pass, no
+    recurrence). Any source with ≤ sub_salt docs takes the single-chunk
+    path and produces OUTPUT IDENTICAL to the sequential variant (pack ids
+    included); salted pack ids are unique but sparse ((chunk << 40) +
+    local). Waste bound: ≤ one under-full pack per unmergeable boundary.
+
+    ``chunk_by`` picks how positional chunks are cut:
+    - "rank" (default): row_number per source — deterministic and
+      byte-stable, but ranking ONE giant source is a single-reducer sort;
+      right when sources are plentiful or groups modest.
+    - "range": repartitionByRange(source, id) and use the partition id as
+      the chunk — the fully scalable path for a single 10^12-doc source
+      (range partitions sort in parallel and are contiguous in id order,
+      so chunks are still positional runs and the same fix-up applies).
+      Chunk sizes follow partition sizing (``sub_salt`` is ignored except
+      as the >=2 validity check), and pack numbering can shift if the
+      partitioner's sampled boundaries change — packing validity and the
+      invariants hold regardless.
     """
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        [
-            T.StructField("source", df.schema[source_col].dataType),
-            T.StructField("pack_id", T.LongType()),
-            T.StructField("doc_id", df.schema[id_col].dataType),
-            T.StructField("pack_offset", T.LongType()),
-            T.StructField("n_tok", T.LongType()),
-        ]
-    )
+    src = df.select(source_col, id_col, len_col).filter(F.col(len_col) > 0)
+
+    key_cols = ["source"] if sub_salt is None else ["source", "_chunk"]
+    out_fields = [T.StructField("source", df.schema[source_col].dataType)]
+    if sub_salt is not None:
+        out_fields.append(T.StructField("_chunk", T.LongType()))
+    out_fields += [
+        T.StructField("pack_id", T.LongType()),
+        T.StructField("doc_id", df.schema[id_col].dataType),
+        T.StructField("pack_offset", T.LongType()),
+        T.StructField("n_tok", T.LongType()),
+    ]
+    out_schema = T.StructType(out_fields)
 
     def fill(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, ignore_index=True)
-        pack, off = 0, 0
-        packs, offs = [], []
-        for n in pdf[len_col].astype("int64"):
-            if off > 0 and off + n > max_tokens:
-                pack += 1
-                off = 0
-            packs.append(pack)
-            offs.append(off)
-            off += int(n)
-        return pd.DataFrame(
-            {
-                "source": pdf[source_col],
-                "pack_id": packs,
-                "doc_id": pdf[id_col],
-                "pack_offset": offs,
-                "n_tok": pdf[len_col].astype("int64"),
-            }
+        lens = pdf[len_col].to_numpy(dtype=np.int64)
+        packs, offs = _greedy_fill_np(lens, max_tokens)
+        out = {"source": pdf[source_col]}
+        if sub_salt is not None:
+            chunk = int(pdf["_chunk"].iloc[0])
+            out["_chunk"] = pdf["_chunk"]
+            # globally unique, sparse, order-preserving; chunk 0 keeps the
+            # sequential numbering (the multi-source equality contract)
+            packs = packs + (chunk << 40)
+        out.update(
+            {"pack_id": packs, "doc_id": pdf[id_col], "pack_offset": offs,
+             "n_tok": lens}
         )
+        return pd.DataFrame(out)
 
-    src = df.select(source_col, id_col, len_col).filter(F.col(len_col) > 0)
-    return src.groupBy(source_col).applyInPandas(fill, out_schema)
+    if sub_salt is None:
+        return src.groupBy(source_col).applyInPandas(fill, out_schema)
+
+    if sub_salt < 2:
+        raise ValueError("sub_salt must be >= 2 (1 doc per chunk packs nothing)")
+    if chunk_by == "range":
+        p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        salted = src.repartitionByRange(
+            p, F.col(source_col), F.col(id_col)
+        ).withColumn("_chunk", F.spark_partition_id().cast("long"))
+    elif chunk_by == "rank":
+        rn_w = Window.partitionBy(source_col).orderBy(id_col)
+        salted = src.withColumn(
+            "_chunk", ((F.row_number().over(rn_w) - 1) / F.lit(sub_salt)).cast("long")
+        )
+    else:
+        raise ValueError(f"chunk_by must be 'rank' or 'range', got {chunk_by!r}")
+    plan = salted.groupBy(source_col, "_chunk").applyInPandas(fill, out_schema)
+    # the plan feeds both the chunk-stats aggregation and the fix-up join
+    # (a diamond): persist so the fill kernels run once, not twice
+    plan = plan.persist()
+
+    # ---- boundary fix-up: merge chunk c's FIRST pack into chunk c-1's
+    # LAST pack when their totals fit together. Guard n_packs >= 2 on the
+    # merging chunk: its own last pack is then untouched by the merge, so
+    # every chunk's decision reads stable prev-chunk stats — one window
+    # pass, no cascade.
+    ptot = plan.groupBy("source", "_chunk", "pack_id").agg(
+        F.sum("n_tok").alias("_ptot")
+    )
+    stats = ptot.groupBy("source", "_chunk").agg(
+        F.min("pack_id").alias("_first_pid"),
+        F.max("pack_id").alias("_last_pid"),
+        F.count(F.lit(1)).alias("_n_packs"),
+        F.min_by("_ptot", "pack_id").alias("_first_tot"),
+        F.max_by("_ptot", "pack_id").alias("_last_tot"),
+    )
+    cw = Window.partitionBy("source").orderBy("_chunk")
+    merge = stats.select(
+        "source",
+        "_chunk",
+        "_first_pid",
+        F.lag("_last_pid").over(cw).alias("_prev_last_pid"),
+        F.lag("_last_tot").over(cw).alias("_prev_last_tot"),
+        (
+            (F.col("_n_packs") >= 2)
+            & (F.lag("_last_tot").over(cw) + F.col("_first_tot") <= F.lit(max_tokens))
+        ).alias("_merge"),
+    )
+    fixed = (
+        plan.join(merge, ["source", "_chunk"], "left")
+        .withColumn(
+            "_is_merged",
+            F.coalesce(F.col("_merge"), F.lit(False))
+            & (F.col("pack_id") == F.col("_first_pid")),
+        )
+        .select(
+            "source",
+            F.when(F.col("_is_merged"), F.col("_prev_last_pid"))
+            .otherwise(F.col("pack_id"))
+            .alias("pack_id"),
+            "doc_id",
+            F.when(F.col("_is_merged"), F.col("pack_offset") + F.col("_prev_last_tot"))
+            .otherwise(F.col("pack_offset"))
+            .alias("pack_offset"),
+            "n_tok",
+        )
+    )
+    return fixed

@@ -4,6 +4,7 @@ invariants, token-stream equality)."""
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from numalogic_spark.operators.tokens import (
     pack_tokens,
@@ -156,3 +157,140 @@ def test_pack_greedy_no_split_invariants(spark):
     per_pack = got.groupby(["source", "pack_id"]).agg(tot=("n_tok", "sum"), cnt=("n_tok", "size"))
     over = per_pack[per_pack["tot"] > cap]
     assert (over["cnt"] == 1).all()  # only oversized singletons exceed cap
+
+
+def _greedy_loop_oracle(lens, cap):
+    """The original per-doc sequential rule, as the oracle for the
+    searchsorted-vectorized fill."""
+    pack, off, packs, offs = 0, 0, [], []
+    for n in lens:
+        if off > 0 and off + n > cap:
+            pack += 1
+            off = 0
+        packs.append(pack)
+        offs.append(off)
+        off += int(n)
+    return packs, offs
+
+
+def test_greedy_fill_np_matches_loop():
+    import numpy as np
+
+    from numalogic_spark.operators.tokens import _greedy_fill_np
+
+    rng = np.random.default_rng(9)
+    for cap in (8, 64, 1000):
+        lens = rng.integers(1, cap * 2, size=500)  # includes oversized docs
+        p, o = _greedy_fill_np(lens, cap)
+        ep, eo = _greedy_loop_oracle(lens, cap)
+        np.testing.assert_array_equal(p, ep)
+        np.testing.assert_array_equal(o, eo)
+    # single oversized doc, and all-fit-in-one
+    np.testing.assert_array_equal(_greedy_fill_np([99], 10)[0], [0])
+    np.testing.assert_array_equal(_greedy_fill_np([3, 3, 3], 10)[0], [0, 0, 0])
+
+
+def test_pack_greedy_salted_equals_sequential_on_multisource(spark):
+    """Every source fits in one sub_salt chunk -> the salted path is
+    byte-identical to the sequential path, pack ids included."""
+    import numpy as np
+    import pandas as pd
+
+    from numalogic_spark.operators.tokens import pack_greedy_no_split
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame(
+        {
+            "source": [f"s{i % 7}" for i in range(140)],
+            "doc_id": [f"d{i:04d}" for i in range(140)],
+            "n_tok": rng.integers(1, 40, size=140),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    seq = pack_greedy_no_split(df, 64).orderBy("source", "doc_id").toPandas()
+    sal = (
+        pack_greedy_no_split(df, 64, sub_salt=50)
+        .orderBy("source", "doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(seq, sal)
+
+
+def test_pack_greedy_salted_skewed_source(spark):
+    """One giant source, small sub_salt: chunks pack in parallel, the
+    boundary fix-up merges fitting first/last packs, and the packing
+    invariants hold (mass conserved, caps respected, greedy within chunk)."""
+    import numpy as np
+    import pandas as pd
+
+    from numalogic_spark.operators.tokens import pack_greedy_no_split
+
+    rng = np.random.default_rng(5)
+    n, cap, salt = 400, 100, 60
+    pdf = pd.DataFrame(
+        {
+            "source": "big",
+            "doc_id": [f"d{i:05d}" for i in range(n)],
+            "n_tok": rng.integers(1, 45, size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = pack_greedy_no_split(df, cap, sub_salt=salt).toPandas()
+    # token mass conserved, every doc present exactly once
+    assert got["n_tok"].sum() == pdf["n_tok"].sum()
+    assert len(got) == n and got["doc_id"].is_unique
+    # every pack respects the cap (no oversized docs in this fixture)
+    ptot = got.groupby("pack_id")["n_tok"].sum()
+    assert (ptot <= cap).all()
+    # offsets are consistent: per pack, docs laid contiguously from 0
+    for _, g in got.sort_values("pack_offset").groupby("pack_id"):
+        assert g["pack_offset"].iloc[0] == 0
+        np.testing.assert_array_equal(
+            g["pack_offset"].to_numpy()[1:],
+            np.cumsum(g["n_tok"].to_numpy())[:-1],
+        )
+    # parallelism evidence: more than one chunk existed
+    got["chunk_of_doc"] = got["doc_id"].str[1:].astype(int) // salt
+    assert got["chunk_of_doc"].nunique() == -(-n // salt)
+
+    # chunk_by="range" (the giant-single-source scale path): same
+    # invariants — mass conserved, caps respected, contiguous offsets
+    rng2 = pack_greedy_no_split(df, cap, sub_salt=salt, chunk_by="range").toPandas()
+    assert rng2["n_tok"].sum() == pdf["n_tok"].sum()
+    assert len(rng2) == n and rng2["doc_id"].is_unique
+    assert (rng2.groupby("pack_id")["n_tok"].sum() <= cap).all()
+    for _, g in rng2.sort_values("pack_offset").groupby("pack_id"):
+        assert g["pack_offset"].iloc[0] == 0
+        np.testing.assert_array_equal(
+            g["pack_offset"].to_numpy()[1:],
+            np.cumsum(g["n_tok"].to_numpy())[:-1],
+        )
+    with pytest.raises(ValueError, match="chunk_by"):
+        pack_greedy_no_split(df, cap, sub_salt=salt, chunk_by="nope")
+
+    # deterministic merge-friendly pattern: each chunk packs to
+    # [20][90][30], so chunk c's first pack (20) fits into chunk c-1's
+    # last pack (30) — the fix-up must merge every boundary
+    pat = [20, 90, 30] * 5
+    pdf2 = pd.DataFrame(
+        {
+            "source": "big",
+            "doc_id": [f"d{i:05d}" for i in range(15)],
+            "n_tok": pat,
+        }
+    )
+    got2 = pack_greedy_no_split(
+        spark.createDataFrame(pdf2), 100, sub_salt=3
+    ).toPandas()
+    assert got2["n_tok"].sum() == sum(pat)
+    ptot2 = got2.groupby("pack_id")["n_tok"].sum()
+    assert (ptot2 <= 100).all()
+    got2["chunk_of_doc"] = got2["doc_id"].str[1:].astype(int) // 3
+    spans = got2.groupby("pack_id")["chunk_of_doc"].nunique()
+    assert (spans > 1).sum() == 4  # all four boundaries merged
+    # merged docs got contiguous offsets inside the merged pack
+    merged_pid = spans[spans > 1].index[0]
+    g = got2[got2["pack_id"] == merged_pid].sort_values("pack_offset")
+    np.testing.assert_array_equal(
+        g["pack_offset"].to_numpy()[1:], np.cumsum(g["n_tok"].to_numpy())[:-1]
+    )
