@@ -38,6 +38,7 @@ from numalogic_spark.config import (
     TRANSFORM_FACTORY,
     StageConf,
     _scaler_factory,
+    _split_estimator_conf,
     compile_transform_chain,
 )
 
@@ -66,6 +67,11 @@ class SparkBlock:
         self.metrics = list(metrics)
         self.by = list(by) if by else None
         self.conf = dict(conf or {})
+        # route conf kwargs to fit vs transform by signature (a TanhScaler
+        # coeff is transform-time; std_factor is fit-time)
+        self._fit_kw, self._tx_kw = _split_estimator_conf(
+            self._fit_fn, self._apply_fn, self.conf
+        )
         self._name = name or estimator.lower()
         self._state: dict[str, Any] | None = None
 
@@ -90,8 +96,13 @@ class SparkBlock:
 
     # -- fit / run ------------------------------------------------------------
     def fit(self, df: DataFrame, **fit_params) -> DataFrame:
-        conf = {**self.conf, **fit_params}
-        stats = self._fit_fn(df, self.metrics, by=self.by, **conf)
+        extra_fit, extra_tx = _split_estimator_conf(
+            self._fit_fn, self._apply_fn, fit_params
+        )
+        self._tx_kw = {**self._tx_kw, **extra_tx}
+        stats = self._fit_fn(
+            df, self.metrics, by=self.by, **{**self._fit_kw, **extra_fit}
+        )
         # model-sized by construction (one row per group): collect into the
         # serializable artifact, then apply through the same broadcast path
         # run() uses so fit output == run output on the same data
@@ -109,7 +120,7 @@ class SparkBlock:
         stats = df.sparkSession.createDataFrame(
             [tuple(r) for r in st["rows"]], schema=schema
         )
-        return self._apply_fn(df, stats, self.metrics, by=self.by)
+        return self._apply_fn(df, stats, self.metrics, by=self.by, **self._tx_kw)
 
 
 class TransformBlock(SparkBlock):
@@ -208,6 +219,15 @@ class BlockPipeline:
     ``blockname__param``."""
 
     def __init__(self, *blocks: SparkBlock, registry: JsonBlockRegistry | None = None):
+        names = [b.name for b in blocks]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            # duplicate names would silently overwrite each other in the
+            # saved artifact dict and load the wrong state on round-trip
+            raise ValueError(
+                f"duplicate block names {sorted(dupes)}; give each block a "
+                f"unique name="
+            )
         self._blocks = blocks
         self._registry = registry
 
@@ -237,6 +257,11 @@ class BlockPipeline:
             if "__" not in pname:
                 raise ValueError(err_msg.format(pname=pname))
             blockname, param = pname.split("__", 1)
+            if blockname not in block_params:
+                raise ValueError(
+                    f"fit param {pname!r} addresses unknown block "
+                    f"{blockname!r}; blocks: {sorted(block_params)}"
+                )
             block_params[blockname][param] = pval
         return block_params
 

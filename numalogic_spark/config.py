@@ -37,7 +37,52 @@ TRANSFORM_FACTORY = {
 
 # fitted estimators: name → (fit_fn, transform/score_fn); covers every
 # PreprocessFactory/ThresholdFactory scaler the reference dispatches by
-# name (config/factory.py:45,59-63,100-119) that has a closed-form fit
+# name (config/factory.py:45,59-63,100-119) that has a closed-form fit.
+# _SCALER_OUT declares each estimator's OUTPUT naming so callers never
+# guess: a per-metric suffix string, or a literal column list for
+# estimators that replace the metric set (RobustMahalanobis emits
+# md/md_score/md_pred regardless of how many features went in).
+_SCALER_OUT: dict[str, object] = {
+    "StdDevThreshold": "__score",
+    "MaxPercentileThreshold": "__score",
+    "RobustMahalanobisThreshold": ["md_score"],
+}
+
+
+def _scaler_out_metrics(name: str, metrics: list[str]) -> list[str]:
+    out = _SCALER_OUT.get(name, "__scaled")
+    if isinstance(out, list):
+        return list(out)
+    return [f"{m}{out}" for m in metrics]
+
+
+def _split_estimator_conf(fit_fn, tx_fn, conf: dict):
+    """Route StageConf kwargs to fit vs transform by the functions' actual
+    signatures (a TanhScaler `coeff` is a transform-time param, a
+    `std_factor` is fit-time; name-based guessing broke both)."""
+    import inspect
+
+    shared = {"df", "stats", "cols", "by"}
+    tx_params = {
+        p for p in inspect.signature(tx_fn).parameters if p not in shared
+    }
+    fit_params = {
+        p for p in inspect.signature(fit_fn).parameters if p not in shared
+    }
+    fit_kw, tx_kw = {}, {}
+    for k, v in conf.items():
+        if k in fit_params:
+            fit_kw[k] = v
+        elif k in tx_params:
+            tx_kw[k] = v
+        else:
+            raise ValueError(
+                f"unknown estimator param {k!r}; fit takes {sorted(fit_params)}, "
+                f"transform takes {sorted(tx_params)}"
+            )
+    return fit_kw, tx_kw
+
+
 def _scaler_factory():
     from numalogic_spark.functions import robust as RB
     from numalogic_spark.functions import scalers as SC
@@ -156,14 +201,10 @@ def apply_preprocess(
         elif st.name in scalers:
             df, metrics = flush(df, metrics)
             fit_fn, tx_fn = scalers[st.name]
-            stats = fit_fn(df, metrics, by=by, **st.conf)
-            df = tx_fn(df, stats, metrics, by=by)
-            out_sfx = (
-                "__score"
-                if st.name in ("StdDevThreshold", "MaxPercentileThreshold")
-                else "__scaled"
-            )
-            metrics = [f"{m}{out_sfx}" for m in metrics]
+            fit_kw, tx_kw = _split_estimator_conf(fit_fn, tx_fn, st.conf)
+            stats = fit_fn(df, metrics, by=by, **fit_kw)
+            df = tx_fn(df, stats, metrics, by=by, **tx_kw)
+            metrics = _scaler_out_metrics(st.name, metrics)
             suffixed = True
         elif st.name in df_factory:
             df, metrics = flush(df, metrics)
@@ -193,8 +234,9 @@ def fit_and_score(
         raise ValueError(
             f"unknown threshold/scaler: {cfg.threshold.name!r}; available: {sorted(factory)}"
         ) from None
-    stats = fit_fn(train_df if train_df is not None else df, cfg.metrics, by=by, **cfg.threshold.conf)
-    return apply_fn(df, stats, cfg.metrics, by=by)
+    fit_kw, tx_kw = _split_estimator_conf(fit_fn, apply_fn, cfg.threshold.conf)
+    stats = fit_fn(train_df if train_df is not None else df, cfg.metrics, by=by, **fit_kw)
+    return apply_fn(df, stats, cfg.metrics, by=by, **tx_kw)
 
 
 # --------------------------------------------------------------------------

@@ -268,6 +268,13 @@ def fit_robust_mahalanobis(
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         x = pdf[cols].to_numpy(dtype=np.float64)
         if len(x) <= d:
+            if keys == ["__g"]:
+                # global fit over a too-small input: raise like the
+                # reference's fit validation instead of emitting an empty
+                # model that would silently score zero rows
+                raise ValueError(
+                    f"need more samples ({len(x)}) than features ({d})"
+                )
             return pd.DataFrame({f.name: pd.Series([], dtype=object) for f in fields})
         loc, prec, thr = robust_mahalanobis_fit_np(
             x, max_outlier_prob=max_outlier_prob,
@@ -288,9 +295,15 @@ def score_robust_mahalanobis(
     """Broadcast the fitted stats and expand the quadratic form to a d²
     -term expression: md = sqrt(max(Σᵢⱼ Pᵢⱼ·dcᵢ·dcⱼ, 0)), score = md/thr,
     pred = md >= thr. i-major left-to-right summation — the canonical
-    association an oracle replicates for bit-identical doubles."""
+    association an oracle replicates for bit-identical doubles.
+
+    Grouped scoring uses a LEFT join: a series too small to fit (n <= d —
+    the fit emits no stats row) keeps its rows with NULL md/score/pred
+    instead of silently vanishing from the output (an inner join would
+    shrink downstream counts with no error). With by=None an unfittable
+    input raises in fit, so the cross join never sees empty stats."""
     if by:
-        out = df.join(F.broadcast(stats), by)
+        out = df.join(F.broadcast(stats), by, "left")
     else:
         out = df.crossJoin(F.broadcast(stats))
     d = len(cols)
@@ -303,11 +316,18 @@ def score_robust_mahalanobis(
         for j in range(d):
             term = F.element_at(F.col("prec"), i * d + j + 1) * dc[i] * dc[j]
             md2 = term if md2 is None else md2 + term
-    md = F.sqrt(F.greatest(md2, F.lit(0.0)))
+    # explicit unfitted guard: greatest(NULL, 0.0) is 0.0 in Spark (greatest
+    # skips nulls), so without it an unfitted series would score md=0 — a
+    # perfect inlier — instead of NULL
+    fitted = F.col("md_thresh").isNotNull()
+    md = F.when(fitted, F.sqrt(F.greatest(md2, F.lit(0.0))))
     thr = F.col("md_thresh")
     return (
         out.withColumn("md", md)
-        .withColumn("md_score", F.col("md") / F.greatest(thr, F.lit(1e-12)))
+        .withColumn(
+            "md_score",
+            F.when(fitted, F.col("md") / F.greatest(thr, F.lit(1e-12))),
+        )
         .withColumn("md_pred", (F.col("md") >= thr).cast("long"))
         .drop("loc", "prec", "md_thresh")
     )

@@ -32,6 +32,23 @@ def _join_stats(df: DataFrame, stats: DataFrame, by: list[str] | None) -> DataFr
     return df.crossJoin(F.broadcast(stats))
 
 
+def _decimal_moments(c: str):
+    """(mean, std_pop) agg expressions from exact decimal(20,4) sums —
+    order-independent under distributed aggregation, so fitted stats are
+    bit-reproducible across engines/runs (the cross-engine hash-gate
+    discipline). The greatest(...,0) clamp: constant series cancel to a
+    tiny NEGATIVE variance in float math, which would sqrt to NaN.
+    Shared by every decimal-stat fit so a precision change (e.g. widening
+    the decimal) cannot silently diverge one of them."""
+    d = F.col(c).cast("decimal(20,4)")
+    n = F.count(d)  # non-null count, like avg/stddev_pop
+    s1 = F.sum(d).cast("double")
+    s2 = F.sum(d * d).cast("double")
+    mu = s1 / n
+    sigma = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
+    return mu, sigma
+
+
 # --------------------------------------------------------------------------
 # TanhScaler: 0.5 * (tanh(coeff * (x - mean) / std) + 1); std := 1 where
 # max(x)-min(x) < eps (constant feature guard, _scaler.py:72-74)
@@ -132,15 +149,7 @@ def fit_standard_scaler(
     oracle-gated queries need (same trick as fit_stddev_threshold)."""
     aggs = []
     for c in cols:
-        if decimal_stats:
-            d = F.col(c).cast("decimal(20,4)")
-            n = F.count(d)
-            s1 = F.sum(d).cast("double")
-            s2 = F.sum(d * d).cast("double")
-            mu = s1 / n
-            sigma = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
-        else:
-            mu, sigma = F.avg(c), F.stddev_pop(c)
+        mu, sigma = _decimal_moments(c) if decimal_stats else (F.avg(c), F.stddev_pop(c))
         ctr, scl, off = _affine_cols(c)
         aggs += [
             (mu if with_mean else F.lit(0.0)).alias(ctr),
@@ -282,17 +291,7 @@ def fit_stddev_threshold(
     backtest path); the default uses Spark's native avg/stddev_pop."""
     aggs = []
     for c in cols:
-        if decimal_stats:
-            d = F.col(c).cast("decimal(20,4)")
-            n = F.count(d)  # non-null count, like avg/stddev_pop
-            s1 = F.sum(d).cast("double")
-            s2 = F.sum(d * d).cast("double")
-            mu = s1 / n
-            # greatest(...,0): FP cancellation on constant series yields a
-            # tiny negative variance -> NaN sigma without the clamp
-            sigma = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
-        else:
-            mu, sigma = F.avg(c), F.stddev_pop(c)
+        mu, sigma = _decimal_moments(c) if decimal_stats else (F.avg(c), F.stddev_pop(c))
         aggs.append(
             F.greatest(mu + F.lit(std_factor) * sigma, F.lit(float(min_threshold))).alias(
                 f"{c}__thr"

@@ -378,7 +378,9 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
     (
         "phone",
-        r"\+?[0-9]{10,14}"
+        # bare branch is {10,} not {10,14}: a cap would leave the tail of a
+        # 15+-digit identifier (card/account numbers) unredacted
+        r"\+?[0-9]{10,}"
         r"|\+?\(?[0-9]{1,4}\)?(?:[-. ]\(?[0-9]{2,3}\)?){1,2}[-. ]?[0-9]{4}",
         "<PHONE>",
     ),

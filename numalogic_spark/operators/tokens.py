@@ -328,8 +328,11 @@ def pack_greedy_no_split(
         raise ValueError(f"chunk_by must be 'rank' or 'range', got {chunk_by!r}")
     plan = salted.groupBy(source_col, "_chunk").applyInPandas(fill, out_schema)
     # the plan feeds both the chunk-stats aggregation and the fix-up join
-    # (a diamond): persist so the fill kernels run once, not twice
-    plan = plan.persist()
+    # (a diamond): eager localCheckpoint materializes the fill ONCE and
+    # cuts lineage; unlike a bare persist() the checkpointed blocks are
+    # released by the ContextCleaner when the result frame is dropped, so
+    # repeated calls don't pin cache for the session lifetime
+    plan = plan.localCheckpoint(eager=True)
 
     # ---- boundary fix-up: merge chunk c's FIRST pack into chunk c-1's
     # LAST pack when their totals fit together. Guard n_packs >= 2 on the

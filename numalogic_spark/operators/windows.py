@@ -207,16 +207,24 @@ def ewm_smooth(
 
     Port of ExpMovingAverage.transform (transforms/_movavg.py:100-113):
     x.ewm(alpha=1-beta).mean() column-wise in float32.
+
+    Every NON-value column of the input passes through untouched (value
+    columns come back float32) — the stage must not eat id/provenance
+    columns a downstream join needs (a prior version emitted only
+    source/ts/metrics and silently dropped the rest).
     """
     alpha = 1.0 - beta
     if not 0.0 < alpha < 1.0:
         raise ValueError("beta only accepts values between 0 and 1 (not inclusive)")
-    out_fields = [T.StructField(source_col, T.StringType()), T.StructField(ts_col, T.TimestampType())]
-    out_fields += [T.StructField(c, T.FloatType()) for c in value_cols]
+    value_set = set(value_cols)
+    out_fields = [
+        T.StructField(f.name, T.FloatType() if f.name in value_set else f.dataType)
+        for f in df.schema.fields
+    ]
     schema = T.StructType(out_fields)
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
         sm = (
             pdf[value_cols]
             .astype(np.float32)
@@ -224,7 +232,7 @@ def ewm_smooth(
             .mean()
             .astype(np.float32)
         )
-        out = pd.DataFrame({source_col: pdf[source_col].to_numpy(), ts_col: pdf[ts_col].to_numpy()})
+        out = pdf.copy()
         for c in value_cols:
             out[c] = sm[c].to_numpy()
         return out

@@ -235,7 +235,11 @@ class AnomalyGenerator:
         labels = np.zeros(len(target_df), dtype=int)
         scaled = {}
         for col in cols:
-            v = self._scale_col(target_df[col], col)
+            # compound on the shared scaled state: a duplicate column
+            # pick (rng.choice samples WITH replacement, like the
+            # reference) must inject on top of the earlier block, not
+            # re-read the raw column and discard it
+            v = scaled[col] if col in scaled else self._scale_col(target_df[col], col)
             i0 = self._find_start_idx(anomaly_start_idx, len(v))
             i1 = i0 + self.block_size
             block = v[i0:i1]
@@ -251,7 +255,11 @@ class AnomalyGenerator:
         labels = np.zeros(len(target_df), dtype=int)
         scaled = {}
         for col in cols:
-            v = self._scale_col(target_df[col], col)
+            # compound on the shared scaled state: a duplicate column
+            # pick (rng.choice samples WITH replacement, like the
+            # reference) must inject on top of the earlier block, not
+            # re-read the raw column and discard it
+            v = scaled[col] if col in scaled else self._scale_col(target_df[col], col)
             i0 = self._find_start_idx(None, len(v))
             i1 = i0 + self.block_size
             v[i0:i1] = self._directional_bump(
@@ -270,7 +278,11 @@ class AnomalyGenerator:
         i1 = i0 + self.block_size
         scaled = {}
         for col in cols:
-            v = self._scale_col(target_df[col], col)
+            # compound on the shared scaled state: a duplicate column
+            # pick (rng.choice samples WITH replacement, like the
+            # reference) must inject on top of the earlier block, not
+            # re-read the raw column and discard it
+            v = scaled[col] if col in scaled else self._scale_col(target_df[col], col)
             v[i0:i1] = self._directional_bump(
                 v[i0:i1], col, impact, self._toward_min(v[i0:i1], col)
             )
@@ -290,7 +302,11 @@ class AnomalyGenerator:
         scaled = {}
         for col in cols:
             i1 = min(i0 + self.block_size, n)
-            v = self._scale_col(target_df[col], col)
+            # compound on the shared scaled state: a duplicate column
+            # pick (rng.choice samples WITH replacement, like the
+            # reference) must inject on top of the earlier block, not
+            # re-read the raw column and discard it
+            v = scaled[col] if col in scaled else self._scale_col(target_df[col], col)
             toward_min = bool(self._rnd_gen.binomial(1, 0.5))
             v[i0:i1] = self._directional_bump(v[i0:i1], col, impact, toward_min)
             labels[i0:i1] += self.add_impact_sign()

@@ -121,3 +121,18 @@ def test_seeded_determinism(split):
     pd.testing.assert_frame_equal(a, b)
     c = AnomalyGenerator(train_df, random_seed=8).inject_anomalies(test_df, cols=["s1"])
     assert not a["s1"].equals(c["s1"])
+
+
+def test_duplicate_column_pick_compounds(split):
+    """Review fix: rng.choice samples WITH replacement; when the same
+    column is picked twice the second block must inject on top of the
+    first (shared scaled state), so every labeled row is actually
+    anomalous."""
+    train_df, test_df = split
+    # force the duplicate explicitly — same contract as a duplicate pick
+    gen = AnomalyGenerator(train_df, anomaly_type="causal", random_seed=1)
+    out = gen.inject_anomalies(test_df, cols=["s2", "s2"])
+    lab = out["is_anomaly"].to_numpy()
+    changed = out["s2"].to_numpy() != test_df["s2"].to_numpy()
+    # every labeled row carries a real modification
+    assert changed[lab > 0].all()

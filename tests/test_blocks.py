@@ -130,3 +130,25 @@ def test_per_group_fitted_block_roundtrip(spark, tmp_path):
         np.testing.assert_allclose(
             scored[scored["source"] == g]["x__scaled"], exp, rtol=1e-9
         )
+
+
+def test_block_guards_and_tx_param_routing(spark, df):
+    """Review fixes: duplicate block names rejected; fit params addressed
+    to unknown blocks raise ValueError; transform-time estimator params
+    (TanhScaler coeff) reach the transform function."""
+    with pytest.raises(ValueError, match="duplicate block names"):
+        BlockPipeline(SparkBlock("StandardScaler", ["x"]),
+                      SparkBlock("StandardScaler", ["x"]))
+    pipe = BlockPipeline(SparkBlock("StandardScaler", ["x"], name="std"))
+    with pytest.raises(ValueError, match="unknown block"):
+        pipe.fit(df, nn__max_epochs=50)
+
+    tanh = BlockPipeline(
+        SparkBlock("TanhScaler", ["x"], name="t", conf={"coeff": 0.3})
+    )
+    got = tanh.fit(df).orderBy("i").toPandas()
+    x = df.orderBy("i").toPandas()["x"].to_numpy()
+    exp = 0.5 * (np.tanh(0.3 * (x - x.mean()) / x.std()) + 1)
+    np.testing.assert_allclose(got["x__scaled"], exp, rtol=1e-9)
+    with pytest.raises(ValueError, match="unknown estimator param"):
+        SparkBlock("TanhScaler", ["x"], conf={"bogus": 1})

@@ -259,3 +259,62 @@ def test_config_frame_level_stages(spark):
     assert len(pad) == 8  # 1 flatten col -> n·1 rows
     np.testing.assert_allclose(pad["value"], pdf["a"], rtol=1e-12)
     np.testing.assert_allclose(pad["b"], pdf["b"], rtol=1e-12)
+
+
+def test_estimator_conf_routing_and_out_naming(spark, df):
+    """Review fixes: transform-time params (TanhScaler coeff) route to the
+    transform fn; RobustMahalanobisThreshold in preprocess hands the chain
+    md_score (not phantom {m}__scaled columns); unknown params raise."""
+    import numpy as np
+
+    cfg = PipelineConf(
+        metrics=["x"],
+        preprocess=[StageConf("TanhScaler", {"coeff": 0.3})],
+    )
+    got = apply_preprocess(df, cfg).orderBy("i").toPandas()
+    x = df.orderBy("i").toPandas()["x"].to_numpy()
+    exp = 0.5 * (np.tanh(0.3 * (x - x.mean()) / x.std()) + 1)
+    np.testing.assert_allclose(got["x__scaled"], exp, rtol=1e-9)
+
+    robust_cfg = PipelineConf(
+        metrics=["x"],
+        preprocess=[
+            StageConf("RobustMahalanobisThreshold",
+                      {"order_by": ["i"], "support_fraction": 0.8}),
+            StageConf("TanhNorm", {}),
+        ],
+    )
+    out = apply_preprocess(df, robust_cfg, by=["source"])
+    # the chain continued on md_score (in place — the fitted stage already
+    # renamed the working metrics), not on phantom x__scaled columns
+    assert "md_score" in out.columns and "x__scaled" not in out.columns
+    assert out.count() == 100
+
+    with pytest.raises(ValueError, match="unknown estimator param"):
+        apply_preprocess(
+            df,
+            PipelineConf(metrics=["x"],
+                         preprocess=[StageConf("TanhScaler", {"nope": 1})]),
+        )
+
+
+def test_ewm_stage_keeps_other_columns(spark):
+    """Review fix: the ExpMovingAverage frame stage passes id columns
+    through instead of dropping them."""
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "event_ts": pd.date_range("2024-01-01", periods=6, freq="1min"),
+            "event_id": np.arange(6),
+            "a": np.arange(6, dtype=float),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    cfg = PipelineConf(metrics=["a"], preprocess=[StageConf("ExpMovingAverage")])
+    got = apply_preprocess(sdf, cfg).orderBy("event_ts").toPandas()
+    assert "event_id" in got.columns
+    np.testing.assert_array_equal(got["event_id"], pdf["event_id"])
+    exp = pdf["a"].astype(np.float32).ewm(alpha=0.5).mean().astype(np.float32)
+    np.testing.assert_allclose(got["a"], exp, rtol=1e-6)

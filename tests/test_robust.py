@@ -157,11 +157,24 @@ def test_spark_small_group_dropped_and_global_fit(spark):
     df = spark.createDataFrame(pdf)
     stats = fit_robust_mahalanobis(df, ["f0", "f1"], by=["source"], order_by=["i"])
     assert [r["source"] for r in stats.collect()] == ["big"]
+    # grouped scoring LEFT-joins: unfitted series keep their rows with
+    # NULL scores instead of silently vanishing
+    grouped = score_robust_mahalanobis(df, stats, ["f0", "f1"], by=["source"]).toPandas()
+    assert len(grouped) == 52
+    tiny = grouped[grouped["source"] == "tiny"]
+    assert len(tiny) == 2 and tiny["md"].isna().all()
+    assert grouped[grouped["source"] == "big"]["md"].notna().all()
     # by=None: one global fit, cross-join scoring
     gstats = fit_robust_mahalanobis(df, ["f0", "f1"], order_by=["source", "i"])
     assert gstats.count() == 1
     scored = score_robust_mahalanobis(df, gstats, ["f0", "f1"])
     assert scored.count() == 52
+    # a global fit over a too-small input raises (reference fit contract)
+    tiny_df = spark.createDataFrame(
+        pdf.iloc[:2][["source", "i", "f0", "f1"]]
+    )
+    with pytest.raises(Exception, match="more samples"):
+        fit_robust_mahalanobis(tiny_df, ["f0", "f1"], order_by=["i"]).collect()
 
 
 def test_factory_dispatch(spark):

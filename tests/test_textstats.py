@@ -201,6 +201,7 @@ def test_scrub_pii(spark):
         ("e", "dial 555.867.5309 then 555 867 5310"),
         ("f", "scores 100 200 300 and years 2019 2020 2021 2022 stay"),
         ("g", "bare 4155550123 redacts"),
+        ("h", "card 1234567890123456 fully gone"),
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     got = {r["doc_id"]: r.asDict() for r in scrub_pii(df).collect()}
@@ -217,6 +218,8 @@ def test_scrub_pii(spark):
     # number-heavy prose is NOT phone-shaped (single-sep short-group rule)
     assert got["f"]["n_phone"] == 0 and got["f"]["scrubbed"] == rows[5][1]
     assert got["g"]["n_phone"] == 1 and got["g"]["scrubbed"] == "bare <PHONE> redacts"
+    # a 16-digit run redacts WHOLE — no trailing-digit residue
+    assert got["h"]["scrubbed"] == "card <PHONE> fully gone"
 
 
 def test_remove_boilerplate_lines(spark):
