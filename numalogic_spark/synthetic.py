@@ -78,6 +78,118 @@ def gen_timeseries_spark(spark: SparkSession, **kw) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+class SyntheticTSGenerator:
+    """Full port of the reference generator (synthetic/timeseries.py:22-120):
+    per-series baseline + slope trend + gaussian noise + (with probability
+    seasonal_ts_prob) a primary and amplitude-reduced secondary cos/linear
+    seasonal pattern, seeded rng, wide frame s1..sN on a DatetimeIndex."""
+
+    def __init__(
+        self,
+        seq_len: int,
+        num_series: int,
+        freq: str = "min",
+        primary_period: int = 1440,
+        secondary_period: int = 10080,
+        seasonal_ts_prob: float = 0.7,
+        baseline_range: tuple[float, float] = (200.0, 350.0),
+        slope_range: tuple[float, float] = (-0.001, 0.01),
+        amplitude_range: tuple[float, float] = (10, 40),
+        cosine_ratio_range: tuple[float, float] = (0.5, 0.9),
+        noise_range: tuple[float, float] = (5, 15),
+        phase_shift_range: tuple[int, int] | None = None,
+        random_seed: int = 42,
+    ):
+        self.seq_len = seq_len
+        self.num_series = num_series
+        self.dt_index = pd.DatetimeIndex(
+            pd.date_range(end=pd.Timestamp.today().normalize(), periods=seq_len, freq=freq)
+        )
+        self.time_steps = np.arange(seq_len, dtype="float32")
+        self.baseline_range = baseline_range
+        self.slope_range = slope_range
+        self.amplitude_range = amplitude_range
+        self.cos_ratio_range = cosine_ratio_range
+        self.noise_range = noise_range
+        self.phase_range = phase_shift_range
+        self.primary_period = primary_period
+        self.secondary_period = secondary_period
+        self.seasonal_ts_prob = seasonal_ts_prob
+        self._rnd_gen = np.random.default_rng(random_seed)
+
+    def gen_tseries(self) -> pd.DataFrame:
+        all_series = {}
+        is_seasonal = self._rnd_gen.binomial(1, self.seasonal_ts_prob, self.num_series)
+        for s_idx in range(self.num_series):
+            if is_seasonal[s_idx]:
+                seasonality = self.seasonality(self.primary_period)
+                if self.secondary_period:
+                    seasonality += self.seasonality(
+                        self.secondary_period, amp_reduction_factor=3
+                    )
+            else:
+                seasonality = np.zeros(self.seq_len)
+            all_series[f"s{s_idx + 1}"] = (
+                self.baseline() + self.trend() + self.noise() + seasonality
+            )
+        return pd.DataFrame(all_series, index=self.dt_index)
+
+    def baseline(self) -> float:
+        return self._rnd_gen.uniform(*self.baseline_range)
+
+    def trend(self) -> np.ndarray:
+        slope = self._rnd_gen.uniform(*self.slope_range)
+        return slope * self.time_steps
+
+    def seasonality(self, period: int, amp_reduction_factor: int = 1) -> np.ndarray:
+        phase = self._rnd_gen.uniform(*self.phase_range) if self.phase_range else 0
+        cosine_ratio = self._rnd_gen.uniform(*self.cos_ratio_range)
+        amplitude = self._rnd_gen.uniform(*self.amplitude_range) / amp_reduction_factor
+        season_time = ((self.time_steps + phase) % period) / period
+        # cos wave for the first cosine_ratio of the period, linear ramp after
+        seasonal_pattern = np.where(
+            season_time < cosine_ratio, np.cos(season_time * 2 * np.pi), season_time
+        )
+        return amplitude * seasonal_pattern
+
+    def noise(self) -> np.ndarray:
+        noise_level = self._rnd_gen.uniform(*self.noise_range)
+        return self._rnd_gen.standard_normal(self.seq_len) * noise_level
+
+    @classmethod
+    def train_test_split(
+        cls, df: pd.DataFrame, test_size: int
+    ) -> tuple[pd.DataFrame, pd.DataFrame]:
+        return df[:-test_size], df[-test_size:]
+
+
+class SparsityGenerator:
+    """Port of synthetic/sparsity.py:16-42: zero out a sparse_ratio
+    fraction of rows, and within each chosen row a sparse_ratio fraction
+    of columns. The reference samples via the global `random` module; this
+    port takes a seed for reproducibility (None = nondeterministic, like
+    the reference)."""
+
+    def __init__(self, data: pd.DataFrame, sparse_ratio: float = 0.2,
+                 random_seed: int | None = 42):
+        self.sparse_ratio = sparse_ratio
+        self._data = data
+        self._rng = np.random.default_rng(random_seed)
+
+    def generate_sparsity(self) -> None:
+        shape = self._data.shape
+        n_rows = int(shape[0] * self.sparse_ratio)
+        rows = self._rng.choice(shape[0], size=n_rows, replace=False)
+        n_cols = int(shape[1] * self.sparse_ratio)
+        for row in rows:
+            columns = self._rng.choice(shape[1], size=n_cols, replace=False)
+            self._data.iloc[row, columns] = 0
+
+    @property
+    def data(self) -> pd.DataFrame:
+        return self._data
+
+
 def gen_multivariate_pandas(
     seq_len: int = 7200,
     num_series: int = 5,

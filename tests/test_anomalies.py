@@ -136,3 +136,48 @@ def test_duplicate_column_pick_compounds(split):
     changed = out["s2"].to_numpy() != test_df["s2"].to_numpy()
     # every labeled row carries a real modification
     assert changed[lab > 0].all()
+
+
+def test_synthetic_ts_generator_port():
+    """Port of tests/synthetic/test_timeseries.py."""
+    from numalogic_spark.synthetic import SyntheticTSGenerator
+
+    gen = SyntheticTSGenerator(12000, 10)
+    df = gen.gen_tseries()
+    assert df.shape == (12000, 10)
+    assert gen.baseline()
+    assert gen.trend().shape == (12000,)
+    assert SyntheticTSGenerator(1000, 10).seasonality(1440).shape == (1000,)
+    assert gen.noise().shape == (12000,)
+    g2 = SyntheticTSGenerator(10080, 10)
+    tr, te = g2.train_test_split(g2.gen_tseries(), 1440)
+    assert tr.shape == (8640, 10) and te.shape == (1440, 10)
+    # seeded determinism (engine addition)
+    a = SyntheticTSGenerator(500, 3, random_seed=5).gen_tseries()
+    b = SyntheticTSGenerator(500, 3, random_seed=5).gen_tseries()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sparsity_generator_port():
+    """Port of tests/synthetic/test_sparsity.py."""
+    import copy
+
+    from numalogic_spark.synthetic import SparsityGenerator, SyntheticTSGenerator
+
+    ts_df = SyntheticTSGenerator(12000, 10).gen_tseries()
+    data = copy.deepcopy(ts_df)
+    g0 = SparsityGenerator(data, sparse_ratio=0)
+    g0.generate_sparsity()
+    assert g0.data.equals(ts_df)
+    data = copy.deepcopy(ts_df)
+    g1 = SparsityGenerator(data, sparse_ratio=1)
+    g1.generate_sparsity()
+    assert not g1.data.equals(ts_df)
+    assert g1.data.shape == ts_df.shape
+    # ratio 1 zeroes everything; ratio 0.2 zeroes ~20% of rows
+    assert (g1.data.to_numpy() == 0).all()
+    data = copy.deepcopy(ts_df)
+    g2 = SparsityGenerator(data, sparse_ratio=0.2)
+    g2.generate_sparsity()
+    zero_rows = (g2.data == 0).any(axis=1).sum()
+    assert zero_rows == int(12000 * 0.2)
