@@ -2270,6 +2270,96 @@ FROM md
 """
 
 
+def _seasonal_naive_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h decimal-mean buckets per series with 6dp-floored values (the
+    pre-rounding keeps downstream decimal casts tie-free cross-engine),
+    then the time-shifted seasonal-naive forecast (t - 24h equi-join)."""
+    from numalogic_spark.operators.forecast import seasonal_naive
+
+    df = _events(spark, sf_dir)
+    b = df.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(
+        _r6(
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("val_mean")
+    )
+    return seasonal_naive(b, 86400, value_col="val_mean")
+
+
+def _q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast (daily period over hourly buckets): the
+    Spark-native form of SeasonalNaiveForecaster (reference
+    models/forecast/variants/naive.py:69-135) — forecast(t) = value(t-24h)
+    via an equi-join on the shifted bucket (no per-series sort; gaps yield
+    NULL forecasts instead of lagging across them)."""
+    out = _seasonal_naive_base(spark, sf_dir)
+    return out.select(
+        "source",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("val_mean").alias("actual"),
+        _r6("forecast").alias("forecast"),
+        _r6("abs_err").alias("abs_err"),
+    )
+
+
+_SEASONAL_NAIVE_BASE_SQL = """
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket,
+         floor((CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000.0 AS val_mean
+  FROM events GROUP BY 1, 2
+"""
+
+_SEASONAL_NAIVE_SQL = f"""
+WITH b AS ({_SEASONAL_NAIVE_BASE_SQL})
+SELECT a.source, CAST(epoch(a.bucket) AS BIGINT) AS bucket_s,
+       a.val_mean AS actual,
+       floor(p.val_mean * 1000000 + 0.5) / 1000000.0 AS forecast,
+       floor(abs(a.val_mean - p.val_mean) * 1000000 + 0.5) / 1000000.0 AS abs_err
+FROM b a LEFT JOIN b p
+  ON p.source = a.source AND p.bucket + INTERVAL 1 DAY = a.bucket
+"""
+
+
+def _q_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series forecast quality (MAE/RMSE/R²) of the seasonal-naive
+    forecast, as ONE decimal-sum aggregation (operators/forecast.py
+    forecast_metrics)."""
+    from numalogic_spark.operators.forecast import forecast_metrics
+
+    scored = _seasonal_naive_base(spark, sf_dir)
+    m = forecast_metrics(scored, value_col="val_mean")
+    return m.select(
+        "source", "n", _r6("mae").alias("mae"), _r6("rmse").alias("rmse"),
+        _r6("r2").alias("r2"),
+    )
+
+
+_FORECAST_METRICS_SQL = f"""
+WITH b AS ({_SEASONAL_NAIVE_BASE_SQL}),
+j AS (
+  SELECT a.source, CAST(a.val_mean AS DECIMAL(20,6)) AS y,
+         CAST(p.val_mean AS DECIMAL(20,6)) AS f
+  FROM b a JOIN b p
+    ON p.source = a.source AND p.bucket + INTERVAL 1 DAY = a.bucket
+), agg AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(abs(y - f)) AS DOUBLE) AS sae,
+         CAST(sum((y - f) * (y - f)) AS DOUBLE) AS sse,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM j GROUP BY source
+)
+SELECT source, n,
+  floor((sae / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS mae,
+  floor(sqrt(sse / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS rmse,
+  floor((CASE WHEN syy - (sy * sy) / CAST(n AS DOUBLE) <= 0.0 THEN 0.0
+              ELSE 1.0 - sse / (syy - (sy * sy) / CAST(n AS DOUBLE)) END) * 1000000 + 0.5) / 1000000.0 AS r2
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": _q_rollup("1m"),
@@ -2318,6 +2408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis_events": _q_mahalanobis,
         "sklearn_scalers_events": _q_sklearn_scalers,
         "robust_mahalanobis_events": _q_robust_mahalanobis,
+        "seasonal_naive_1h_events": _q_seasonal_naive,
+        "forecast_metrics_events": _q_forecast_metrics,
         "prometheus_frame_events": _q_prometheus_frame,
         "dedup_clusters_documents": _q_dedup_clusters,
         "bpe_encode_documents": _q_bpe_encode,
@@ -2373,6 +2465,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint_documents": _FINGERPRINT_SQL,
         "mahalanobis_events": _mahalanobis_sql(),
         "sklearn_scalers_events": _SKLEARN_SCALERS_SQL,
+        "seasonal_naive_1h_events": _SEASONAL_NAIVE_SQL,
+        "forecast_metrics_events": _FORECAST_METRICS_SQL,
         "ewm_smooth_events": _ewm_smooth_sql(),
         "backtest_events": _backtest_sql(),
         "prometheus_frame_events": _prom_frame_sql(),
