@@ -2339,8 +2339,8 @@ def _q_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FORECAST_METRICS_SQL = f"""
 WITH b AS ({_SEASONAL_NAIVE_BASE_SQL}),
 j AS (
-  SELECT a.source, CAST(a.val_mean AS DECIMAL(20,6)) AS y,
-         CAST(p.val_mean AS DECIMAL(20,6)) AS f
+  SELECT a.source, CAST(a.val_mean AS DECIMAL(15,6)) AS y,
+         CAST(p.val_mean AS DECIMAL(15,6)) AS f
   FROM b a JOIN b p
     ON p.source = a.source AND p.bucket + INTERVAL 1 DAY = a.bucket
 ), agg AS (

@@ -99,7 +99,9 @@ class SparkBlock:
         extra_fit, extra_tx = _split_estimator_conf(
             self._fit_fn, self._apply_fn, fit_params
         )
-        self._tx_kw = {**self._tx_kw, **extra_tx}
+        # per-call params are PER-CALL (reference semantics, nn__max_epochs
+        # style): they must not become sticky block state — persistent
+        # transform params belong in conf=
         stats = self._fit_fn(
             df, self.metrics, by=self.by, **{**self._fit_kw, **extra_fit}
         )
@@ -110,9 +112,9 @@ class SparkBlock:
             "schema": stats.schema.jsonValue(),
             "rows": [list(r) for r in stats.collect()],
         }
-        return self.run(df)
+        return self.run(df, **extra_tx)
 
-    def run(self, df: DataFrame) -> DataFrame:
+    def run(self, df: DataFrame, **tx_overrides) -> DataFrame:
         from pyspark.sql import types as T
 
         st = self.artifact_state
@@ -120,7 +122,9 @@ class SparkBlock:
         stats = df.sparkSession.createDataFrame(
             [tuple(r) for r in st["rows"]], schema=schema
         )
-        return self._apply_fn(df, stats, self.metrics, by=self.by, **self._tx_kw)
+        return self._apply_fn(
+            df, stats, self.metrics, by=self.by, **{**self._tx_kw, **tx_overrides}
+        )
 
 
 class TransformBlock(SparkBlock):
@@ -145,6 +149,8 @@ class TransformBlock(SparkBlock):
         self.metrics = list(metrics)
         self.suffix = suffix
         self._name = name
+        self._state = None  # stateless; keeps artifact_state's ValueError
+        # contract instead of an AttributeError on probe
 
     @property
     def stateful(self) -> bool:
@@ -175,10 +181,19 @@ class JsonBlockRegistry:
         self.root = root.rstrip("/")
 
     def _path(self, skeys: list[str], dkeys: list[str]) -> str:
-        # '__' separator, not the reference's ':' — a colon in a Hadoop
-        # Path is parsed as a URI scheme separator and breaks file:// roots
+        # human-readable '__'-joined prefix (':' would parse as a URI
+        # scheme separator in a Hadoop Path) + an identity hash of the
+        # exact (skeys, dkeys) structure: flattening alone would collide
+        # (['a','b'],['c']) with (['a'],['b','c']) — the reference keeps
+        # them distinct via ':'/'::' separators (redis_registry
+        # construct_key), the hash suffix keeps them distinct here.
+        import hashlib
+
+        ident = hashlib.sha256(
+            json.dumps([list(skeys), list(dkeys)]).encode()
+        ).hexdigest()[:8]
         key = "__".join([*skeys, *dkeys]).replace("/", "_").replace(":", "_")
-        return f"{self.root}/{key}.json"
+        return f"{self.root}/{key}-{ident}.json"
 
     def save(self, skeys: list[str], dkeys: list[str], artifacts: dict) -> str:
         jvm = self.spark._jvm

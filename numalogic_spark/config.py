@@ -49,10 +49,17 @@ _SCALER_OUT: dict[str, object] = {
 }
 
 
-def _scaler_out_metrics(name: str, metrics: list[str]) -> list[str]:
+def _scaler_out_metrics(
+    name: str, metrics: list[str], suffix: str | None = None
+) -> list[str]:
     out = _SCALER_OUT.get(name, "__scaled")
     if isinstance(out, list):
         return list(out)
+    # a transform-time suffix= conf overrides the default naming — the
+    # tracked metric names must follow the columns the transform actually
+    # writes, or the next stage references phantom columns
+    if suffix is not None:
+        out = suffix
     return [f"{m}{out}" for m in metrics]
 
 
@@ -204,7 +211,7 @@ def apply_preprocess(
             fit_kw, tx_kw = _split_estimator_conf(fit_fn, tx_fn, st.conf)
             stats = fit_fn(df, metrics, by=by, **fit_kw)
             df = tx_fn(df, stats, metrics, by=by, **tx_kw)
-            metrics = _scaler_out_metrics(st.name, metrics)
+            metrics = _scaler_out_metrics(st.name, metrics, tx_kw.get("suffix"))
             suffixed = True
         elif st.name in df_factory:
             df, metrics = flush(df, metrics)

@@ -35,7 +35,9 @@ def _r2_np(y_true: np.ndarray, y_pred: np.ndarray, multioutput="uniform_average"
     ss_tot = ((y_true - y_true.mean(axis=0)) ** 2).sum(axis=0)
     with np.errstate(divide="ignore", invalid="ignore"):
         r2 = 1.0 - ss_res / ss_tot
-    r2 = np.where(ss_tot == 0.0, 0.0, r2)
+    # sklearn's constant-input convention: a perfectly predicted constant
+    # column scores 1.0, an imperfectly predicted one 0.0
+    r2 = np.where(ss_tot == 0.0, np.where(ss_res == 0.0, 1.0, 0.0), r2)
     if multioutput == "uniform_average":
         return float(r2.mean())
     return r2
@@ -192,9 +194,15 @@ def forecast_metrics(
     """Per-series MAE / RMSE / R² over the rows that HAVE a forecast, as
     ONE aggregation with decimal sums (order-independent — the hash-gate
     discipline). R² = 1 - SSres/SStot with SStot from the decimal moment
-    identity Σ(y-ȳ)² = Σy² - (Σy)²/n."""
-    y = F.col(value_col).cast("decimal(20,6)")
-    f = F.col(forecast_col).cast("decimal(20,6)")
+    identity Σ(y-ȳ)² = Σy² - (Σy)²/n.
+
+    decimal(15,6), NOT (20,6): Spark caps a (20,6)×(20,6) product at
+    precision 38 by ROUNDING its scale down to 7, while DuckDB keeps the
+    exact 12-scale product — per-term 1e-8-level drift that breaks the
+    cross-engine hash. (15,6)×(15,6) → (31,12) fits under 38 on both
+    engines, so the squared sums stay exact."""
+    y = F.col(value_col).cast("decimal(15,6)")
+    f = F.col(forecast_col).cast("decimal(15,6)")
     err = y - f
     base = scored.filter(F.col(forecast_col).isNotNull())
     agg = base.groupBy(source_col).agg(

@@ -367,8 +367,10 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     # (an address inside user@1.2.3.4 is part of the email), ipv4 before
     # phone (a dotted quad would otherwise read as a dotted phone number).
     # The phone pattern requires PHONE-SHAPED grouping: either a bare
-    # 10-14 digit run, or 1-2 short (2-3 digit) groups between a 1-4 digit
-    # lead and a 4-digit tail, each separated by EXACTLY ONE of [-. ].
+    # digit run of 10+ (uncapped so 15+-digit card/account numbers redact
+    # WHOLE, no trailing residue), or 1-2 short (2-3 digit) groups between
+    # a 1-4 digit lead and a 4-digit tail, each separated by EXACTLY ONE
+    # of [-. ].
     # An earlier [0-9()\-. ]{7,} class allowed unlimited interior spaces
     # and redacted any >=9-char run of numbers ("100 200 300", year
     # lists, score tables) to <PHONE>, silently mangling number-heavy

@@ -331,7 +331,11 @@ def pack_greedy_no_split(
     # (a diamond): eager localCheckpoint materializes the fill ONCE and
     # cuts lineage; unlike a bare persist() the checkpointed blocks are
     # released by the ContextCleaner when the result frame is dropped, so
-    # repeated calls don't pin cache for the session lifetime
+    # repeated calls don't pin cache for the session lifetime. Tradeoff
+    # (engine-wide convention, same as the minhash pipeline): local
+    # checkpoints are NON-reliable — losing an executor mid-job cannot be
+    # recomputed from the truncated lineage. On preemptible clusters use
+    # reliable checkpointing or accept job retry.
     plan = plan.localCheckpoint(eager=True)
 
     # ---- boundary fix-up: merge chunk c's FIRST pack into chunk c-1's

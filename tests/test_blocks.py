@@ -66,7 +66,11 @@ def test_registry_roundtrip(spark, df, tmp_path):
     )
     fitted = pipe.fit(df).orderBy("i").toPandas()
     path = pipe.save(["events", "v1"], ["mm"])
-    assert path.endswith("events__v1__mm.json")
+    assert "events__v1__mm-" in path and path.endswith(".json")
+    # distinct (skeys, dkeys) STRUCTURES never collide (flattening alone
+    # would map (['events','v1'],['mm']) and (['events'],['v1','mm']) to
+    # one file)
+    assert reg._path(["events", "v1"], ["mm"]) != reg._path(["events"], ["v1", "mm"])
 
     fresh = BlockPipeline(
         SparkBlock("MinMaxScaler", ["x"], name="mm"), registry=reg
@@ -152,3 +156,22 @@ def test_block_guards_and_tx_param_routing(spark, df):
     np.testing.assert_allclose(got["x__scaled"], exp, rtol=1e-9)
     with pytest.raises(ValueError, match="unknown estimator param"):
         SparkBlock("TanhScaler", ["x"], conf={"bogus": 1})
+
+
+def test_fit_params_not_sticky_and_stateless_probe(spark, df):
+    """Per-call transform params apply to that fit only; probing a
+    stateless block's artifact_state raises the documented ValueError."""
+    block = SparkBlock("TanhScaler", ["x"], name="t")
+    pipe = BlockPipeline(block)
+    with_override = pipe.fit(df, t__coeff=0.5).orderBy("i").toPandas()
+    x = df.orderBy("i").toPandas()["x"].to_numpy()
+    exp05 = 0.5 * (np.tanh(0.5 * (x - x.mean()) / x.std()) + 1)
+    np.testing.assert_allclose(with_override["x__scaled"], exp05, rtol=1e-9)
+    # a later bare run uses the block's configured default (0.2), not 0.5
+    rerun = pipe.run(df).orderBy("i").toPandas()
+    exp02 = 0.5 * (np.tanh(0.2 * (x - x.mean()) / x.std()) + 1)
+    np.testing.assert_allclose(rerun["x__scaled"], exp02, rtol=1e-9)
+
+    t = TransformBlock([StageConf("TanhNorm")], ["x"], name="tn")
+    with pytest.raises(ValueError, match="not fitted"):
+        _ = t.artifact_state

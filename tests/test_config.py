@@ -318,3 +318,20 @@ def test_ewm_stage_keeps_other_columns(spark):
     np.testing.assert_array_equal(got["event_id"], pdf["event_id"])
     exp = pdf["a"].astype(np.float32).ewm(alpha=0.5).mean().astype(np.float32)
     np.testing.assert_allclose(got["a"], exp, rtol=1e-6)
+
+
+def test_scaler_suffix_conf_tracks_metrics(spark, df):
+    """A transform-time suffix= conf renames the output columns AND the
+    tracked metric names, so the next stage chains on real columns."""
+    cfg = PipelineConf(
+        metrics=["x"],
+        preprocess=[
+            StageConf("StandardScaler", {"suffix": "__z"}),
+            StageConf("TanhNorm", {}),
+        ],
+    )
+    got = apply_preprocess(df, cfg).orderBy("i").toPandas()
+    assert "x__z" in got.columns and "x__scaled" not in got.columns
+    x = df.orderBy("i").toPandas()["x"].to_numpy()
+    z = (x - x.mean()) / x.std()
+    np.testing.assert_allclose(got["x__z"], 10 * np.tanh(z / 10), rtol=1e-9)

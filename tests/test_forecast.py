@@ -119,3 +119,10 @@ def test_spark_seasonal_naive_and_metrics(spark):
         np.testing.assert_allclose(row["mae"], np.abs(y - f).mean(), rtol=1e-6)
         np.testing.assert_allclose(row["rmse"], np.sqrt(((y - f) ** 2).mean()), rtol=1e-6)
         np.testing.assert_allclose(row["r2"], _r2_np(y, f), rtol=1e-5)
+
+
+def test_r2_constant_column_sklearn_convention():
+    """ss_tot==0: perfectly predicted constant -> 1.0, imperfect -> 0.0."""
+    y = np.full(10, 5.0)
+    np.testing.assert_allclose(_r2_np(y, y.copy()), 1.0)
+    np.testing.assert_allclose(_r2_np(y, y + 1.0), 0.0)
