@@ -578,6 +578,31 @@ GROUP BY source, n
 """
 
 
+def _q_sliding_window_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 windows through the SALTED path (chunked parallel windowing of a
+    single series with boundary-row replication + distributed ranking) —
+    byte-identical semantics to `sliding_window_stats`, so it shares that
+    query's oracle. chunk_rows=257 at sf0.01 forces many chunks per series
+    (~8 per 2k-row series), exercising the replication/fix-up machinery
+    under the driver's hash gate, not just pytest."""
+    from numalogic_spark.operators.windows import sliding_windows_salted
+
+    L, S = 12, 4
+    df = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), F.col("ts").alias("event_ts"),
+        F.col("value").cast("float").alias("value"),
+    )
+    wins = sliding_windows_salted(
+        df, ["value"], seq_len=L, stride=S, chunk_rows=257,
+        source_col="source", ts_col="event_ts",
+    )
+    return wins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.unix_timestamp(F.min("end_ts")).alias("first_end_s"),
+        F.unix_timestamp(F.max("end_ts")).alias("last_end_s"),
+    )
+
+
 def _q_ewm_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 EWM smoothing, windowed variant (trailing L=12, bias-corrected) —
     bounded state per series, oracle-exact via lag expansion. The
@@ -2402,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split_events": _q_train_val_split,
         "backtest_events": _q_backtest,
         "sliding_window_stats": _q_sliding_window_stats,
+        "sliding_window_salted_stats": _q_sliding_window_salted_stats,
         "rollup_1m_sql_api": _q_rollup_sql_api,
         "multi_metric_rollup_lineitem": _q_multi_rollup_lineitem,
         "ewm_smooth_events": _q_ewm_smooth,
@@ -2458,6 +2484,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_metrics_1m": _PIVOT_SQL,
         "train_val_split_events": _SPLIT_SQL,
         "sliding_window_stats": _SLIDING_SQL,
+        "sliding_window_salted_stats": _SLIDING_SQL,
         "rollup_1m_sql_api": _ROLLUP_SQL_API_ORACLE,
         "multi_metric_rollup_lineitem": _MULTI_ROLLUP_SQL,
         "minhash_near_dup_documents": _minhash_sql(),

@@ -189,6 +189,33 @@ def main() -> None:
     t0 = time.time()
     _noop(pack_greedy_no_split(skew, 2048, sub_salt=100_000, chunk_by="range"))
     queries["pack_greedy_skewed_salted"] = time.time() - t0
+
+    # low-series-cardinality windowing row: ONE giant series (the other
+    # pathological skew axis — per-series windowing parallelism = series
+    # count). Sequential = one applyInPandas task over the whole series;
+    # salted = boundary-row replication into chunk_rows chunks + the
+    # distributed two-phase rank (included in the timing — a real table
+    # has no position column). Both timed so the speedup is evidence.
+    from numalogic_spark.operators.windows import (
+        sliding_windows,
+        sliding_windows_salted,
+    )
+
+    one_series = (
+        spark.range(1_000_000)
+        .select(
+            F.lit("s0").alias("source"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("event_ts"),
+            F.sin(F.col("id") * 0.001).cast("float").alias("value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    _noop(sliding_windows(one_series, ["value"], 12, 4))
+    queries["windows_single_series_seq"] = time.time() - t0
+    t0 = time.time()
+    _noop(sliding_windows_salted(one_series, ["value"], 12, 4, chunk_rows=15_625))
+    queries["windows_single_series_salted"] = time.time() - t0
     spark.stop()
 
     # scaling evidence: same job, same input, same plan (fixed shuffle

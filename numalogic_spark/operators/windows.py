@@ -11,10 +11,14 @@ Semantics ported from /root/reference/numalogic/tools/data.py:
 Implementation: `applyInPandas` per series — each group becomes one numpy
 matrix and windows come from `sliding_window_view` (zero-copy strided view),
 mirroring the reference's "whole window as one matrix" contract with no
-per-row Python. Skewed/hot sources should be salted upstream only for
-stateless kernels; windowing itself needs the full series per task, so the
-scale unit is the (source) partition — at 10^12 rows the series count is the
-parallelism axis, and each series' window batch stays bounded by retention.
+per-row Python. The scale unit of the plain path is the (source) partition —
+fine while series count ≥ cores. For LOW series cardinality (one giant
+series), `sliding_windows_salted` replicates the seq_len-1 boundary rows
+into the previous chunk and windows each (series, chunk) in parallel,
+byte-identical to the sequential path; `add_series_positions` supplies the
+global per-series row positions it needs without a one-task-per-series
+rank (distributed two-phase ranking: range partition → per-partition
+counts → exclusive-prefix offsets broadcast back).
 """
 
 from __future__ import annotations
@@ -97,6 +101,150 @@ def sliding_windows(
         )
 
     return df.groupBy(source_col).applyInPandas(build, schema)
+
+
+def add_series_positions(
+    df: DataFrame,
+    source_col: str = "source",
+    order_cols: list[str] | None = None,
+    pos_col: str = "pos",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global 0-based position of every row within its series, WITHOUT a
+    one-task-per-series rank.
+
+    `row_number() OVER (PARTITION BY source ORDER BY ts)` funnels each
+    series through a single task — exactly the bottleneck a
+    low-source-cardinality table hits at scale. Instead, the classic
+    two-phase distributed rank:
+
+      1. range-partition by (source, *order_cols) — equal keys land in one
+         partition, partition ids are ordered by the sort key;
+      2. count rows per (partition, series): a tiny aggregate (≤ n_parts ×
+         n_series rows) turned into exclusive-prefix offsets by a window
+         over the counts themselves — never collected to the driver;
+      3. broadcast-join the offsets back and add the partition-local
+         row_number (each window group is one partition's slice of one
+         series, bounded by partition size — not the series).
+
+    The ranked frame is localCheckpointed (engine-wide convention, see
+    pack_greedy_no_split) because both the counts branch and the output
+    branch consume the range exchange and RangePartitioner's sampled
+    boundaries must not be recomputed between them. Ties in
+    (source, *order_cols) get an arbitrary-but-valid order, same as any
+    rank; pass tie-breaking columns for full determinism.
+    """
+    from pyspark.sql import Window
+
+    order_cols = list(order_cols or ["event_ts"])
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    p = (
+        df.repartitionByRange(n_parts, source_col, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = p.groupBy("__pid", source_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    wo = (
+        Window.partitionBy(source_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).cast("long")
+    ).drop("__cnt")
+    wl = Window.partitionBy("__pid", source_col).orderBy(*order_cols)
+    return (
+        p.join(F.broadcast(offsets), ["__pid", source_col])
+        .withColumn(pos_col, (F.row_number().over(wl) - 1 + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )
+
+
+def sliding_windows_salted(
+    df: DataFrame,
+    value_cols: list[str],
+    seq_len: int,
+    stride: int = 1,
+    chunk_rows: int = 100_000,
+    source_col: str = "source",
+    ts_col: str = "event_ts",
+    pos_col: str | None = None,
+) -> DataFrame:
+    """`sliding_windows` for LOW series cardinality: byte-identical output,
+    but a single giant series windows in parallel across chunk_rows-sized
+    chunks instead of one task.
+
+    Chunk c owns windows STARTING at global positions [c·C, (c+1)·C); a
+    window starting near the chunk end needs up to seq_len-1 rows of chunk
+    c+1, so exactly those boundary rows are replicated into chunk c (an
+    explode over 1-or-2 chunk ids — replication factor 1 + (L-1)/C, ~1 at
+    real chunk sizes). win_id = start_pos // stride reproduces the
+    sequential numbering, so the two paths are equality-testable.
+
+    pos_col: column with each row's global 0-based series position, if the
+    caller already has one (after gap-fill the grid makes it pure
+    arithmetic: (ts - series_start) / interval — zero extra jobs). When
+    None, `add_series_positions` computes it distributedly.
+    """
+    if stride >= seq_len:
+        raise ValueError(f"Stride: {stride} should be less than sequence length: {seq_len}")
+    if chunk_rows < seq_len:
+        raise ValueError(f"chunk_rows ({chunk_rows}) must be >= seq_len ({seq_len})")
+    if pos_col is None:
+        df = add_series_positions(df, source_col, [ts_col])
+        pos_col = "pos"
+    C = int(chunk_rows)
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("win_id", T.LongType()),
+            T.StructField("start_ts", T.TimestampType()),
+            T.StructField("end_ts", T.TimestampType()),
+            T.StructField(
+                "window", T.ArrayType(T.ArrayType(T.FloatType(), False), False), False
+            ),
+        ]
+    )
+    chunk = F.expr(f"`{pos_col}` div {C}")
+    owners = F.when(
+        (F.col(pos_col) % C < seq_len - 1) & (chunk > 0),
+        F.array(chunk, chunk - 1),
+    ).otherwise(F.array(chunk))
+    exploded = df.withColumn("__own", F.explode(owners))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(pos_col, kind="mergesort")
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "win_id": pd.Series([], dtype="int64"),
+                "start_ts": pd.Series([], dtype="datetime64[ns]"),
+                "end_ts": pd.Series([], dtype="datetime64[ns]"),
+                "window": pd.Series([], dtype=object),
+            }
+        )
+        if n < seq_len:
+            return empty
+        base = int(pdf["__own"].iloc[0]) * C
+        x = pdf[value_cols].to_numpy(dtype=np.float32)
+        w = np.lib.stride_tricks.sliding_window_view(x, (seq_len, x.shape[1]))[:, 0]
+        starts_local = np.arange(w.shape[0])
+        sel = np.nonzero(((base + starts_local) % stride == 0) & (starts_local < C))[0]
+        if sel.size == 0:
+            return empty
+        ts = pdf[ts_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "source": pdf[source_col].iloc[0],
+                "win_id": (base + sel) // stride,
+                "start_ts": ts[sel],
+                "end_ts": ts[sel + seq_len - 1],
+                "window": [w[i] for i in sel],
+            }
+        )
+
+    return exploded.groupBy(source_col, "__own").applyInPandas(build, schema)
 
 
 def inverse_window_np(batched: np.ndarray, method: str = "keep_first") -> np.ndarray:

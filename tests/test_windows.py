@@ -136,3 +136,103 @@ def test_ewm_smooth_windowed_matches_numpy(spark):
     x = pdf["value"].to_numpy()
     exp = [expmov_avg_np(x[max(0, i - L + 1) : i + 1], beta) for i in range(n)]
     np.testing.assert_allclose(got["value_ewm"], exp, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Salted windowing (low-series-cardinality scale path)
+
+
+def _multi_series_pdf(sizes, f=2, seed=7):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for k, m in enumerate(sizes):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": f"s{k}",
+                    "event_ts": pd.date_range("2024-03-01", periods=m, freq="30s"),
+                    **{
+                        f"m{j}": rng.normal(size=m).astype(np.float32)
+                        for j in range(f)
+                    },
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _canon(out: pd.DataFrame) -> pd.DataFrame:
+    out = out.sort_values(["source", "win_id"], ignore_index=True)
+    out["window"] = out["window"].map(
+        lambda w: tuple(tuple(float(v) for v in r) for r in w)
+    )
+    return out
+
+
+def test_add_series_positions_matches_row_number(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.windows import add_series_positions
+
+    pdf = _multi_series_pdf([257, 64, 11, 3])
+    df = spark.createDataFrame(pdf).repartition(8)  # scramble layout
+    got = add_series_positions(df, "source", ["event_ts"]).toPandas()
+    w = Window.partitionBy("source").orderBy("event_ts")
+    exp = (
+        df.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .toPandas()
+    )
+    key = ["source", "event_ts"]
+    got = got.sort_values(key, ignore_index=True)
+    exp = exp.sort_values(key, ignore_index=True)
+    np.testing.assert_array_equal(got["pos"], exp["pos"])
+    assert set(got.columns) == set(exp.columns)
+
+
+@pytest.mark.parametrize("stride,chunk_rows", [(1, 12), (4, 17), (5, 100), (4, 64)])
+def test_salted_equals_sequential(spark, stride, chunk_rows):
+    from numalogic_spark.operators.windows import sliding_windows_salted
+
+    # sizes hit: many chunks, exactly-one-chunk, shorter-than-seq_len,
+    # boundary landing mid-replication
+    pdf = _multi_series_pdf([157, chunk_rows, 7, chunk_rows + SEQ_LEN - 2])
+    df = spark.createDataFrame(pdf).repartition(8)
+    cols = ["m0", "m1"]
+    seq = _canon(sliding_windows(df, cols, SEQ_LEN, stride).toPandas())
+    sal = _canon(
+        sliding_windows_salted(
+            df, cols, SEQ_LEN, stride, chunk_rows=chunk_rows
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(seq, sal)
+
+
+def test_salted_with_caller_positions(spark):
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.windows import sliding_windows_salted
+
+    # post-gapfill regular grid: position is pure arithmetic, no rank job
+    pdf = _multi_series_pdf([300])
+    df = spark.createDataFrame(pdf).withColumn(
+        "p",
+        ((F.unix_timestamp("event_ts") - F.unix_timestamp(F.lit("2024-03-01 00:00:00"))) / 30).cast("long"),
+    )
+    seq = _canon(sliding_windows(df, ["m0"], SEQ_LEN, 2).toPandas())
+    sal = _canon(
+        sliding_windows_salted(
+            df, ["m0"], SEQ_LEN, 2, chunk_rows=50, pos_col="p"
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(seq, sal)
+
+
+def test_salted_validation(spark):
+    from numalogic_spark.operators.windows import sliding_windows_salted
+
+    df = spark.createDataFrame(_multi_series_pdf([20]))
+    with pytest.raises(ValueError, match="chunk_rows"):
+        sliding_windows_salted(df, ["m0"], SEQ_LEN, 1, chunk_rows=SEQ_LEN - 1)
+    with pytest.raises(ValueError, match="Stride"):
+        sliding_windows_salted(df, ["m0"], SEQ_LEN, SEQ_LEN, chunk_rows=100)
