@@ -1,11 +1,16 @@
-"""Baseline JPEG (JFIF) decoder — pure numpy + stdlib, no codec libraries.
+"""Baseline + progressive JPEG (JFIF) decoder — pure numpy + stdlib.
 
 Covers the baseline sequential DCT process (ITU-T T.81): DQT/DHT/SOF0/SOS
 marker parsing, byte-stuffed Huffman entropy decoding with DC prediction
 and restart markers, dequantization, 8×8 inverse DCT (orthonormal basis
 matmul), chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, and BT.601
-YCbCr→RGB. Progressive (SOF2) and arithmetic coding are rejected with a
-clear error — baseline is the overwhelmingly dominant profile.
+YCbCr→RGB. Progressive DCT (SOF2, T.81 Annex G) is fully supported:
+spectral-selection scans (Ss..Se bands with EOB-run coding) and
+successive-approximation scans (DC bit refinement, the AC
+correction-bit algorithm of G.1.2.3) accumulate into per-component
+coefficient planes that are dequantized + IDCTed once at EOI.
+Arithmetic coding and the hierarchical/lossless processes are rejected
+with a clear error.
 
 Consumed by operators/multimodal.decode_features for mime image/jpeg; the
 test suite cross-checks against an independent spec-faithful encoder
@@ -152,13 +157,15 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF → (h, w, 3) uint8 RGB (grayscale replicated)."""
+    """Baseline or progressive JFIF → (h, w, 3) uint8 RGB (grayscale
+    replicated)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], HuffTable] = {}
     restart_interval = 0
     frame = None
+    prog = None
     i = 2
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
@@ -192,7 +199,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 nv = sum(bits)
                 huff[(tc, th)] = HuffTable(bits, body[j + 17 : j + 17 + nv])
                 j += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -200,9 +207,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0/1) supported")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0/1) or progressive (SOF2) DCT supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -212,8 +219,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 scan[cid] = (tabs >> 4, tabs & 15)
             data_start = i + 2 + seglen
-            return _decode_scan(payload, data_start, frame, scan, qt, huff, restart_interval)
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            if not frame["progressive"]:
+                return _decode_scan(payload, data_start, frame, scan, qt, huff, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog is None:
+                prog = _init_prog_state(frame)
+            i = _decode_prog_scan(
+                payload, data_start, frame, prog, scan, huff,
+                restart_interval, ss, se, ahal >> 4, ahal & 15,
+            )
+            continue
         i += 2 + seglen
+    if prog is not None:
+        return _finalize_progressive(frame, prog, qt)
     raise ValueError("corrupt JPEG: no SOS segment")
 
 
@@ -289,7 +310,13 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
         spatial = idct2_blocks(freqs.astype(np.float64)) + 128.0
         for (y0, x0, _), sp in zip(blocks[ci], spatial):
             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = sp
-    # upsample each component to full (mcu-padded) resolution, then crop
+    return _planes_to_rgb(planes, comps, hmax, vmax, h, w)
+
+
+def _planes_to_rgb(planes, comps, hmax, vmax, h, w):
+    """Upsample each spatial component plane to full (mcu-padded)
+    resolution, crop to (h, w), and color-convert — shared by the
+    baseline and progressive paths."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -309,3 +336,190 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2) + 0.5, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2) — T.81 Annex G. Coefficients accumulate across
+# scans into per-component zigzag-order planes; dequant + IDCT happen once
+# at EOI. Spectral selection uses EOB-run coding; successive approximation
+# refines one bit per scan (DC: bit OR; AC: the G.1.2.3 correction-bit
+# walk).
+
+
+def _init_prog_state(frame):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    st = {
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "bwpad": [], "bhpad": [], "bw": [], "bh": [], "coef": [],
+    }
+    for c in comps:
+        bwpad, bhpad = mcux * c["h"], mcuy * c["v"]
+        # real (coded-in-non-interleaved-scans) block dims: T.81 A.2.2
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        st["bwpad"].append(bwpad)
+        st["bhpad"].append(bhpad)
+        st["bw"].append(-(-cw // 8))
+        st["bh"].append(-(-ch // 8))
+        st["coef"].append(np.zeros((bhpad * bwpad, 64), dtype=np.int32))
+    return st
+
+
+def _ac_first_block(reader, czz, ss, se, al, tab, eobrun):
+    """One block of a first AC scan (Ah=0): T.81 G.1.2.2 with EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index overflow in progressive scan")
+        czz[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, czz, ss, se, al, tab, eobrun):
+    """One block of an AC refinement scan (Ah>0): T.81 G.1.2.3. Each
+    already-nonzero coefficient in the band consumes one correction bit;
+    newly-nonzero coefficients arrive as ±1 at bit position Al."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(tab)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: refinement magnitude > 1")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if czz[k] != 0:
+                    if reader.read_bit() and (int(czz[k]) & p1) == 0:
+                        czz[k] += p1 if czz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                czz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if czz[k] != 0:
+                if reader.read_bit() and (int(czz[k]) & p1) == 0:
+                    czz[k] += p1 if czz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(payload, start, frame, prog, scan, huff, restart_interval, ss, se, ah, al):
+    """Decode one progressive SOS into the accumulated coefficient planes;
+    returns the payload index of the next marker."""
+    comps = frame["comps"]
+    cid_to_ix = {c["id"]: ix for ix, c in enumerate(comps)}
+    members = [cid_to_ix[cid] for cid in scan]
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("corrupt JPEG: DC scan with Se != 0")
+    if not is_dc and len(members) != 1:
+        raise ValueError("corrupt JPEG: progressive AC scan must cover exactly one component")
+    reader = BitReader(payload, start)
+    pred = [0] * len(comps)
+    eobrun = 0
+
+    def dc_unit(ci, czz):
+        nonlocal eobrun
+        if ah == 0:
+            t = reader.decode_symbol(huff[(0, scan[comps[ci]["id"]][0])])
+            pred[ci] += _extend(reader.receive(t), t)
+            czz[0] = pred[ci] << al
+        elif reader.read_bit():
+            czz[0] = int(czz[0]) | (1 << al)
+
+    def ac_unit(ci, czz):
+        nonlocal eobrun
+        tab = huff[(1, scan[comps[ci]["id"]][1])]
+        if ah == 0:
+            eobrun = _ac_first_block(reader, czz, ss, se, al, tab, eobrun)
+        else:
+            eobrun = _ac_refine_block(reader, czz, ss, se, al, tab, eobrun)
+
+    unit = dc_unit if is_dc else ac_unit
+    count = 0
+    if len(members) > 1:  # interleaved (DC scans only): MCU traversal
+        for my in range(prog["mcuy"]):
+            for mx in range(prog["mcux"]):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.restart()
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                for ci in members:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bidx = (my * c["v"] + by) * prog["bwpad"][ci] + (mx * c["h"] + bx)
+                            unit(ci, prog["coef"][ci][bidx])
+                count += 1
+    else:  # non-interleaved: the component's real blocks, row-major
+        ci = members[0]
+        for by in range(prog["bh"][ci]):
+            for bx in range(prog["bw"][ci]):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.restart()
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                unit(ci, prog["coef"][ci][by * prog["bwpad"][ci] + bx])
+                count += 1
+
+    # skip to the next marker (past any padding bits and stray RSTn)
+    pos = reader.pos
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt != 0x00 and nxt != 0xFF and not (0xD0 <= nxt <= 0xD7):
+                return pos
+        pos += 1
+    return n
+
+
+def _finalize_progressive(frame, prog, qt):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q = np.asarray(qt[c["tq"]], dtype=np.int64)  # zigzag order, as stored
+        vals = prog["coef"][ci].astype(np.int64) * q[None, :]
+        nat = np.zeros_like(vals)
+        nat[:, ZIGZAG] = vals  # de-zigzag every block at once
+        spatial = idct2_blocks(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
+        bhp, bwp = prog["bhpad"][ci], prog["bwpad"][ci]
+        planes.append(
+            spatial.reshape(bhp, bwp, 8, 8).transpose(0, 2, 1, 3).reshape(bhp * 8, bwp * 8)
+        )
+    return _planes_to_rgb(planes, comps, prog["hmax"], prog["vmax"], h, w)

@@ -4,8 +4,10 @@ Image/audio/video are treated as `binary` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched kernels over mapInPandas.
 
 Decode support (pure numpy + stdlib, no codec libraries needed):
-- image/jpeg — baseline sequential JFIF (operators/jpeg.py: huffman +
-  dequant + IDCT + 4:2:0/4:2:2/4:4:4 + restart markers)
+- image/jpeg — baseline sequential AND progressive JFIF
+  (operators/jpeg.py: huffman + dequant + IDCT + 4:2:0/4:2:2/4:4:4 +
+  restart markers; SOF2 spectral-selection/successive-approximation
+  scans per T.81 Annex G)
 - image/png  — 8-bit gray/gray+alpha/palette/RGB/RGBA, all 5 row filters
 - image/ppm  — binary PPM (P6), any maxval ≤ 255
 - image/bmp  — uncompressed 24-bit BITMAPINFOHEADER
@@ -13,9 +15,9 @@ Decode support (pure numpy + stdlib, no codec libraries needed):
 - video/avi  — uncompressed RIFF AVI (raw 24-bit DIB frames) with fused
   every-n frame sampling
 
-Container formats needing real codecs (H.264/MP4, progressive JPEG, ...)
-go through `decode_stub`, which raises NotImplementedError — swap in
-PIL/ffmpeg on a cluster that has them. `extract_features(..., encoder="fake")` keeps a
+Container formats needing real codecs (H.264/MP4, ...) go through
+`decode_stub`, which raises NotImplementedError — swap in PIL/ffmpeg on a
+cluster that has them. `extract_features(..., encoder="fake")` keeps a
 deterministic hash-derived path for plumbing tests that don't care about
 pixels.
 """
@@ -89,10 +91,10 @@ def _fake_features(payloads: pd.Series) -> list[np.ndarray]:
 
 
 def decode_stub(payload: bytes, modality: str):
-    """Codec-bound container decode (H.264/MP4, progressive JPEG, ...)
-    would go here (PIL/torchaudio/ffmpeg) — not available in this
-    environment. Baseline JPEG, PNG and the uncompressed formats decode
-    for real (see the module docstring)."""
+    """Codec-bound container decode (H.264/MP4, ...) would go here
+    (PIL/torchaudio/ffmpeg) — not available in this environment. JPEG
+    (baseline + progressive), PNG and the uncompressed formats decode for
+    real (see the module docstring)."""
     raise NotImplementedError(
         f"media decode for {modality} requires codec libraries not present in this container"
     )

@@ -328,10 +328,329 @@ def test_decoder_exact_on_own_arithmetic():
     assert _psnr(got, img) > 12  # noise is JPEG's worst case
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_lossless_and_garbage():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG1234")
-    # minimal progressive header: SOI + SOF2
-    prog = b"\xff\xd8" + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # minimal lossless header: SOI + SOF3 (progressive SOF2 now decodes)
+    lossless = b"\xff\xd8" + _seg(0xC3, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) encoder — mirrors T.81 Annex G: spectral selection
+# with EOB-run coding and successive approximation (DC bit refinement, AC
+# correction bits). Independent of the decoder; the gate below is exact
+# pixel equality with the baseline decode of the same quantized
+# coefficients (the two processes encode identical coefficient values).
+
+# AC huffman table for progressive scans: Annex K's AC tables lack the
+# EOBn (r<<4|0, r>0) symbols, so tests use a complete-but-inefficient
+# canonical table covering all 256 symbols (255 codes of length 8 + one of
+# length 9 — the all-ones 9-bit code stays unassigned as T.81 requires).
+AC_P = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0], bytes(range(256)))
+
+
+def _quantized_blocks(img, subsample, gray):
+    """Per-component quantized zigzag coefficients on the MCU-padded grid,
+    plus scan geometry. Shares the baseline encoder's color/subsample
+    math so both processes quantize identical values."""
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape[:2]
+    if gray:
+        comps_pix = [img if img.ndim == 2 else img[:, :, 0]]
+        samps = [(1, 1)]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps_pix = [y, cb, cr]
+        if subsample == "420":
+            samps = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "422":
+            samps = [(2, 1), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    coefs, bw_real, bh_real, bw_pad, bh_pad = [], [], [], [], []
+    for cix, ((sh, sv), pix) in enumerate(zip(samps, comps_pix)):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        if (sh, sv) != (hmax, vmax):
+            ry, rx = vmax // sv, hmax // sh
+            src = np.pad(pix, ((0, mcuy * vmax * 8 - h), (0, mcux * hmax * 8 - w)), mode="edge")
+            pix = src.reshape(src.shape[0] // ry, ry, src.shape[1] // rx, rx).mean(axis=(1, 3))
+        else:
+            pix = np.pad(pix, ((0, ph - h), (0, pw - w)), mode="edge")
+        plane = pix[:ph, :pw]
+        q = (QL if cix == 0 else QC).astype(np.float64).reshape(8, 8)
+        blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        freq = dct2_blocks(blocks - 128.0)
+        coef = np.round(freq / q[None, :, :]).astype(np.int64).reshape(-1, 64)
+        coefs.append(coef[:, ZIGZAG])  # zigzag order per block
+        bw_pad.append(pw // 8)
+        bh_pad.append(ph // 8)
+        bw_real.append(-(-(-(-(w * sh) // hmax)) // 8))
+        bh_real.append(-(-(-(-(h * sv) // vmax)) // 8))
+    return {
+        "h": h, "w": w, "samps": samps, "hmax": hmax, "vmax": vmax,
+        "mcux": mcux, "mcuy": mcuy, "coefs": coefs,
+        "bw": bw_real, "bh": bh_real, "bwpad": bw_pad, "bhpad": bh_pad,
+    }
+
+
+def _tzs(v, al):
+    """Point transform for AC coefficients: shift toward zero (G.1.2.2)."""
+    return (abs(int(v)) >> al) * (1 if v >= 0 else -1)
+
+
+class _ProgScanWriter:
+    """Entropy encoder for one progressive scan, with EOB-run buffering,
+    correction-bit buffering, and restart segmentation."""
+
+    def __init__(self, out, ac_tab, restart_interval):
+        self.out = out
+        self.ac = ac_tab
+        self.ri = restart_interval
+        self.bw = _BitWriter()
+        self.eobrun = 0
+        self.bebits = []  # correction bits pending behind the EOB run
+        self.rst = 0
+
+    def emit_eobrun(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            c, l = self.ac[r << 4]
+            self.bw.write(c, l)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            for b in self.bebits:
+                self.bw.write(b, 1)
+            self.bebits = []
+            self.eobrun = 0
+
+    def restart_boundary(self, count):
+        if self.ri and count and count % self.ri == 0:
+            self.emit_eobrun()
+            self.bw.flush()
+            self.out += bytes(self.bw.buf)
+            self.out += bytes([0xFF, 0xD0 + (self.rst % 8)])
+            self.rst += 1
+            self.bw = _BitWriter()
+            return True
+        return False
+
+    def finish(self):
+        self.emit_eobrun()
+        self.bw.flush()
+        self.out += bytes(self.bw.buf)
+
+    def dc_first(self, zz, pred_box, ci, dc_tab, al):
+        v = int(zz[0]) >> al  # arithmetic shift (G.1.2.1)
+        t, raw = _mag(v - pred_box[ci])
+        pred_box[ci] = v
+        c, l = dc_tab[t]
+        self.bw.write(c, l)
+        if t:
+            self.bw.write(raw, t)
+
+    def dc_refine(self, zz, al):
+        self.bw.write((int(zz[0]) >> al) & 1, 1)
+
+    def ac_first(self, zz, ss, se, al):
+        r = 0
+        for k in range(ss, se + 1):
+            t = _tzs(zz[k], al)
+            if t == 0:
+                r += 1
+                continue
+            self.emit_eobrun()
+            while r > 15:
+                c, l = self.ac[0xF0]
+                self.bw.write(c, l)
+                r -= 16
+            s, raw = _mag(t)
+            c, l = self.ac[(r << 4) | s]
+            self.bw.write(c, l)
+            self.bw.write(raw, s)
+            r = 0
+        if r:
+            self.eobrun += 1
+            if self.eobrun == 32767:
+                self.emit_eobrun()
+
+    def ac_refine(self, zz, ss, se, al):
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eobpos = ss - 1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eobpos = ss + i
+        r = 0
+        br = []  # this block's correction bits not yet written
+        for i, k in enumerate(range(ss, se + 1)):
+            t = absv[i]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                self.emit_eobrun()
+                c, l = self.ac[0xF0]
+                self.bw.write(c, l)
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+                r -= 16
+            if t > 1:
+                br.append(t & 1)  # history coefficient: one correction bit
+                continue
+            self.emit_eobrun()
+            c, l = self.ac[(r << 4) | 1]
+            self.bw.write(c, l)
+            self.bw.write(1 if zz[k] > 0 else 0, 1)
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+            r = 0
+        if r or br:
+            self.eobrun += 1
+            self.bebits.extend(br)
+            if self.eobrun == 32767:
+                self.emit_eobrun()
+
+
+def encode_jpeg_progressive(img, subsample="444", gray=False, restart_interval=0, scans=None):
+    """Progressive JPEG encoder (T.81 Annex G), libjpeg-style default scan
+    script. Quantizes identically to encode_jpeg, so a full script decodes
+    to exactly the baseline result."""
+    g = _quantized_blocks(img, subsample, gray)
+    nc = 1 if gray else 3
+    if scans is None:
+        if gray:
+            scans = [
+                ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+            ]
+    out = bytearray(b"\xff\xd8")
+    qts = [QL] if gray else [QL, QC]
+    for tq, q in enumerate(qts):
+        out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in q.reshape(-1)[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, g["h"], g["w"], nc)
+    for cix in range(nc):
+        sh, sv = g["samps"][cix]
+        sof += bytes([cix + 1, (sh << 4) | sv, 0 if cix == 0 else 1])
+    out += _seg(0xC2, sof)
+    tabs = [(0, 0, DC_L), (1, 0, AC_P)] if gray else [
+        (0, 0, DC_L), (0, 1, DC_C), (1, 0, AC_P)]
+    for tc, th, (bits, vals) in tabs:
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    dc_tabs = [_huff_codes(*DC_L)] + [_huff_codes(*DC_C)] * (nc - 1)
+    ac_tab = _huff_codes(*AC_P)
+
+    for members, ss, se, ah, al in scans:
+        sos = bytes([len(members)])
+        for ci in members:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        wtr = _ProgScanWriter(out, ac_tab, restart_interval)
+        pred = [0] * nc
+        count = 0
+        if len(members) > 1:  # interleaved DC scan: MCU traversal
+            for my in range(g["mcuy"]):
+                for mx in range(g["mcux"]):
+                    if wtr.restart_boundary(count):
+                        pred = [0] * nc
+                    for ci in members:
+                        sh, sv = g["samps"][ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                bidx = (my * sv + by) * g["bwpad"][ci] + (mx * sh + bx)
+                                zz = g["coefs"][ci][bidx]
+                                if ah == 0:
+                                    wtr.dc_first(zz, pred, ci, dc_tabs[ci], al)
+                                else:
+                                    wtr.dc_refine(zz, al)
+                    count += 1
+        else:
+            ci = members[0]
+            for by in range(g["bh"][ci]):
+                for bx in range(g["bw"][ci]):
+                    if wtr.restart_boundary(count):
+                        pred = [0] * nc
+                    zz = g["coefs"][ci][by * g["bwpad"][ci] + bx]
+                    if ss == 0:
+                        if ah == 0:
+                            wtr.dc_first(zz, pred, ci, dc_tabs[ci], al)
+                        else:
+                            wtr.dc_refine(zz, al)
+                    elif ah == 0:
+                        wtr.ac_first(zz, ss, se, al)
+                    else:
+                        wtr.ac_refine(zz, ss, se, al)
+                    count += 1
+        wtr.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _smooth_img(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            128 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+            128 + 60 * np.cos(xx / 13.0 + 1),
+            128 + 70 * np.sin((xx + yy) / 11.0),
+        ],
+        axis=2,
+    ).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_progressive_exactly_matches_baseline(subsample):
+    """A full successive-approximation script carries every coefficient
+    bit, so progressive decode must be pixel-identical to baseline decode
+    of the same image (identical quantized coefficients)."""
+    img = _smooth_img(40, 56)
+    base = decode_jpeg(encode_jpeg(img, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsample=subsample))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_noisy_image_exact():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample="444"))
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsample="444"))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_grayscale_with_restarts():
+    yy, xx = np.mgrid[0:24, 0:33]
+    img = (128 + 90 * np.sin(xx / 8.0) * np.cos(yy / 6.0)).clip(0, 255).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, gray=True))
+    prog = decode_jpeg(encode_jpeg_progressive(img, gray=True, restart_interval=3))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_spectral_selection_only():
+    """Al=0 everywhere (no successive approximation): two first scans
+    covering the full spectrum reconstruct the baseline exactly."""
+    img = _smooth_img(17, 25)
+    scans = [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+             ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    base = decode_jpeg(encode_jpeg(img, subsample="444"))
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsample="444", scans=scans))
+    np.testing.assert_array_equal(prog, base)
