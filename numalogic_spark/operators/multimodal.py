@@ -14,10 +14,14 @@ Decode support (pure numpy + stdlib, no codec libraries needed):
 - audio/wav  — RIFF PCM 16-bit
 - video/avi  — uncompressed RIFF AVI (raw 24-bit DIB frames) with fused
   every-n frame sampling
+- video/mp4  — ISO BMFF demux (operators/mp4.py): full sample tables,
+  avcC config, container-level features, and `sample_encoded_frames`
+  (per-frame ENCODED access units + pts + keyframe flags — everything
+  short of the H.264 pixel decode itself)
 
-Container formats needing real codecs (H.264/MP4, ...) go through
-`decode_stub`, which raises NotImplementedError — swap in PIL/ffmpeg on a
-cluster that has them. `extract_features(..., encoder="fake")` keeps a
+The one remaining codec-bound step (H.264/VP9/... pixel decode) goes
+through `decode_stub`, which raises NotImplementedError — swap in
+PIL/ffmpeg on a cluster that has them. `extract_features(..., encoder="fake")` keeps a
 deterministic hash-derived path for plumbing tests that don't care about
 pixels.
 """
@@ -438,6 +442,13 @@ def decode_features(payload: bytes, mime: str) -> np.ndarray:
         return audio_features(*decode_wav_pcm16(bytes(payload)))
     if mime in ("video/avi", "video/x-msvideo"):
         return video_features(*decode_avi_frames(bytes(payload)))
+    if mime == "video/mp4":
+        # container-level features (duration/fps/dims/sample-size stats from
+        # the demuxed ISO BMFF tables) — H.264 pixel decode itself would
+        # need a codec library; see operators/mp4.py
+        from numalogic_spark.operators.mp4 import mp4_container_features
+
+        return mp4_container_features(bytes(payload))
     return decode_stub(bytes(payload), mime)
 
 
@@ -482,3 +493,59 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
         ).alias("frame_ms"),
     )
+
+
+ENCODED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("pts_ms", T.LongType(), False),
+        T.StructField("is_key", T.BooleanType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_encoded_frames(
+    media_df: DataFrame,
+    every_n: int = 1,
+    keyframes_only: bool = False,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Container-level video frame sampling over mapInPandas: each
+    video/mp4 payload is demuxed (operators/mp4.py) and emits one row per
+    selected frame with the ENCODED access unit, pts and keyframe flag —
+    the exact slice a downstream codec/GPU stage needs, without decoding
+    pixels here. Non-mp4 rows are filtered Spark-side so the kernel only
+    ever sees demuxable payloads; parallelism is per-document (a 100-TB
+    corpus has millions of docs per partition-hour, so the fan-out is in
+    the data, not the kernel)."""
+
+    vids = media_df.filter(F.col("meta.mime") == "video/mp4")
+
+    def kernel(batches):
+        from numalogic_spark.operators.mp4 import mp4_frame_samples
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "pts_ms": [],
+                "is_key": [], "codec": [], "frame": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = mp4_frame_samples(
+                    bytes(payload), every_n=every_n,
+                    keyframes_only=keyframes_only, max_frames=max_frames,
+                )
+                n = len(s["frames"])
+                rows["doc_id"].extend([doc_id] * n)
+                rows["frame_idx"].extend(int(i) for i in s["frame_index"])
+                rows["pts_ms"].extend(int(round(t * 1000.0)) for t in s["pts_s"])
+                rows["is_key"].extend(bool(k) for k in s["is_key"])
+                rows["codec"].extend([s["codec"]] * n)
+                rows["frame"].extend(s["frames"])
+            yield pd.DataFrame(rows)
+
+    return vids.mapInPandas(kernel, ENCODED_FRAME_SCHEMA)

@@ -406,3 +406,72 @@ def test_avi_features_flow_through_spark(spark):
     exp = video_features(*decode_avi_frames(payload))
     np.testing.assert_allclose(got, exp, rtol=1e-6)
     assert got[6] > 0  # motion proxy sees the brightness ramp
+
+
+def test_sample_encoded_frames_mp4(spark):
+    """MP4 frame sampling end-to-end through Spark: demux inside
+    mapInPandas, one row per sampled encoded access unit."""
+    from numalogic_spark.operators.multimodal import sample_encoded_frames
+    from tests.test_mp4 import _frames, _mux
+
+    rng = np.random.default_rng(9)
+    payloads = {f"v{i}": _frames(rng) for i in range(3)}
+    rows = [
+        {
+            "doc_id": k,
+            "modality": "video",
+            "payload": _mux(frames),
+            "meta": {"mime": "video/mp4", "width": 64, "height": 48, "duration_ms": 1000},
+        }
+        for k, frames in payloads.items()
+    ]
+    # plus one non-mp4 row that must be filtered out, not crash the kernel
+    rows.append(
+        {
+            "doc_id": "x0",
+            "modality": "image",
+            "payload": b"\x89PNG1234",
+            "meta": {"mime": "image/png", "width": 1, "height": 1, "duration_ms": None},
+        }
+    )
+    from numalogic_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = sample_encoded_frames(media, keyframes_only=True).orderBy("doc_id", "frame_idx").toPandas()
+    assert len(out) == 9  # 3 docs × 3 keyframes
+    assert set(out["doc_id"]) == set(payloads)
+    assert out["is_key"].all()
+    assert (out["codec"] == "avc1").all()
+    for doc_id, grp in out.groupby("doc_id"):
+        frames = payloads[doc_id]
+        got = [bytes(b) for b in grp.sort_values("frame_idx")["frame"]]
+        assert got == [frames[0], frames[4], frames[8]]
+    # pts at timescale 1200: keyframes 0/4/8 → dts 0, 400, 900
+    np.testing.assert_array_equal(
+        sorted(out["pts_ms"].unique()), [0, 333, 750]
+    )
+    # every_n thinning across all frames
+    thin = sample_encoded_frames(media, every_n=5).toPandas()
+    assert len(thin) == 6  # 3 docs × frames {0, 5}
+
+
+def test_mp4_container_features_routing(spark):
+    from numalogic_spark.operators.multimodal import MEDIA_SCHEMA
+    from tests.test_mp4 import _frames, _mux
+
+    rng = np.random.default_rng(10)
+    media = spark.createDataFrame(
+        [
+            {
+                "doc_id": "v0",
+                "modality": "video",
+                "payload": _mux(_frames(rng)),
+                "meta": {"mime": "video/mp4", "width": 64, "height": 48, "duration_ms": 1000},
+            }
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    feats = extract_features(media, encoder="real").toPandas()
+    v = np.asarray(feats["features"][0])
+    assert v.shape == (FEATURE_DIM,)
+    assert v[0] == 10.0 and v[3] == 64.0 and v[4] == 48.0
