@@ -1920,6 +1920,76 @@ def _normalize_sql() -> str:
     return f"SELECT doc_id, trim({cur}) AS normalized FROM documents"
 
 
+_LM_VOCAB = 4000
+
+
+def _q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity per document (add-one smoothing,
+    top-V vocab with deterministic ties, <unk> OOV state, sorted-fold
+    log-prob sum so the double matches DuckDB bit-for-bit)."""
+    from numalogic_spark.operators.lm import bigram_perplexity
+
+    out = bigram_perplexity(_docs(spark, sf_dir), vocab_size=_LM_VOCAB)
+    return out.select("doc_id", _r6("ppl").alias("ppl"), "n_bigrams")
+
+
+def _lm_ppl_sql() -> str:
+    """DuckDB replay of the full bigram-LM pipeline: tokenize, top-V
+    vocabulary (count desc, word asc — same tie-break), OOV mapping via
+    vocab anti-lookup, per-doc bigram multiplicities, corpus model
+    c12/c1 derived from the per-doc counts, and the per-doc log-prob sum
+    folded over the SORTED term list (list_sum∘list_sort ≡ Spark's
+    aggregate∘array_sort — the trigram-entropy discipline)."""
+    from numalogic_spark.operators.lm import UNK
+
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), wc AS (
+  SELECT t.w AS word, count(*) AS c
+  FROM d, unnest(d.ws) AS t(w)
+  GROUP BY 1
+), vocab AS (
+  SELECT word FROM wc ORDER BY c DESC, word ASC LIMIT {_LM_VOCAB}
+), vsz AS (
+  SELECT CAST(count(*) + 1 AS DOUBLE) AS v_sm FROM vocab
+), raw AS (
+  SELECT doc_id, ws[g.i] AS w1r, ws[g.i + 1] AS w2r
+  FROM d, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
+), mapped AS (
+  SELECT doc_id,
+         coalesce(v1.word, '{UNK}') AS w1,
+         coalesce(v2.word, '{UNK}') AS w2
+  FROM raw
+  LEFT JOIN vocab v1 ON v1.word = raw.w1r
+  LEFT JOIN vocab v2 ON v2.word = raw.w2r
+), k AS (
+  SELECT doc_id, w1, w2, count(*) AS k FROM mapped GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM k GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+), terms AS (
+  SELECT k.doc_id, k.k,
+         CAST(k.k AS DOUBLE)
+           * (ln(CAST(c12.c12 AS DOUBLE) + 1.0)
+              - ln(CAST(c1.c1 AS DOUBLE) + (SELECT v_sm FROM vsz))) AS term
+  FROM k JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+), agg AS (
+  SELECT doc_id,
+         list_sum(list_sort(list(term))) AS s,
+         CAST(sum(k) AS BIGINT) AS m
+  FROM terms GROUP BY 1
+)
+SELECT dd.doc_id,
+       floor(coalesce(exp(-agg.s / agg.m), 0.0) * 1000000 + 0.5) / 1000000.0 AS ppl,
+       coalesce(agg.m, 0) AS n_bigrams
+FROM (SELECT doc_id FROM documents) dd LEFT JOIN agg USING (doc_id)
+"""
+
+
 def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style PII redaction (email/IPv4/phone, typed placeholders, per-
     category counts); the scrubbed text itself is hash-gated."""
@@ -2445,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii_documents": _q_scrub_pii,
         "boilerplate_lines_documents": _q_boilerplate,
         "normalize_text_documents": _q_normalize,
+        "lm_perplexity_documents": _q_lm_ppl,
     }
 
 
@@ -2506,6 +2577,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii_documents": _scrub_pii_sql(),
         "boilerplate_lines_documents": _BOILER_SQL,
         "normalize_text_documents": _normalize_sql(),
+        "lm_perplexity_documents": _lm_ppl_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -1,0 +1,159 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", 2019): score each document by the
+perplexity of a small LM; very-high-perplexity docs are noise, and
+perplexity buckets drive corpus curation. CCNet uses a KenLM 5-gram; the
+engine implements the same scoring shape with an add-one-smoothed bigram
+model whose training is itself a Spark aggregation, so model fitting
+scales with the corpus instead of being a driver-side artifact.
+
+Scale shape (the 100-TB story):
+- ONE tokenize pass: the word-array frame is persisted and feeds both the
+  vocabulary count and bigram formation (the NB-classifier lesson), then
+  is released as soon as the per-doc bigram counts materialize.
+- Bigrams are formed JVM-side (`transform` over the word array) — no
+  per-word explode+window shuffle; the explode happens at bigram
+  granularity and immediately partial-aggregates into per-doc counts.
+- The vocabulary is collected ONCE as a ≤`vocab_size` literal frame (the
+  NB/BPE discipline — bounded by contract at 50k) and broadcast for OOV
+  mapping, never shuffled.
+- The corpus model (c12/c1) derives from the per-doc counts — no second
+  corpus pass — and is localCheckpointed at model size when
+  `broadcast_model=True` (realized bigrams over a capped vocab; pass
+  False for corpora where distinct bigrams outgrow a broadcast and the
+  scoring join becomes a shuffle join instead).
+- The per-doc log-prob sum folds over a SORTED value array so float
+  addition order is deterministic and the DuckDB oracle replays it
+  exactly (the trigram-entropy discipline).
+- The result is localCheckpointed executor-locally (partitioned, not
+  driver-side) so every cached input can be released eagerly; callers
+  compose filters after scoring, which is the normal CCNet flow.
+
+Reference parity: numalogic has no text LM; this is a training-data
+curation operator in the dedup/textstats family. The `<unk>` sentinel
+assumes the corpus has no literal '<unk>' token (true for the synthetic
+tables; real corpora normalize it away first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNK = "<unk>"
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 20000,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-doc bigram perplexity under an add-one-smoothed LM trained on
+    the same corpus: ppl = exp(-(Σ k·ln p(w2|w1)) / m) over the doc's m
+    bigrams (k = per-doc multiplicity of each distinct bigram), with
+    p(w2|w1) = (c12+1)/(c1 + V+1), OOV words mapped to `<unk>`, and the
+    vocabulary = top-`vocab_size` corpus words by frequency (ties broken
+    by word asc — deterministic across engines). c1 is the left-position
+    count Σ_w2 c12, so the model is fully derivable from bigram counts.
+    Docs with fewer than two words score 0.0.
+
+    Output: (doc_id, ppl, n_bigrams)."""
+    from numalogic_spark.operators.textstats import words_expr
+
+    if not (0 < vocab_size <= 50_000):
+        raise ValueError(f"vocab_size must be in (0, 50000], got {vocab_size}")
+
+    spark = df.sparkSession
+    warr = df.select(F.col(id_col).alias("doc_id"), words_expr(text_col).alias("ws"))
+    warr = warr.persist()
+    try:
+        # top-V vocabulary, collected once as a driver-sized literal frame
+        # (a lazy TakeOrdered subtree would re-run tokenization under every
+        # consumer lineage)
+        vocab_words = [
+            r["word"]
+            for r in warr.select(F.explode("ws").alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("word"))
+            .limit(int(vocab_size))
+            .collect()
+        ]
+        v_sm = float(len(vocab_words) + 1)  # smoothing denominator: vocab + <unk>
+        vocab = spark.createDataFrame([(w,) for w in vocab_words], "word string")
+
+        # bigrams JVM-side: pair array → explode → per-doc raw counts →
+        # OOV-map via two broadcast joins → per-doc mapped counts
+        pairs = F.expr(
+            "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+            "(w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"
+        )
+        bgc = (
+            warr.select("doc_id", F.explode(pairs).alias("p"))
+            .groupBy("doc_id", F.col("p.w1").alias("w1r"), F.col("p.w2").alias("w2r"))
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        v1 = F.broadcast(vocab.withColumnRenamed("word", "w1r").withColumn("in1", F.lit(True)))
+        v2 = F.broadcast(vocab.withColumnRenamed("word", "w2r").withColumn("in2", F.lit(True)))
+        docb = (
+            bgc.join(v1, "w1r", "left")
+            .join(v2, "w2r", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("in1"), F.col("w1r")).otherwise(F.lit(UNK)).alias("w1"),
+                F.when(F.col("in2"), F.col("w2r")).otherwise(F.lit(UNK)).alias("w2"),
+                "k",
+            )
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.sum("k").alias("k"))
+            .persist()
+        )
+        docb.count()  # materialize from the tokenize cache, then drop it
+        warr.unpersist()
+
+        # corpus model from the per-doc counts — no extra corpus pass
+        c12 = docb.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+        model = c12.join(c12.groupBy("w1").agg(F.sum("c12").alias("c1")), "w1")
+        if broadcast_model:
+            model = F.broadcast(model.localCheckpoint(eager=True))
+
+        term = (
+            F.col("k").cast("double")
+            * (
+                F.log(F.col("c12").cast("double") + F.lit(1.0))
+                - F.log(F.col("c1").cast("double") + F.lit(v_sm))
+            )
+        ).alias("term")
+        agg = (
+            docb.join(model, ["w1", "w2"])
+            .select("doc_id", "k", term)
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list("term")),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ).alias("s"),
+                F.sum("k").alias("m"),
+            )
+        )
+        out = (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.exp(-F.col("s") / F.col("m")), F.lit(0.0)).alias("ppl"),
+                F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("n_bigrams"),
+            )
+        )
+        # executor-local checkpoint (partitioned) lets every cache below
+        # release now; the scored frame is what callers filter/bucket on
+        return out.localCheckpoint(eager=True)
+    finally:
+        warr.unpersist()
+        try:
+            docb.unpersist()
+        except NameError:
+            pass
