@@ -1990,6 +1990,214 @@ FROM (SELECT doc_id FROM documents) dd LEFT JOIN agg USING (doc_id)
 """
 
 
+_ACF_LAGS = (1, 2, 3, 6, 12)
+_EVT_WINDOW_SQL = "PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id"
+
+
+def _evt_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as a per-series frame: source=event_type, integral-second
+    ts + event_id ordering (the ewm_smooth ordering discipline)."""
+    return _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        "value",
+    )
+
+
+def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation (statsmodels-style full-mean estimator)
+    at lags 1/2/3/6/12 — decimal raw moments, one sort + one agg."""
+    from numalogic_spark.operators.tsfeatures import acf
+
+    out = acf(_evt_series(spark, sf_dir), lags=_ACF_LAGS)
+    return out.select("source", "lag", "n_used", _r6("acf_value").alias("acf_value"))
+
+
+def _acf_sql() -> str:
+    """DuckDB replay: identical decimal moments (Σx, Σx², Σx·lag_k as
+    DECIMAL(15,6) sums → exact), identical double expression shapes for
+    mean/variance/ACF, UNION ALL unpivot per lag."""
+    lag_cols = ",\n         ".join(
+        f"lag(CAST(value AS DECIMAL(15,6)), {k}) OVER w AS l{k}" for k in _ACF_LAGS
+    )
+    mom_cols = ",\n         ".join(
+        f"count(l{k}) AS nk{k},\n"
+        f"         CAST(sum(xd * l{k}) AS DOUBLE) AS sxl{k},\n"
+        f"         CAST(sum(CASE WHEN l{k} IS NOT NULL THEN xd END) AS DOUBLE) AS sxk{k},\n"
+        f"         CAST(sum(l{k}) AS DOUBLE) AS slk{k}"
+        for k in _ACF_LAGS
+    )
+    mu = "(sx / CAST(n AS DOUBLE))"
+    den = "(sxx - (sx * sx) / CAST(n AS DOUBLE))"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT source, {k} AS lag, nk{k} AS n_used,\n"
+        f"       floor((CASE WHEN {den} > 0.0 AND nk{k} > 0 THEN\n"
+        f"         (sxl{k} - {mu} * (sxk{k} + slk{k}) + CAST(nk{k} AS DOUBLE) * {mu} * {mu}) / {den}\n"
+        f"         ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS acf_value\n"
+        f"FROM m"
+        for k in _ACF_LAGS
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type AS source,
+         CAST(value AS DECIMAL(15,6)) AS xd,
+         {lag_cols}
+  FROM events
+  WINDOW w AS ({_EVT_WINDOW_SQL})
+), m AS (
+  SELECT source,
+         count(*) AS n,
+         CAST(sum(xd) AS DOUBLE) AS sx,
+         CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+         {mom_cols}
+  FROM b GROUP BY 1
+)
+{arms}
+"""
+
+
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM change-point (standardized cumulative sum,
+    earliest argmax of |s|) — running decimal sum, one sort reused."""
+    from numalogic_spark.operators.tsfeatures import cusum_changepoint
+
+    return cusum_changepoint(_evt_series(spark, sf_dir))
+
+
+def _cusum_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+         CAST(sum(CAST(value AS DECIMAL(15,6)))
+              OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run,
+         row_number() OVER w AS pos,
+         CAST(value AS DECIMAL(15,6)) AS xd
+  FROM events
+  WINDOW w AS ({_EVT_WINDOW_SQL})
+), m AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(xd) AS DOUBLE) AS sx,
+         CAST(sum(xd * xd) AS DOUBLE) AS sxx
+  FROM b GROUP BY 1
+), st AS (
+  SELECT source, n, sx / CAST(n AS DOUBLE) AS mu,
+         CASE WHEN (sxx - (sx * sx) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0.0
+              THEN sqrt((sxx - (sx * sx) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+              ELSE 0.0 END AS sd
+  FROM m
+), s AS (
+  SELECT b.source, st.n, b.ts_s, b.event_id, b.pos,
+         CASE WHEN st.sd > 0.0
+              THEN abs((b.run - CAST(b.pos AS DOUBLE) * st.mu) / st.sd)
+              ELSE 0.0 END AS s_abs
+  FROM b JOIN st USING (source)
+)
+SELECT source, n, ts_s AS cp_ts_s, event_id AS cp_event_id, pos AS cp_pos,
+       floor(s_abs * 1000000 + 0.5) / 1000000.0 AS s_abs_max
+FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY s_abs DESC, pos ASC) AS rk FROM s)
+WHERE rk = 1
+"""
+
+
+def _q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window Hampel filter (rolling exact median + MAD outlier
+    flag) — sorted-array medians via JVM HOFs, one sort per series."""
+    from numalogic_spark.operators.tsfeatures import hampel_filter
+
+    return hampel_filter(_evt_series(spark, sf_dir), window=11, n_sigmas=3.0)
+
+
+def _hampel_sql(window: int = 11, n_sigmas: float = 3.0) -> str:
+    # `//` (int div) in DuckDB ≡ Spark's double-div + int-cast truncation;
+    # a bare CAST would ROUND and pick the wrong middle element
+    return f"""
+WITH b AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, value,
+         list_sort(list(value)
+           OVER (w ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)) AS arr
+  FROM events
+  WINDOW w AS ({_EVT_WINDOW_SQL})
+), s AS (
+  SELECT source, ts_s, event_id, value, arr,
+         (arr[(len(arr) + 1) // 2] + arr[(len(arr) + 2) // 2]) / 2.0 AS med
+  FROM b
+), s2 AS (
+  SELECT source, ts_s, event_id, value, med,
+         (d[(len(d) + 1) // 2] + d[(len(d) + 2) // 2]) / 2.0 AS mad
+  FROM (SELECT *, list_sort(list_transform(arr, a -> abs(a - med))) AS d FROM s)
+)
+SELECT source, ts_s, event_id, value,
+       floor(med * 1000000 + 0.5) / 1000000.0 AS med,
+       floor(mad * 1000000 + 0.5) / 1000000.0 AS mad,
+       abs(value - med) > {n_sigmas} * 1.4826 * mad AS is_outlier
+FROM s2
+"""
+
+
+def _q_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (2×24 MA trend, centered phase-
+    mean seasonal, remainder) on the 1h-bucketed event series."""
+    from numalogic_spark.operators.tsfeatures import stl_lite
+
+    hourly = (
+        _evt_series(spark, sf_dir)
+        .groupBy(
+            "source",
+            ((F.col("ts_s") / F.lit(3600)).cast("long") * F.lit(3600)).alias("bucket_s"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(15,6)")).cast("double").alias("_v"))
+        .select("source", "bucket_s", _r6(F.col("_v")).alias("val"))
+    )
+    return stl_lite(hourly, period=24, bucket_seconds=3600)
+
+
+def _stl_sql(period: int = 24) -> str:
+    half = period // 2
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS source,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
+         floor(CAST(sum(CAST(value AS DECIMAL(15,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS val
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT source, bucket_s, val,
+         CASE WHEN lag(vd, {half}) OVER w IS NOT NULL
+                   AND lead(vd, {half}) OVER w IS NOT NULL
+                   AND count(*) OVER (w ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING) = {period + 1}
+              THEN CAST(sum(vd) OVER (w ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+                        - 0.5 * lag(vd, {half}) OVER w
+                        - 0.5 * lead(vd, {half}) OVER w AS DOUBLE) / {float(period)}
+         END AS trend
+  FROM (SELECT *, CAST(val AS DECIMAL(15,6)) AS vd FROM hourly)
+  WINDOW w AS (PARTITION BY source ORDER BY bucket_s)
+), det AS (
+  SELECT source, bucket_s, val, trend,
+         (bucket_s // 3600) % {period} AS phase,
+         CAST(floor((val - trend) * 1000000 + 0.5) / 1000000.0 AS DECIMAL(15,6)) AS dd
+  FROM t WHERE trend IS NOT NULL
+), seas0 AS (
+  SELECT source, phase,
+         CAST(floor((CAST(sum(dd) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5)
+              / 1000000.0 AS DECIMAL(15,6)) AS sr6
+  FROM det GROUP BY 1, 2
+), seas AS (
+  SELECT s.source, s.phase,
+         CAST(s.sr6 AS DOUBLE) - c.c AS seasonal
+  FROM seas0 s
+  JOIN (SELECT source, CAST(sum(sr6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+        FROM seas0 GROUP BY 1) c USING (source)
+)
+SELECT d.source, d.bucket_s, d.val,
+       floor(d.trend * 1000000 + 0.5) / 1000000.0 AS trend,
+       floor(s.seasonal * 1000000 + 0.5) / 1000000.0 AS seasonal,
+       floor((d.val - d.trend - s.seasonal) * 1000000 + 0.5) / 1000000.0 AS remainder
+FROM det d JOIN seas s USING (source, phase)
+"""
+
+
 def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style PII redaction (email/IPv4/phone, typed placeholders, per-
     category counts); the scrubbed text itself is hash-gated."""
@@ -2516,6 +2724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines_documents": _q_boilerplate,
         "normalize_text_documents": _q_normalize,
         "lm_perplexity_documents": _q_lm_ppl,
+        "acf_events": _q_acf,
+        "cusum_changepoint_events": _q_cusum,
+        "hampel_filter_events": _q_hampel,
+        "stl_decompose_events": _q_stl,
     }
 
 
@@ -2578,6 +2790,10 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines_documents": _BOILER_SQL,
         "normalize_text_documents": _normalize_sql(),
         "lm_perplexity_documents": _lm_ppl_sql(),
+        "acf_events": _acf_sql(),
+        "cusum_changepoint_events": _cusum_sql(),
+        "hampel_filter_events": _hampel_sql(),
+        "stl_decompose_events": _stl_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -1,0 +1,334 @@
+"""Per-series time-series feature operators: autocorrelation (ACF),
+CUSUM change-point detection, Hampel (rolling-median/MAD) outlier
+filtering, and a classical-decomposition "STL-lite" (trend / seasonal /
+remainder). These extend the engine's diagnostics family (rollups,
+forecast baselines, EWM) with the standard exploratory statistics an
+anomaly-detection user runs before configuring thresholds — numalogic
+itself leaves them to pandas/statsmodels notebooks (its `tools/`
+aggregators stop at window MAX/MEAN/EXP, numalogic/tools/aggregators.py);
+here they are first-class distributed operators.
+
+Cross-engine exactness (the hash-gate discipline): every statistic is
+built from decimal moments of the RAW values — Σx, Σx², Σx·lag(x) as
+decimal(15,6) sums, order-independent and exact for 2-dp inputs — and
+the means/variances/correlations derive from those scalars with
+identical double expressions on both engines. Where a COMPUTED double
+must be re-aggregated (STL's detrended series), it is first rounded to
+6 dp with the engine-identical `floor(x*1e6+0.5)/1e6` so the decimal
+cast is exact on both sides. decimal(15,6) not (20,6): Spark rounds a
+(20,6)×(20,6) product's scale down to 7 while DuckDB keeps 12
+(forecast.py:199 precedent); (15,6)×(15,6)→(31,12) is exact on both.
+
+Scale shape (the 100-TB story):
+- ACF/CUSUM/Hampel/STL all ride ONE exchange + sort per series window;
+  the per-lag columns, running sums and rolling arrays reuse the same
+  sort. Aggregations are map-side-combinable groupBys on the series key.
+- Per-series sorting parallelism = series cardinality — the same design
+  point as windows.py; for few-series corpora the salted-chunk machinery
+  (windows.salted docstring) applies since lag-k / rolling-L state only
+  crosses chunk boundaries by k (resp. L) rows.
+- STL's seasonal fit is a tiny (source × phase) table joined back via
+  broadcast; no second full shuffle.
+- No Python in the hot path: everything is Catalyst expressions
+  (lag/window sums/sorted-array medians via JVM higher-order functions).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(15,6)"
+
+
+def _r6c(c: Column) -> Column:
+    """floor(x*1e6+0.5)/1e6 — deterministic 6-dp rounding, identical on
+    Spark and DuckDB (HALF_UP vs half-even round() would diverge)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def acf(
+    df: DataFrame,
+    value_col: str = "value",
+    source_col: str = "source",
+    order_cols: Sequence[str] = ("ts_s", "event_id"),
+    lags: Sequence[int] = (1, 2, 3, 6, 12),
+) -> DataFrame:
+    """Per-series autocorrelation at the given lags, statsmodels-style:
+
+        r_k = Σ_{t>k} (x_t - x̄)(x_{t-k} - x̄) / Σ_t (x_t - x̄)²
+
+    with x̄ the FULL-series mean in both factors (the standard ACF
+    estimator, biased-but-consistent denominator over all n). Expanded
+    into raw decimal moments so no computed double is ever re-summed:
+
+        num_k = Σx·lag_k − x̄·(Σ_{T_k}x + Σ_{T_k}lag_k) + n_k·x̄²
+        den   = Σx² − (Σx)²/n
+
+    One window sort produces every lag column; one groupBy produces all
+    moments; a stack() unpivots to (source, lag, n_used, acf_value).
+    Series with zero variance yield acf_value = 0.0 (defined, matching
+    the oracle's guarded division).
+    """
+    lags = sorted(set(int(k) for k in lags))
+    if not lags or lags[0] < 1:
+        raise ValueError(f"lags must be positive ints, got {lags}")
+    w = Window.partitionBy(source_col).orderBy(*[F.col(c) for c in order_cols])
+    x = F.col(value_col)
+    xd = x.cast(_DEC)
+    cols = [F.col(source_col).alias("source"), x.alias("_x"), xd.alias("_xd")]
+    for k in lags:
+        cols.append(F.lag(x, k).over(w).alias(f"_l{k}"))
+    lagged = df.select(*cols)
+
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_xd").cast("double").alias("sx"),
+        F.sum(F.col("_xd") * F.col("_xd")).cast("double").alias("sxx"),
+    ]
+    for k in lags:
+        lk = F.col(f"_l{k}")
+        lkd = lk.cast(_DEC)
+        ok = lk.isNotNull()
+        aggs += [
+            F.sum(F.when(ok, 1).otherwise(0)).alias(f"nk{k}"),
+            F.sum(F.when(ok, F.col("_xd") * lkd)).cast("double").alias(f"sxl{k}"),
+            F.sum(F.when(ok, F.col("_xd"))).cast("double").alias(f"sxk{k}"),
+            F.sum(F.when(ok, lkd)).cast("double").alias(f"slk{k}"),
+        ]
+    m = lagged.groupBy("source").agg(*aggs)
+
+    nd = F.col("n").cast("double")
+    mu = F.col("sx") / nd
+    den = F.col("sxx") - (F.col("sx") * F.col("sx")) / nd
+    acf_cols = []
+    for k in lags:
+        num = (
+            F.col(f"sxl{k}")
+            - mu * (F.col(f"sxk{k}") + F.col(f"slk{k}"))
+            + F.col(f"nk{k}").cast("double") * mu * mu
+        )
+        acf_cols.append(
+            F.when(
+                (den > F.lit(0.0)) & (F.col(f"nk{k}") > 0), num / den
+            ).otherwise(F.lit(0.0)).alias(f"acf{k}")
+        )
+    wide = m.select("source", "n", *[F.col(f"nk{k}") for k in lags], *acf_cols)
+    stack = ", ".join(f"{k}, nk{k}, acf{k}" for k in lags)
+    return wide.selectExpr(
+        "source",
+        f"stack({len(lags)}, {stack}) AS (lag, n_used, acf_value)",
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str = "value",
+    source_col: str = "source",
+    order_cols: Sequence[str] = ("ts_s", "event_id"),
+) -> DataFrame:
+    """Per-series CUSUM change-point: the standardized cumulative sum
+
+        s_t = (S_t - t·x̄) / σ,   S_t = Σ_{i≤t} x_i,   σ = √(den/n)
+
+    peaks (in |s|) where the series mean shifts; the detected
+    change-point is the EARLIEST row attaining max|s_t| (ties broken by
+    the series order). S_t is a running DECIMAL sum (exact,
+    order-independent); x̄ and σ come from the same decimal moments, so
+    s_t is bit-identical across engines. Output: one row per series —
+    (source, n, cp_<order cols...>, cp_pos, s_abs_max).
+
+    Zero-variance series are reported with s_abs_max = 0.0 and the first
+    row as the change-point (the guarded division's fixed point)."""
+    w = Window.partitionBy(source_col).orderBy(*[F.col(c) for c in order_cols])
+    x = F.col(value_col)
+    run = (
+        F.sum(x.cast(_DEC)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+    )
+    pos = F.row_number().over(w)
+    base = df.select(
+        F.col(source_col).alias("source"),
+        *[F.col(c) for c in order_cols],
+        run.alias("_run"),
+        pos.alias("_pos"),
+        x.cast(_DEC).alias("_xd"),
+    )
+    mom = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_xd").cast("double").alias("sx"),
+        F.sum(F.col("_xd") * F.col("_xd")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sx") / nd
+    var = (F.col("sxx") - (F.col("sx") * F.col("sx")) / nd) / nd
+    stats = mom.select(
+        "source", "n", mu.alias("_mu"),
+        F.when(var > F.lit(0.0), F.sqrt(var)).otherwise(F.lit(0.0)).alias("_sd"),
+    )
+    scored = base.join(F.broadcast(stats), "source").select(
+        "source", "n", *order_cols, "_pos",
+        F.when(
+            F.col("_sd") > F.lit(0.0),
+            F.abs(
+                (F.col("_run") - F.col("_pos").cast("double") * F.col("_mu"))
+                / F.col("_sd")
+            ),
+        ).otherwise(F.lit(0.0)).alias("_s_abs"),
+    )
+    pick = Window.partitionBy("source").orderBy(F.desc("_s_abs"), F.asc("_pos"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "source", "n",
+            *[F.col(c).alias(f"cp_{c}") for c in order_cols],
+            F.col("_pos").alias("cp_pos"),
+            _r6c(F.col("_s_abs")).alias("s_abs_max"),
+        )
+    )
+
+
+def _sorted_median(arr: Column) -> Column:
+    """Median of a sorted array: mean of the two middle elements (equal
+    for odd length) — element_at is 1-based on both engines."""
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, ((n + 2) / 2).cast("int"))
+    return (lo + hi) / F.lit(2.0)
+
+
+def hampel_filter(
+    df: DataFrame,
+    value_col: str = "value",
+    source_col: str = "source",
+    order_cols: Sequence[str] = ("ts_s", "event_id"),
+    window: int = 11,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Hampel identifier over a TRAILING window of `window` rows per
+    series: rolling exact median, rolling MAD (median absolute deviation
+    from that median), and the outlier flag
+
+        |x_t - med_t| > n_sigmas · 1.4826 · mad_t
+
+    (1.4826 ≈ 1/Φ⁻¹(3/4), the Gaussian consistency constant). Trailing
+    (not centered) so the same operator is streaming-compatible — the
+    flag at t depends only on rows ≤ t. Medians are computed from the
+    sorted window array with the identical mean-of-middles expression on
+    both engines; inputs are raw values so no double is re-aggregated.
+    Warm-up rows (fewer than `window` rows available) are still scored
+    over the partial window, like pandas `rolling(min_periods=1)`.
+
+    Output: (source, <order cols...>, value, med, mad, is_outlier)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    base = df.select(
+        F.col(source_col).alias("source"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).alias("value"),
+        arr.alias("_arr"),
+    )
+    med = _sorted_median(F.col("_arr"))
+    scored = base.withColumn("med", med).withColumn(
+        "mad",
+        _sorted_median(
+            F.array_sort(
+                F.transform(F.col("_arr"), lambda a: F.abs(a - F.col("med")))
+            )
+        ),
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    return scored.select(
+        "source", *order_cols, "value",
+        _r6c(F.col("med")).alias("med"),
+        _r6c(F.col("mad")).alias("mad"),
+        (dev > F.lit(float(n_sigmas)) * F.lit(1.4826) * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+def stl_lite(
+    bucketed: DataFrame,
+    value_col: str = "val",
+    source_col: str = "source",
+    bucket_col: str = "bucket_s",
+    period: int = 24,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Classical additive decomposition (the moving-average core of STL,
+    without loess robustness passes) on a regular bucketed series:
+
+      trend_t    = 2×p MA: (Σ_{j=-p/2..p/2} x_{t+j} − ½x_{t−p/2} − ½x_{t+p/2}) / p
+      seasonal_φ = mean of (x − trend) per phase φ = (bucket/period) mod p,
+                   centered so Σ_φ seasonal_φ = 0
+      remainder  = x − trend − seasonal
+
+    `period` must be even (the classical 2×p MA); rows whose centered MA
+    window is incomplete (series edges) are dropped, as in
+    statsmodels' `seasonal_decompose`. The detrended doubles are rounded
+    to 6 dp (engine-identical floor rounding) before the decimal seasonal
+    means so every re-aggregation stays exact; the (source × period)
+    seasonal table and its per-source centering are broadcast joins.
+
+    Output: (source, bucket_s, val, trend, seasonal, remainder)."""
+    if period < 2 or period % 2:
+        raise ValueError(f"period must be even and >= 2, got {period}")
+    half = period // 2
+    w = Window.partitionBy(source_col).orderBy(F.col(bucket_col))
+    xd = F.col(value_col).cast(_DEC)
+    full = F.sum(xd).over(w.rowsBetween(-half, half))
+    lo = F.lag(xd, half).over(w)
+    hi = F.lead(xd, half).over(w)
+    cnt = F.count(F.lit(1)).over(w.rowsBetween(-half, half))
+    trend = (
+        (full - F.lit(0.5).cast("decimal(2,1)") * lo
+         - F.lit(0.5).cast("decimal(2,1)") * hi).cast("double")
+        / F.lit(float(period))
+    )
+    t = bucketed.select(
+        F.col(source_col).alias("source"),
+        F.col(bucket_col).alias("bucket_s"),
+        F.col(value_col).alias("val"),
+        F.when(
+            lo.isNotNull() & hi.isNotNull() & (cnt == F.lit(period + 1)), trend
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    phase = (
+        (F.col("bucket_s") / F.lit(bucket_seconds)).cast("long") % F.lit(period)
+    ).alias("phase")
+    det = t.select(
+        "source", "bucket_s", "val", "trend", phase,
+        _r6c(F.col("val") - F.col("trend")).cast(_DEC).alias("_dd"),
+    )
+    seas = det.groupBy("source", "phase").agg(
+        (F.sum("_dd").cast("double") / F.count(F.lit(1)).cast("double")).alias("_sraw")
+    )
+    seas = seas.select(
+        "source", "phase", _r6c(F.col("_sraw")).cast(_DEC).alias("_sr6")
+    )
+    center = seas.groupBy("source").agg(
+        (F.sum("_sr6").cast("double") / F.count(F.lit(1)).cast("double")).alias("_c")
+    )
+    seas = (
+        seas.join(F.broadcast(center), "source")
+        .select(
+            "source", "phase",
+            (F.col("_sr6").cast("double") - F.col("_c")).alias("seasonal"),
+        )
+    )
+    return det.join(F.broadcast(seas), ["source", "phase"]).select(
+        "source", "bucket_s", "val",
+        _r6c(F.col("trend")).alias("trend"),
+        _r6c(F.col("seasonal")).alias("seasonal"),
+        _r6c(F.col("val") - F.col("trend") - F.col("seasonal")).alias("remainder"),
+    )

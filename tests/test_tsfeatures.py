@@ -1,0 +1,199 @@
+"""tsfeatures operators vs independent numpy oracles (statsmodels-style
+ACF, brute-force CUSUM, pandas-free Hampel, classical decomposition)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.operators.tsfeatures import (
+    acf,
+    cusum_changepoint,
+    hampel_filter,
+    stl_lite,
+)
+
+
+def _frame(spark, n=240, n_src=3, seed=7, shift_at=None):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(n_src):
+        base = 10.0 + 2.0 * np.sin(2 * np.pi * np.arange(n) / 24.0)
+        x = base + rng.normal(0, 0.5, n)
+        if shift_at is not None:
+            x[shift_at:] += 4.0
+        x = np.round(x, 2)
+        for i in range(n):
+            rows.append((f"s{s}", i * 60, i, float(x[i])))
+    pdf = pd.DataFrame(rows, columns=["source", "ts_s", "event_id", "value"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _acf_np(x, k):
+    x = np.asarray(x, dtype=float)
+    mu = x.mean()
+    d = x - mu
+    den = (d * d).sum()
+    if den <= 0 or len(x) <= k:
+        return 0.0
+    return float((d[k:] * d[:-k]).sum() / den)
+
+
+def test_acf_matches_numpy(spark):
+    df, pdf = _frame(spark, n=200)
+    got = {
+        (r["source"], r["lag"]): (r["acf_value"], r["n_used"])
+        for r in acf(df, lags=(1, 2, 24)).collect()
+    }
+    for s, g in pdf.groupby("source"):
+        x = g.sort_values(["ts_s", "event_id"])["value"].to_numpy()
+        for k in (1, 2, 24):
+            a, n_used = got[(s, k)]
+            assert n_used == len(x) - k
+            np.testing.assert_allclose(a, _acf_np(x, k), rtol=1e-9, err_msg=f"{s} lag{k}")
+    # seasonal signal: lag-24 autocorrelation beats lag-2
+    for s in ("s0", "s1", "s2"):
+        assert got[(s, 24)][0] > got[(s, 2)][0]
+
+
+def test_acf_constant_series(spark):
+    pdf = pd.DataFrame(
+        [("c", i, i, 5.0) for i in range(10)],
+        columns=["source", "ts_s", "event_id", "value"],
+    )
+    out = acf(spark.createDataFrame(pdf), lags=(1,)).collect()
+    assert out[0]["acf_value"] == 0.0
+
+
+def test_acf_validates_lags(spark):
+    df, _ = _frame(spark, n=10, n_src=1)
+    with pytest.raises(ValueError):
+        acf(df, lags=(0,))
+
+
+def test_cusum_finds_injected_shift(spark):
+    df, pdf = _frame(spark, n=300, shift_at=180)
+    got = {r["source"]: r for r in cusum_changepoint(df).collect()}
+    for s, g in pdf.groupby("source"):
+        x = g.sort_values(["ts_s", "event_id"])["value"].to_numpy()
+        mu, sd = x.mean(), x.std()
+        s_path = np.abs(np.cumsum(x - mu) / sd)
+        want_pos = int(np.argmax(s_path)) + 1
+        r = got[s]
+        assert r["cp_pos"] == want_pos
+        np.testing.assert_allclose(r["s_abs_max"], s_path.max(), atol=1e-6)
+        # the detected change-point is near the injected one
+        assert abs(r["cp_pos"] - 180) <= 3
+        assert r["cp_ts_s"] == (r["cp_pos"] - 1) * 60
+
+
+def test_cusum_constant_series(spark):
+    pdf = pd.DataFrame(
+        [("c", i, i, 5.0) for i in range(8)],
+        columns=["source", "ts_s", "event_id", "value"],
+    )
+    r = cusum_changepoint(spark.createDataFrame(pdf)).collect()[0]
+    assert r["s_abs_max"] == 0.0 and r["cp_pos"] == 1
+
+
+def _hampel_np(x, window, n_sigmas):
+    out = []
+    for t in range(len(x)):
+        win = np.asarray(x[max(0, t - window + 1) : t + 1])
+        sw = np.sort(win)
+        n = len(sw)
+        med = (sw[(n - 1) // 2] + sw[n // 2]) / 2.0
+        dev = np.sort(np.abs(win - med))
+        mad = (dev[(n - 1) // 2] + dev[n // 2]) / 2.0
+        out.append((med, mad, abs(x[t] - med) > n_sigmas * 1.4826 * mad))
+    return out
+
+
+def test_hampel_matches_numpy(spark):
+    df, pdf = _frame(spark, n=120, n_src=2)
+    got = hampel_filter(df, window=11, n_sigmas=3.0).collect()
+    by_key = {(r["source"], r["event_id"]): r for r in got}
+    for s, g in pdf.groupby("source"):
+        x = g.sort_values(["ts_s", "event_id"])["value"].to_list()
+        want = _hampel_np(x, 11, 3.0)
+        for i, (med, mad, flag) in enumerate(want):
+            r = by_key[(s, i)]
+            np.testing.assert_allclose(r["med"], med, atol=1e-6)
+            np.testing.assert_allclose(r["mad"], mad, atol=1e-6)
+            assert r["is_outlier"] == bool(flag), (s, i)
+
+
+def test_hampel_flags_spike(spark):
+    vals = [10.0] * 30
+    vals[17] = 99.0
+    pdf = pd.DataFrame(
+        [("a", i, i, v) for i, v in enumerate(vals)],
+        columns=["source", "ts_s", "event_id", "value"],
+    )
+    got = {r["event_id"]: r for r in hampel_filter(spark.createDataFrame(pdf)).collect()}
+    assert got[17]["is_outlier"]
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
+def _stl_np(x, period):
+    """Classical decomposition: 2×p centered MA trend, phase-mean
+    seasonal (of 6-dp-rounded detrended, matching the engine's decimal
+    discipline), centered."""
+    x = np.asarray(x, dtype=float)
+    half = period // 2
+    n = len(x)
+    trend = np.full(n, np.nan)
+    for t in range(half, n - half):
+        w = x[t - half : t + half + 1]
+        trend[t] = (w.sum() - 0.5 * w[0] - 0.5 * w[-1]) / period
+    det = np.floor((x - trend) * 1e6 + 0.5) / 1e6
+    phases = np.arange(n) % period
+    sraw = np.array([
+        np.nanmean(det[phases == p]) for p in range(period)
+    ])
+    sraw = np.floor(sraw * 1e6 + 0.5) / 1e6
+    seasonal_by_phase = sraw - sraw.mean()
+    seasonal = seasonal_by_phase[phases]
+    return trend, seasonal
+
+
+def test_stl_lite_matches_numpy(spark):
+    n, period = 24 * 8, 24
+    rng = np.random.default_rng(3)
+    x = np.round(
+        50.0
+        + 0.05 * np.arange(n)
+        + 6.0 * np.sin(2 * np.pi * np.arange(n) / period)
+        + rng.normal(0, 0.4, n),
+        2,
+    )
+    pdf = pd.DataFrame(
+        [("m", i * 3600, float(v)) for i, v in enumerate(x)],
+        columns=["source", "bucket_s", "val"],
+    )
+    out = stl_lite(spark.createDataFrame(pdf), period=period).collect()
+    trend, seasonal = _stl_np(x, period)
+    got = {int(r["bucket_s"] // 3600): r for r in out}
+    half = period // 2
+    assert set(got) == set(range(half, n - half))
+    for t in range(half, n - half):
+        r = got[t]
+        np.testing.assert_allclose(r["trend"], trend[t], atol=2e-6)
+        np.testing.assert_allclose(r["seasonal"], seasonal[t], atol=2e-6)
+        np.testing.assert_allclose(
+            r["remainder"], x[t] - trend[t] - seasonal[t], atol=4e-6
+        )
+    # the fitted seasonal recovers the injected sine ordering: phase of the
+    # max seasonal ≈ phase of the sine peak (hour 6)
+    seas_by_phase = {}
+    for t in range(half, n - half):
+        seas_by_phase.setdefault(t % period, got[t]["seasonal"])
+    assert max(seas_by_phase, key=seas_by_phase.get) == 6
+
+
+def test_stl_lite_validates_period(spark):
+    pdf = pd.DataFrame(
+        [("m", i * 3600, 1.0) for i in range(10)],
+        columns=["source", "bucket_s", "val"],
+    )
+    with pytest.raises(ValueError):
+        stl_lite(spark.createDataFrame(pdf), period=5)
