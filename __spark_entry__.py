@@ -1990,6 +1990,23 @@ FROM (SELECT doc_id FROM documents) dd LEFT JOIN agg USING (doc_id)
 """
 
 
+def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus partition over the bigram-LM
+    perplexity (equal-count buckets, lowest-ppl = head)."""
+    from numalogic_spark.operators.lm import perplexity_buckets
+
+    return perplexity_buckets(_q_lm_ppl(spark, sf_dir))
+
+
+def _lm_buckets_sql() -> str:
+    return f"""
+WITH scored AS ({_lm_ppl_sql()})
+SELECT doc_id, ppl, n_bigrams,
+       (['head', 'middle', 'tail'])[ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC)] AS bucket
+FROM scored
+"""
+
+
 _ACF_LAGS = (1, 2, 3, 6, 12)
 _EVT_WINDOW_SQL = "PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id"
 
@@ -2724,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines_documents": _q_boilerplate,
         "normalize_text_documents": _q_normalize,
         "lm_perplexity_documents": _q_lm_ppl,
+        "lm_ppl_buckets_documents": _q_lm_buckets,
         "acf_events": _q_acf,
         "cusum_changepoint_events": _q_cusum,
         "hampel_filter_events": _q_hampel,
@@ -2790,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines_documents": _BOILER_SQL,
         "normalize_text_documents": _normalize_sql(),
         "lm_perplexity_documents": _lm_ppl_sql(),
+        "lm_ppl_buckets_documents": _lm_buckets_sql(),
         "acf_events": _acf_sql(),
         "cusum_changepoint_events": _cusum_sql(),
         "hampel_filter_events": _hampel_sql(),

@@ -37,10 +37,36 @@ tables; real corpora normalize it away first).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 UNK = "<unk>"
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    ppl_col: str = "ppl",
+    id_col: str = "doc_id",
+    labels: Sequence[str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's corpus partition: equal-count perplexity buckets, lowest
+    perplexity first ("head" is the cleanest third; CCNet trains on
+    head+middle). Deterministic total order (ppl asc, id asc) so the
+    bucket assignment is engine-exact.
+
+    Scale note: ntile is a GLOBAL sort — correct and exact at oracle
+    scale, but at 100 TB the swap is approxQuantile cut points broadcast
+    into a comparison (one pass, no global exchange); only boundary ties
+    move between buckets. The exact form is kept as the gate because the
+    cut-point form's interpolated quantiles are not bit-portable across
+    engines."""
+    n = len(labels)
+    w = Window.orderBy(F.col(ppl_col).asc(), F.col(id_col).asc())
+    tile = F.ntile(n).over(w)
+    label = F.element_at(F.array(*[F.lit(x) for x in labels]), tile)
+    return scored.select(*scored.columns, label.alias("bucket"))
 
 
 def bigram_perplexity(

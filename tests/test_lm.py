@@ -95,6 +95,24 @@ def test_properties(spark):
         assert noncast[d] == got[d]["ppl"], d
 
 
+def test_perplexity_buckets(spark):
+    from numalogic_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    out = perplexity_buckets(bigram_perplexity(df, vocab_size=6)).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # 8 docs -> 3/3/2 equal-count split, lowest ppl first
+    assert [len(by_bucket[b]) for b in ("head", "middle", "tail")] == [3, 3, 2]
+    assert max(r["ppl"] for r in by_bucket["head"]) <= min(
+        r["ppl"] for r in by_bucket["middle"]
+    )
+    assert max(r["ppl"] for r in by_bucket["middle"]) <= min(
+        r["ppl"] for r in by_bucket["tail"]
+    )
+
+
 def test_vocab_size_validation(spark):
     df = spark.createDataFrame(pd.DataFrame(DOCS[:2], columns=["doc_id", "text"]))
     with pytest.raises(ValueError, match="vocab_size"):
