@@ -2154,12 +2154,10 @@ FROM s2
 """
 
 
-def _q_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive decomposition (2×24 MA trend, centered phase-
-    mean seasonal, remainder) on the 1h-bucketed event series."""
-    from numalogic_spark.operators.tsfeatures import stl_lite
-
-    hourly = (
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h-bucketed per-source value sums (decimal-exact, 6-dp output) —
+    the regular-series input for STL / Holt."""
+    return (
         _evt_series(spark, sf_dir)
         .groupBy(
             "source",
@@ -2168,7 +2166,73 @@ def _q_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("value").cast("decimal(15,6)")).cast("double").alias("_v"))
         .select("source", "bucket_s", _r6(F.col("_v")).alias("val"))
     )
-    return stl_lite(hourly, period=24, bucket_seconds=3600)
+
+
+_HOURLY_SQL = """
+  SELECT event_type AS source,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
+         floor(CAST(sum(CAST(value AS DECIMAL(15,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS val
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _q_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (2×24 MA trend, centered phase-
+    mean seasonal, remainder) on the 1h-bucketed event series."""
+    from numalogic_spark.operators.tsfeatures import stl_lite
+
+    return stl_lite(_hourly_series(spark, sf_dir), period=24, bucket_seconds=3600)
+
+
+def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing on the hourly series —
+    sequential level/trend recursion in applyInPandas, 6-dp outputs."""
+    from numalogic_spark.operators.forecast import holt_linear
+
+    out = holt_linear(_hourly_series(spark, sf_dir), alpha=0.5, beta=0.25)
+    return out.select(
+        "source", "bucket_s", "val",
+        _r6("level").alias("level"),
+        _r6("trend").alias("trend"),
+        _r6("fitted").alias("fitted"),
+    )
+
+
+def _holt_sql(alpha: float = 0.5, beta: float = 0.25) -> str:
+    """Recursive-CTE replay of the Holt recursion: one iteration per time
+    step across all series at once, the SAME pre-folded IEEE constants
+    (repr() round-trip) and expression shapes as the python loop, so
+    651 chained double ops land bit-identical."""
+    a, oa = repr(float(alpha)), repr(1.0 - float(alpha))
+    b, ob = repr(float(beta)), repr(1.0 - float(beta))
+    l_new = f"{a} * i.val + {oa} * (r.l + r.b)"
+    return f"""
+WITH RECURSIVE hourly AS ({_HOURLY_SQL}),
+ix AS (
+  SELECT source, bucket_s, val,
+         row_number() OVER w AS pos,
+         count(*) OVER (PARTITION BY source) AS n,
+         lead(val) OVER w AS nxt
+  FROM hourly
+  WINDOW w AS (PARTITION BY source ORDER BY bucket_s)
+),
+rec AS (
+  SELECT source, pos, bucket_s, val,
+         val AS l, nxt - val AS b, CAST(NULL AS DOUBLE) AS fitted
+  FROM ix WHERE pos = 1 AND n >= 2
+  UNION ALL
+  SELECT i.source, i.pos, i.bucket_s, i.val,
+         {l_new} AS l,
+         {b} * (({l_new}) - r.l) + {ob} * r.b AS b,
+         r.l + r.b AS fitted
+  FROM rec r JOIN ix i ON i.source = r.source AND i.pos = r.pos + 1
+)
+SELECT source, bucket_s, val,
+       floor(l * 1000000 + 0.5) / 1000000.0 AS level,
+       floor(b * 1000000 + 0.5) / 1000000.0 AS trend,
+       floor(fitted * 1000000 + 0.5) / 1000000.0 AS fitted
+FROM rec
+"""
 
 
 def _stl_sql(period: int = 24) -> str:
@@ -2746,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint_events": _q_cusum,
         "hampel_filter_events": _q_hampel,
         "stl_decompose_events": _q_stl,
+        "holt_linear_1h_events": _q_holt,
     }
 
 
@@ -2813,6 +2878,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint_events": _cusum_sql(),
         "hampel_filter_events": _hampel_sql(),
         "stl_decompose_events": _stl_sql(),
+        "holt_linear_1h_events": _holt_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -224,3 +224,75 @@ def forecast_metrics(
         F.sqrt(F.col("_sse") / n).alias("rmse"),
         r2.alias("r2"),
     )
+
+
+def holt_linear(
+    bucketed: DataFrame,
+    value_col: str = "val",
+    source_col: str = "source",
+    bucket_col: str = "bucket_s",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per series:
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+        fitted one-step forecast f_t = l_{t-1} + b_{t-1}
+
+    initialized l_1 = x_1, b_1 = x_2 - x_1 (f_1 is NULL); series with
+    fewer than 2 points are dropped. The level/trend recursion extends
+    the engine's forecaster family (Baseline = constant mean,
+    SeasonalNaive = period shift) with the standard trend-following
+    baseline.
+
+    The recursion is genuinely sequential, so it runs as a scalar python
+    loop inside applyInPandas — parallelism = series cardinality (the
+    windows.py design point; series are bounded by their time range, not
+    corpus size, so a 100-TB corpus with many sources stays balanced).
+    The smoothing constants are pre-folded in python (OM_* = 1-α etc.)
+    and every step is a fixed IEEE op sequence, so a SQL recursion
+    emitting the SAME expression text replays it bit-for-bit — that is
+    how the driver oracle gates this operator (recursive CTE, the BPE
+    merge-loop discipline).
+
+    Output: (source, bucket_s, val, level, trend, fitted)."""
+    if not (0.0 < alpha <= 1.0 and 0.0 <= beta <= 1.0):
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1, got {alpha}, {beta}")
+    a, oa = float(alpha), 1.0 - float(alpha)
+    b_, ob = float(beta), 1.0 - float(beta)
+
+    schema = (
+        f"{source_col} string, {bucket_col} long, val double, "
+        "level double, trend double, fitted double"
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col, ignore_index=True)
+        xs = [float(v) for v in pdf[value_col]]
+        if len(xs) < 2:
+            return pd.DataFrame(
+                columns=[source_col, bucket_col, "val", "level", "trend", "fitted"]
+            )
+        lev, tr = xs[0], xs[1] - xs[0]
+        levels, trends, fitted = [lev], [tr], [None]
+        for t in range(1, len(xs)):
+            f = lev + tr
+            l_new = a * xs[t] + oa * (lev + tr)
+            tr = b_ * (l_new - lev) + ob * tr
+            lev = l_new
+            levels.append(lev)
+            trends.append(tr)
+            fitted.append(f)
+        return pd.DataFrame(
+            {
+                source_col: pdf[source_col],
+                bucket_col: pdf[bucket_col],
+                "val": xs,
+                "level": levels,
+                "trend": trends,
+                "fitted": fitted,
+            }
+        )
+
+    return bucketed.groupBy(source_col).applyInPandas(_fit, schema=schema)

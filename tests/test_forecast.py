@@ -126,3 +126,59 @@ def test_r2_constant_column_sklearn_convention():
     y = np.full(10, 5.0)
     np.testing.assert_allclose(_r2_np(y, y.copy()), 1.0)
     np.testing.assert_allclose(_r2_np(y, y + 1.0), 0.0)
+
+
+class TestHoltLinear:
+    def _oracle(self, xs, a=0.5, b=0.25):
+        oa, ob = 1.0 - a, 1.0 - b
+        lev, tr = xs[0], xs[1] - xs[0]
+        rows = [(lev, tr, None)]
+        for t in range(1, len(xs)):
+            f = lev + tr
+            ln = a * xs[t] + oa * (lev + tr)
+            tr = b * (ln - lev) + ob * tr
+            lev = ln
+            rows.append((lev, tr, f))
+        return rows
+
+    def test_matches_python_recursion(self, spark):
+        from numalogic_spark.operators.forecast import holt_linear
+
+        rng = np.random.default_rng(11)
+        rows = []
+        series = {}
+        for s in range(3):
+            xs = np.round(10 + 0.3 * np.arange(50) + rng.normal(0, 1, 50), 2)
+            series[f"s{s}"] = [float(v) for v in xs]
+            rows += [(f"s{s}", i * 3600, float(v)) for i, v in enumerate(xs)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "bucket_s", "val"])
+        )
+        got = holt_linear(df, alpha=0.5, beta=0.25).collect()
+        by = {(r["source"], r["bucket_s"] // 3600): r for r in got}
+        assert len(by) == 150
+        for s, xs in series.items():
+            want = self._oracle(xs)
+            for i, (lev, tr, f) in enumerate(want):
+                r = by[(s, i)]
+                assert r["level"] == lev and r["trend"] == tr, (s, i)
+                assert (r["fitted"] is None) == (f is None)
+                if f is not None:
+                    assert r["fitted"] == f
+        # trend tracks the injected +0.3/step slope once warmed up
+        tail_trends = [by[(s, 49)]["trend"] for s in series]
+        assert all(0.1 < t < 0.5 for t in tail_trends)
+
+    def test_short_series_dropped_and_validation(self, spark):
+        from numalogic_spark.operators.forecast import holt_linear
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [("one", 0, 1.0), ("two", 0, 1.0), ("two", 3600, 2.0)],
+                columns=["source", "bucket_s", "val"],
+            )
+        )
+        out = holt_linear(df).collect()
+        assert {r["source"] for r in out} == {"two"}
+        with pytest.raises(ValueError):
+            holt_linear(df, alpha=0.0)
