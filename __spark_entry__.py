@@ -2007,6 +2007,84 @@ FROM scored
 """
 
 
+_KL_VOCAB = 4000
+_KL_ALPHA = 0.5
+
+
+def _q_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus (smoothed KL and
+    Jensen–Shannon over the top-V vocabulary + <unk>) — the domain-mixture
+    monitor."""
+    from numalogic_spark.operators.tokens import token_distribution_divergence
+
+    out = token_distribution_divergence(
+        _docs(spark, sf_dir), group_col="source",
+        vocab_size=_KL_VOCAB, alpha=_KL_ALPHA,
+    )
+    return out.select(
+        F.col("grp").alias("source"), "n_tokens",
+        _r6("kl").alias("kl"), _r6("js").alias("js"),
+    )
+
+
+def _token_divergence_sql() -> str:
+    from numalogic_spark.operators.lm import UNK
+
+    a = repr(float(_KL_ALPHA))
+    vd = f"({a} * CAST((SELECT vplus FROM vs) AS DOUBLE))"
+    return rf"""
+WITH d AS (
+  SELECT source AS grp,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT grp, t.w AS word FROM d, unnest(d.ws) AS t(w)
+), wc AS (
+  SELECT grp, word, count(*) AS c FROM tok GROUP BY 1, 2
+), corpus AS (
+  SELECT word, sum(c) AS cc FROM wc GROUP BY 1
+), vocab AS (
+  SELECT word FROM corpus ORDER BY cc DESC, word ASC LIMIT {_KL_VOCAB}
+), vs AS (
+  SELECT count(*) + 1 AS vplus FROM vocab
+), folded AS (
+  SELECT grp,
+         CASE WHEN v.word IS NOT NULL THEN wc.word ELSE '{UNK}' END AS w,
+         CAST(sum(c) AS BIGINT) AS c
+  FROM wc LEFT JOIN vocab v USING (word) GROUP BY 1, 2
+), groups AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens FROM folded GROUP BY 1
+), cf AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS cq FROM folded GROUP BY 1
+), states AS (
+  SELECT word FROM vocab UNION ALL SELECT '{UNK}'
+), ncorp AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n FROM folded
+), grid AS (
+  SELECT g.grp, g.n_tokens,
+         (CAST(coalesce(f.c, 0) AS DOUBLE) + {a})
+           / (CAST(g.n_tokens AS DOUBLE) + {vd}) AS p,
+         (CAST(coalesce(cf.cq, 0) AS DOUBLE) + {a})
+           / ((SELECT n FROM ncorp) + {vd}) AS q
+  FROM groups g
+  CROSS JOIN states s
+  LEFT JOIN folded f ON f.grp = g.grp AND f.w = s.word
+  LEFT JOIN cf ON cf.w = s.word
+), terms AS (
+  SELECT grp, n_tokens,
+         p * ln(p / q) AS t_kl,
+         p * ln(p / ((p + q) / 2.0)) AS t_pm,
+         q * ln(q / ((p + q) / 2.0)) AS t_qm
+  FROM grid
+)
+SELECT grp AS source, n_tokens,
+       floor(list_sum(list_sort(list(t_kl))) * 1000000 + 0.5) / 1000000.0 AS kl,
+       floor(((list_sum(list_sort(list(t_pm))) + list_sum(list_sort(list(t_qm)))) / 2.0)
+             * 1000000 + 0.5) / 1000000.0 AS js
+FROM terms GROUP BY 1, 2
+"""
+
+
 _ACF_LAGS = (1, 2, 3, 6, 12)
 _EVT_WINDOW_SQL = "PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id"
 
@@ -2276,6 +2354,53 @@ SELECT d.source, d.bucket_s, d.val,
        floor(s.seasonal * 1000000 + 0.5) / 1000000.0 AS seasonal,
        floor((d.val - d.trend - s.seasonal) * 1000000 + 0.5) / 1000000.0 AS remainder
 FROM det d JOIN seas s USING (source, phase)
+"""
+
+
+def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24h Pearson correlation for every source pair on the
+    hourly grid — the co-movement diagnostic (decimal window moments,
+    parallelism = pairs)."""
+    from numalogic_spark.operators.tsfeatures import rolling_corr
+
+    h = _hourly_series(spark, sf_dir)
+    a = h.select(F.col("source").alias("src_a"), "bucket_s", F.col("val").alias("x"))
+    b = h.select(F.col("source").alias("src_b"), "bucket_s", F.col("val").alias("y"))
+    pairs = a.join(b, "bucket_s").filter(F.col("src_a") < F.col("src_b"))
+    out = rolling_corr(
+        pairs, "x", "y", key_cols=("src_a", "src_b"), order_col="bucket_s", window=24
+    )
+    return out.select(
+        "src_a", "src_b", "bucket_s", "x", "y", _r6("corr").alias("corr")
+    )
+
+
+def _rolling_corr_sql(window: int = 24) -> str:
+    return f"""
+WITH hourly AS ({_HOURLY_SQL}),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.bucket_s,
+         a.val AS x, b.val AS y,
+         CAST(a.val AS DECIMAL(15,6)) AS xd, CAST(b.val AS DECIMAL(15,6)) AS yd
+  FROM hourly a JOIN hourly b USING (bucket_s)
+  WHERE a.source < b.source
+), m AS (
+  SELECT src_a, src_b, bucket_s, x, y,
+         CAST(count(*) OVER w AS DOUBLE) AS n,
+         CAST(sum(xd) OVER w AS DOUBLE) AS sx,
+         CAST(sum(yd) OVER w AS DOUBLE) AS sy,
+         CAST(sum(xd * xd) OVER w AS DOUBLE) AS sxx,
+         CAST(sum(yd * yd) OVER w AS DOUBLE) AS syy,
+         CAST(sum(xd * yd) OVER w AS DOUBLE) AS sxy
+  FROM p
+  WINDOW w AS (PARTITION BY src_a, src_b ORDER BY bucket_s
+               ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT src_a, src_b, bucket_s, x, y,
+       floor((CASE WHEN n > 1.0 AND (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+              THEN (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+              END) * 1000000 + 0.5) / 1000000.0 AS corr
+FROM m
 """
 
 
@@ -2811,6 +2936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel_filter_events": _q_hampel,
         "stl_decompose_events": _q_stl,
         "holt_linear_1h_events": _q_holt,
+        "rolling_corr_pairs_events": _q_rolling_corr,
+        "token_divergence_documents": _q_token_divergence,
     }
 
 
@@ -2879,6 +3006,8 @@ def oracle_sql() -> dict[str, str]:
         "hampel_filter_events": _hampel_sql(),
         "stl_decompose_events": _stl_sql(),
         "holt_linear_1h_events": _holt_sql(),
+        "rolling_corr_pairs_events": _rolling_corr_sql(),
+        "token_divergence_documents": _token_divergence_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

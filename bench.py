@@ -145,7 +145,10 @@ def main() -> None:
                  "embedding_cosine_scores",
                  "simhash_near_dup_documents",
                  "token_frequencies_documents", "sequence_pack_documents",
-                 "bpe_encode_documents", "nb_classify_documents"):
+                 "bpe_encode_documents", "nb_classify_documents",
+                 "lm_perplexity_documents", "acf_events",
+                 "hampel_filter_events", "stl_decompose_events",
+                 "holt_linear_1h_events"):
         fn = E.queries()[name]
         t0 = time.time()
         _noop(fn(spark, SF_DIR))

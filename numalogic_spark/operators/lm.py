@@ -75,6 +75,7 @@ def bigram_perplexity(
     id_col: str = "doc_id",
     vocab_size: int = 20000,
     broadcast_model: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-doc bigram perplexity under an add-one-smoothed LM trained on
     the same corpus: ppl = exp(-(Σ k·ln p(w2|w1)) / m) over the doc's m
@@ -175,8 +176,9 @@ def bigram_perplexity(
             )
         )
         # executor-local checkpoint (partitioned) lets every cache below
-        # release now; the scored frame is what callers filter/bucket on
-        return out.localCheckpoint(eager=True)
+        # release now; the scored frame is what callers filter/bucket on.
+        # checkpoint=False keeps the full lineage visible (plan audits).
+        return out.localCheckpoint(eager=True) if checkpoint else out
     finally:
         warr.unpersist()
         try:

@@ -385,3 +385,122 @@ def pack_greedy_no_split(
         )
     )
     return fixed
+
+
+def token_distribution_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 20000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group token-distribution drift vs the whole corpus: KL(p‖q)
+    and Jensen–Shannon divergence (natural log), where p is the group's
+    add-α-smoothed unigram distribution over the top-`vocab_size` corpus
+    vocabulary (+ an ``<unk>`` OOV state) and q is the corpus-wide
+    distribution smoothed the same way. The standard domain-mixture
+    monitor: "is this source's token profile diverging from the
+    training mix?" — rising JS flags domains to re-weight.
+
+        p_g(w) = (c_g(w) + α) / (n_g + α·V⁺)     (V⁺ = |vocab| + 1)
+        kl_g   = Σ_w p_g ln(p_g / q)
+        js_g   = ½ Σ_w p_g ln(p_g/m) + ½ Σ_w q ln(q/m),  m = (p_g+q)/2
+
+    Scale shape: one tokenize pass; counts partial-aggregate map-side on
+    (group, word); the (group × V⁺) probability grid is built by joining
+    group counts onto the broadcast vocabulary (grid rows bounded by
+    contract: groups × 50k); each divergence is a sorted-fold over the
+    group's term array, so the double sum is engine-exact (the lm.py
+    discipline). Output: (group, n_tokens, kl, js)."""
+    from numalogic_spark.operators.lm import UNK
+    from numalogic_spark.operators.textstats import words_expr
+
+    if not (0 < vocab_size <= 50_000):
+        raise ValueError(f"vocab_size must be in (0, 50000], got {vocab_size}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    a = float(alpha)
+
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(words_expr(text_col)).alias("word"),
+    )
+    wc = toks.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c")).persist()
+    try:
+        corpus = wc.groupBy("word").agg(F.sum("c").alias("cc"))
+        vocab_rows = (
+            corpus.orderBy(F.desc("cc"), F.asc("word")).limit(int(vocab_size)).collect()
+        )
+        vocab_words = {r["word"] for r in vocab_rows}
+        v_states = len(vocab_words) + 1  # + <unk>
+        vocab = spark.createDataFrame(
+            [(w,) for w in sorted(vocab_words)] + [(UNK,)], "word string"
+        )
+
+        # OOV-fold group counts onto the vocab states
+        folded = (
+            wc.join(
+                F.broadcast(vocab.withColumn("inv", F.lit(True))), "word", "left"
+            )
+            .select(
+                "grp",
+                F.when(F.col("inv"), F.col("word")).otherwise(F.lit(UNK)).alias("w"),
+                "c",
+            )
+            .groupBy("grp", "w")
+            .agg(F.sum("c").alias("c"))
+        )
+        groups = folded.groupBy("grp").agg(F.sum("c").alias("n_tokens"))
+        corpus_folded = folded.groupBy("w").agg(F.sum("c").alias("cq"))
+        n_corpus = folded.agg(F.sum("c")).collect()[0][0]
+
+        # full (group × vocab-state) grid so never-seen words still carry
+        # their smoothed mass — bounded at groups × (V+1)
+        grid = (
+            groups.crossJoin(F.broadcast(vocab))
+            .join(folded.withColumnRenamed("w", "word"), ["grp", "word"], "left")
+            .join(
+                F.broadcast(corpus_folded.withColumnRenamed("w", "word")),
+                "word",
+                "left",
+            )
+            .select(
+                "grp",
+                "n_tokens",
+                F.coalesce(F.col("c"), F.lit(0)).alias("cg"),
+                F.coalesce(F.col("cq"), F.lit(0)).alias("cq"),
+            )
+        )
+        p = (F.col("cg").cast("double") + F.lit(a)) / (
+            F.col("n_tokens").cast("double") + F.lit(a) * F.lit(float(v_states))
+        )
+        q = (F.col("cq").cast("double") + F.lit(a)) / (
+            F.lit(float(n_corpus)) + F.lit(a) * F.lit(float(v_states))
+        )
+        m = (p + q) / F.lit(2.0)
+        terms = grid.select(
+            "grp",
+            "n_tokens",
+            (p * F.log(p / q)).alias("t_kl"),
+            (p * F.log(p / m)).alias("t_pm"),
+            (q * F.log(q / m)).alias("t_qm"),
+        )
+
+        def _fold(c: str) -> Column:
+            return F.aggregate(
+                F.array_sort(F.collect_list(F.col(c))),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+
+        out = terms.groupBy("grp", "n_tokens").agg(
+            _fold("t_kl").alias("kl"),
+            ((_fold("t_pm") + _fold("t_qm")) / F.lit(2.0)).alias("js"),
+        )
+        # group-count-sized result; eager checkpoint materializes it off
+        # the wc cache BEFORE the finally releases it (the lm.py
+        # discipline — a lazy return would re-tokenize per consumer)
+        return out.localCheckpoint(eager=True)
+    finally:
+        wc.unpersist()

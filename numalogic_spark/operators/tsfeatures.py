@@ -257,6 +257,58 @@ def hampel_filter(
     )
 
 
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str] = (),
+    order_col: str = "bucket_s",
+    window: int = 24,
+) -> DataFrame:
+    """Rolling Pearson correlation between two aligned metric columns
+    over a trailing window of `window` rows:
+
+        r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    with every Σ a DECIMAL window sum (exact, order-independent) so r is
+    bit-identical across engines. The standard co-movement diagnostic
+    for multi-metric anomaly setups (e.g. "error rate decorrelated from
+    traffic"). Rows with fewer than 2 window rows, or with a
+    zero-variance side, yield NULL. One sort per key; no Python.
+
+    Output: input keys + order + x/y + `corr` (unrounded; callers round
+    for hashing)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+        .orderBy(F.col(order_col))
+        .rowsBetween(-(window - 1), 0)
+    )
+    xd = F.col(x_col).cast(_DEC)
+    yd = F.col(y_col).cast(_DEC)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(xd).over(w).cast("double")
+    sy = F.sum(yd).over(w).cast("double")
+    sxx = F.sum(xd * xd).over(w).cast("double")
+    syy = F.sum(yd * yd).over(w).cast("double")
+    sxy = F.sum(xd * yd).over(w).cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    r = F.when(
+        (n > F.lit(1.0)) & (vx > F.lit(0.0)) & (vy > F.lit(0.0)),
+        num / F.sqrt(vx * vy),
+    )
+    return df.select(
+        *[F.col(c) for c in key_cols],
+        F.col(order_col),
+        F.col(x_col),
+        F.col(y_col),
+        r.alias("corr"),
+    )
+
+
 def stl_lite(
     bucketed: DataFrame,
     value_col: str = "val",

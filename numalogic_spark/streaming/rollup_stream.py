@@ -159,3 +159,93 @@ def streaming_ewm(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HAMPEL_STATE_SCHEMA = T.StructType(
+    [T.StructField("tail", T.ArrayType(T.DoubleType()), True)]
+)
+_HAMPEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("med", T.DoubleType()),
+        T.StructField("mad", T.DoubleType()),
+        T.StructField("is_outlier", T.BooleanType()),
+    ]
+)
+
+
+def streaming_hampel(
+    stream_df: DataFrame,
+    window: int = 11,
+    n_sigmas: float = 3.0,
+    source_col: str = "source",
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming Hampel filter: the trailing-window operator
+    (operators/tsfeatures.hampel_filter) continued across micro-batches.
+    The per-series state is just the last `window-1` values in event-time
+    order — the whole reason the batch operator uses a TRAILING window is
+    that this state is bounded and the flag at t never looks ahead.
+
+    Identical arithmetic to the batch kernel (sorted-window mean-of-
+    middles median/MAD, same constant folding, same floor-1e6 rounding),
+    so batch ≡ stream on the concatenated input (tests/test_streaming.py).
+    Assumes per-series event-time-ordered arrival across micro-batches
+    (the streaming_ewm contract)."""
+    import numpy as np
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    thresh_mult = float(n_sigmas) * 1.4826
+
+    def _r6(x: float) -> float:
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (source,) = key
+        tail = list(state.get[0]) if state.exists else []
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if not len(whole):
+            yield pd.DataFrame(
+                {c.name: pd.Series([], dtype="object") for c in _HAMPEL_OUT_SCHEMA}
+            )
+            return
+        whole = whole.sort_values(ts_col, kind="mergesort")
+        vals = [float(v) for v in whole[value_col]]
+        buf = np.asarray(tail + vals, dtype=float)
+        k = len(tail)
+        meds, mads, flags = [], [], []
+        for i in range(len(vals)):
+            win = buf[max(0, k + i - window + 1) : k + i + 1]
+            sw = np.sort(win)
+            n = len(sw)
+            med = (sw[(n - 1) // 2] + sw[n // 2]) / 2.0
+            dv = np.sort(np.abs(win - med))
+            mad = (dv[(n - 1) // 2] + dv[n // 2]) / 2.0
+            meds.append(_r6(med))
+            mads.append(_r6(mad))
+            flags.append(bool(abs(vals[i] - med) > thresh_mult * mad))
+        state.update(([float(v) for v in buf[-(window - 1) :]],))
+        yield pd.DataFrame(
+            {
+                "source": source,
+                "event_ts": whole[ts_col].to_numpy(),
+                "value": vals,
+                "med": meds,
+                "mad": mads,
+                "is_outlier": flags,
+            }
+        )
+
+    return stream_df.groupBy(source_col).applyInPandasWithState(
+        fn,
+        outputStructType=_HAMPEL_OUT_SCHEMA,
+        stateStructType=_HAMPEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

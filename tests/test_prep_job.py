@@ -102,3 +102,31 @@ def test_stream_job_end_to_end(tmp_path):
         """
     ).fetchone()[0]
     assert mism == 0
+
+
+@pytest.mark.skipif(not os.path.exists(SUBMIT), reason="spark-submit not available")
+def test_diagnostics_job_end_to_end(tmp_path):
+    zip_path = tmp_path / "pkg.zip"
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", str(zip_path), "numalogic_spark"],
+        cwd=REPO, check=True,
+    )
+    out = tmp_path / "diag"
+    r = subprocess.run(
+        [
+            SUBMIT, "--master", "local[4]", "--py-files", str(zip_path),
+            "jobs/diagnostics_job.py",
+            "--input", "/root/testdata/sf0.001/events.parquet",
+            "--output", str(out),
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    rows = summary["rows"]
+    assert set(rows) == {"acf", "cusum", "hampel", "stl", "holt", "rolling_corr"}
+    # per-series shapes: 5 sources, 5 lags; hampel = one row per event
+    assert rows["acf"] == 25
+    assert rows["cusum"] == 5
+    assert rows["hampel"] == 1000
+    assert all(v > 0 for v in rows.values())

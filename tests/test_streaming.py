@@ -360,3 +360,70 @@ def test_streaming_minhash_redelivery_no_duplicate(spark, tmp_path):
     per_band = got.groupby(["id_a", "id_b", "band"]).size()
     assert (per_band == 1).all(), got.to_string()
     assert {("dA", "dZ")} == set(zip(got["id_a"], got["id_b"]))
+
+
+def test_streaming_hampel_matches_batch_kernel(spark, tmp_path):
+    """Stateful streaming Hampel ≡ the batch tsfeatures kernel on the
+    concatenated stream: med/mad/flag identical across micro-batch splits
+    (state = trailing window-1 values)."""
+    import datetime as dt
+
+    from numalogic_spark.operators.tsfeatures import hampel_filter
+    from numalogic_spark.streaming.rollup_stream import streaming_hampel
+
+    rng = np.random.default_rng(23)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for s in range(3):
+        x = np.round(10 + np.cumsum(rng.normal(0, 1, 90)), 2)
+        x[40 + s] += 50.0  # inject one spike per series
+        for i, v in enumerate(x):
+            # strictly increasing per-series ts: no ordering ties between
+            # the batch sort and the kernel's mergesort
+            rows.append((f"s{s}", t0 + dt.timedelta(seconds=10 * i), float(v)))
+    pdf = pd.DataFrame(rows, columns=["source", "event_ts", "value"])
+    schema = "source string, event_ts timestamp, value double"
+
+    d = tmp_path / "hampel_src"
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 3)):
+        spark.createDataFrame(pdf.iloc[chunk], schema).repartition(1).write.parquet(
+            str(d / f"part{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/part*")
+    )
+    q = (
+        streaming_hampel(stream, window=11, n_sigmas=3.0)
+        .writeStream.format("memory")
+        .queryName("hampelq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from hampelq")
+        .toPandas()
+        .sort_values(["source", "event_ts"], ignore_index=True)
+    )
+
+    batch = (
+        hampel_filter(
+            spark.createDataFrame(pdf, schema),
+            order_cols=("event_ts",),
+            window=11,
+            n_sigmas=3.0,
+        )
+        .toPandas()
+        .sort_values(["source", "event_ts"], ignore_index=True)
+    )
+    assert len(got) == len(batch) == len(pdf)
+    assert (got["med"].to_numpy() == batch["med"].to_numpy()).all()
+    assert (got["mad"].to_numpy() == batch["mad"].to_numpy()).all()
+    assert (got["is_outlier"].to_numpy() == batch["is_outlier"].to_numpy()).all()
+    # the injected spikes are flagged
+    flagged = got[got["is_outlier"]]
+    assert len(flagged) >= 3

