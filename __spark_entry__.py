@@ -2111,10 +2111,10 @@ def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _acf_sql() -> str:
     """DuckDB replay: identical decimal moments (Σx, Σx², Σx·lag_k as
-    DECIMAL(15,6) sums → exact), identical double expression shapes for
+    DECIMAL(19,6) sums → exact), identical double expression shapes for
     mean/variance/ACF, UNION ALL unpivot per lag."""
     lag_cols = ",\n         ".join(
-        f"lag(CAST(value AS DECIMAL(15,6)), {k}) OVER w AS l{k}" for k in _ACF_LAGS
+        f"lag(CAST(value AS DECIMAL(19,6)), {k}) OVER w AS l{k}" for k in _ACF_LAGS
     )
     mom_cols = ",\n         ".join(
         f"count(l{k}) AS nk{k},\n"
@@ -2136,7 +2136,7 @@ def _acf_sql() -> str:
     return f"""
 WITH b AS (
   SELECT event_type AS source,
-         CAST(value AS DECIMAL(15,6)) AS xd,
+         CAST(value AS DECIMAL(19,6)) AS xd,
          {lag_cols}
   FROM events
   WINDOW w AS ({_EVT_WINDOW_SQL})
@@ -2165,10 +2165,10 @@ def _cusum_sql() -> str:
 WITH b AS (
   SELECT event_type AS source,
          CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
-         CAST(sum(CAST(value AS DECIMAL(15,6)))
+         CAST(sum(CAST(value AS DECIMAL(19,6)))
               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run,
          row_number() OVER w AS pos,
-         CAST(value AS DECIMAL(15,6)) AS xd
+         CAST(value AS DECIMAL(19,6)) AS xd
   FROM events
   WINDOW w AS ({_EVT_WINDOW_SQL})
 ), m AS (
@@ -2357,6 +2357,89 @@ FROM det d JOIN seas s USING (source, phase)
 """
 
 
+def _q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend on position (slope/intercept/r²) from decimal
+    raw moments — one sort + one agg."""
+    from numalogic_spark.operators.tsfeatures import trend_slope
+
+    out = trend_slope(_evt_series(spark, sf_dir))
+    return out.select(
+        "source", "n",
+        _r6("slope").alias("slope"),
+        _r6("intercept").alias("intercept"),
+        _r6("r2").alias("r2"),
+    )
+
+
+def _trend_slope_sql() -> str:
+    return f"""
+WITH b AS (
+  -- (19,6) not (15,6): DuckDB multiplies (15,6)x(15,6) in scaled INT64
+  -- and overflows near 3e3; widening forces INT128. The VALUES are the
+  -- same exact decimals Spark sums at (15,6), so the doubles agree.
+  SELECT event_type AS source,
+         CAST(row_number() OVER ({_EVT_WINDOW_SQL}) AS DECIMAL(19,6)) AS xd,
+         CAST(value AS DECIMAL(19,6)) AS yd
+  FROM events
+), m AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(xd) AS DOUBLE) AS sx,
+         CAST(sum(yd) AS DOUBLE) AS sy,
+         CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+         CAST(sum(yd * yd) AS DOUBLE) AS syy,
+         CAST(sum(xd * yd) AS DOUBLE) AS sxy
+  FROM b GROUP BY 1
+), s AS (
+  SELECT source, n,
+         CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0.0
+              THEN (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)
+              ELSE 0.0 END AS slope,
+         CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+         sx, sy
+  FROM m
+)
+SELECT source, n,
+       floor(slope * 1000000 + 0.5) / 1000000.0 AS slope,
+       floor(((sy - slope * sx) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS intercept,
+       floor((CASE WHEN vx > 0.0 AND vy > 0.0 THEN (num * num) / (vx * vy) ELSE 0.0 END)
+             * 1000000 + 0.5) / 1000000.0 AS r2
+FROM s
+"""
+
+
+def _q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-robust anomaly flags: STL-lite remainder median/MAD test
+    per series (the non-iterative S-H-ESD core)."""
+    from numalogic_spark.operators.tsfeatures import seasonal_anomalies, stl_lite
+
+    dec = stl_lite(_hourly_series(spark, sf_dir), period=24, bucket_seconds=3600)
+    return seasonal_anomalies(dec, n_sigmas=3.0)
+
+
+def _seasonal_anomalies_sql(n_sigmas: float = 3.0) -> str:
+    return f"""
+WITH dec AS ({_stl_sql()}),
+st AS (
+  SELECT source,
+         (arr[(len(arr) + 1) // 2] + arr[(len(arr) + 2) // 2]) / 2.0 AS rem_med, arr
+  FROM (SELECT source, list_sort(list(remainder)) AS arr FROM dec GROUP BY 1)
+), st2 AS (
+  SELECT source, rem_med,
+         (d[(len(d) + 1) // 2] + d[(len(d) + 2) // 2]) / 2.0 AS rem_mad
+  FROM (SELECT source, rem_med,
+               list_sort(list_transform(arr, a -> abs(a - rem_med))) AS d
+        FROM st)
+)
+SELECT dec.source, dec.bucket_s, dec.val, dec.trend, dec.seasonal, dec.remainder,
+       floor(rem_med * 1000000 + 0.5) / 1000000.0 AS rem_med,
+       floor(rem_mad * 1000000 + 0.5) / 1000000.0 AS rem_mad,
+       abs(dec.remainder - rem_med) > {n_sigmas} * 1.4826 * rem_mad AS is_anomaly
+FROM dec JOIN st2 USING (source)
+"""
+
+
 def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 24h Pearson correlation for every source pair on the
     hourly grid — the co-movement diagnostic (decimal window moments,
@@ -2381,7 +2464,7 @@ WITH hourly AS ({_HOURLY_SQL}),
 p AS (
   SELECT a.source AS src_a, b.source AS src_b, a.bucket_s,
          a.val AS x, b.val AS y,
-         CAST(a.val AS DECIMAL(15,6)) AS xd, CAST(b.val AS DECIMAL(15,6)) AS yd
+         CAST(a.val AS DECIMAL(19,6)) AS xd, CAST(b.val AS DECIMAL(19,6)) AS yd
   FROM hourly a JOIN hourly b USING (bucket_s)
   WHERE a.source < b.source
 ), m AS (
@@ -2938,6 +3021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear_1h_events": _q_holt,
         "rolling_corr_pairs_events": _q_rolling_corr,
         "token_divergence_documents": _q_token_divergence,
+        "trend_slope_events": _q_trend_slope,
+        "seasonal_anomalies_events": _q_seasonal_anomalies,
     }
 
 
@@ -3008,6 +3093,8 @@ def oracle_sql() -> dict[str, str]:
         "holt_linear_1h_events": _holt_sql(),
         "rolling_corr_pairs_events": _rolling_corr_sql(),
         "token_divergence_documents": _token_divergence_sql(),
+        "trend_slope_events": _trend_slope_sql(),
+        "seasonal_anomalies_events": _seasonal_anomalies_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -257,6 +257,104 @@ def hampel_filter(
     )
 
 
+def trend_slope(
+    df: DataFrame,
+    value_col: str = "value",
+    source_col: str = "source",
+    order_cols: Sequence[str] = ("ts_s", "event_id"),
+) -> DataFrame:
+    """Per-series OLS trend: regress the value on its 1-based position,
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    from decimal raw moments (position ≤ 10⁹ and 2-dp values keep every
+    product exact in decimal(15,6)² → (31,12)). Regressing on POSITION
+    rather than the raw epoch keeps the moments inside decimal range and
+    makes the slope "per step", which is what a regular series wants.
+    One sort + one agg per series. Zero-variance series (either side)
+    report slope/r2 = 0.0 and intercept = mean.
+
+    Output: (source, n, slope, intercept, r2)."""
+    w = Window.partitionBy(source_col).orderBy(*[F.col(c) for c in order_cols])
+    pos = F.row_number().over(w).cast(_DEC)
+    yd = F.col(value_col).cast(_DEC)
+    base = df.select(
+        F.col(source_col).alias("source"), pos.alias("xd"), yd.alias("yd")
+    )
+    m = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sxx"),
+        F.sum(F.col("yd") * F.col("yd")).cast("double").alias("syy"),
+        F.sum(F.col("xd") * F.col("yd")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(vx > F.lit(0.0), num / vx).otherwise(F.lit(0.0))
+    return m.select(
+        "source",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+        F.when(
+            (vx > F.lit(0.0)) & (vy > F.lit(0.0)), (num * num) / (vx * vy)
+        ).otherwise(F.lit(0.0)).alias("r2"),
+    )
+
+
+def seasonal_anomalies(
+    decomposed: DataFrame,
+    remainder_col: str = "remainder",
+    source_col: str = "source",
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Seasonal-robust anomaly flags on an STL-lite output: a point is
+    anomalous when its remainder deviates from the series' remainder
+    median by more than n_sigmas·1.4826·MAD — the non-iterative core of
+    S-H-ESD (Twitter's seasonal ESD): decompose seasonality away, then
+    median/MAD-test the residual, so level shifts and seasonal swings
+    don't inflate the threshold the way a mean/stddev test would.
+
+    The per-series median/MAD come from one sorted collect_list
+    (bounded: one element per BUCKET, i.e. by the series' time range,
+    not the corpus size) and join back via broadcast. Remainders are
+    6-dp doubles, so the sorted-array middles are engine-exact.
+
+    Output: input columns + rem_med, rem_mad, is_anomaly."""
+    stats = (
+        decomposed.groupBy(source_col)
+        .agg(F.array_sort(F.collect_list(F.col(remainder_col))).alias("_arr"))
+        .select(
+            source_col,
+            _sorted_median(F.col("_arr")).alias("rem_med"),
+            F.col("_arr").alias("_arr"),
+        )
+        .select(
+            source_col,
+            "rem_med",
+            _sorted_median(
+                F.array_sort(
+                    F.transform(F.col("_arr"), lambda a: F.abs(a - F.col("rem_med")))
+                )
+            ).alias("rem_mad"),
+        )
+    )
+    dev = F.abs(F.col(remainder_col) - F.col("rem_med"))
+    return decomposed.join(F.broadcast(stats), source_col).select(
+        *decomposed.columns,
+        _r6c(F.col("rem_med")).alias("rem_med"),
+        _r6c(F.col("rem_mad")).alias("rem_mad"),
+        (dev > F.lit(float(n_sigmas)) * F.lit(1.4826) * F.col("rem_mad")).alias(
+            "is_anomaly"
+        ),
+    )
+
+
 def rolling_corr(
     df: DataFrame,
     x_col: str,

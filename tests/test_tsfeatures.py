@@ -235,3 +235,67 @@ def test_rolling_corr_constant_side_null(spark):
     assert all(r["corr"] is None for r in out)
     with pytest.raises(ValueError):
         rolling_corr(spark.createDataFrame(pdf), "x", "y", window=1)
+
+
+def test_trend_slope_matches_numpy(spark):
+    from numalogic_spark.operators.tsfeatures import trend_slope
+
+    rng = np.random.default_rng(9)
+    rows = []
+    slopes = {"up": 0.25, "down": -0.4, "flat": 0.0}
+    for s, sl in slopes.items():
+        x = np.round(20 + sl * np.arange(100) + rng.normal(0, 0.5, 100), 2)
+        rows += [(s, i, i, float(v)) for i, v in enumerate(x)]
+    pdf = pd.DataFrame(rows, columns=["source", "ts_s", "event_id", "value"])
+    got = {r["source"]: r for r in trend_slope(spark.createDataFrame(pdf)).collect()}
+    for s in slopes:
+        y = pdf[pdf["source"] == s].sort_values("ts_s")["value"].to_numpy()
+        x = np.arange(1, len(y) + 1, dtype=float)
+        want_slope, want_icept = np.polyfit(x, y, 1)
+        r = got[s]
+        assert r["n"] == 100
+        np.testing.assert_allclose(r["slope"], want_slope, atol=1e-9)
+        np.testing.assert_allclose(r["intercept"], want_icept, atol=1e-8)
+        want_r2 = float(np.corrcoef(x, y)[0, 1] ** 2)
+        np.testing.assert_allclose(r["r2"], want_r2, atol=1e-9)
+    assert got["up"]["slope"] > 0.2 and got["down"]["slope"] < -0.3
+    assert got["flat"]["r2"] < 0.1 < got["up"]["r2"]
+
+
+def test_trend_slope_constant_series(spark):
+    from numalogic_spark.operators.tsfeatures import trend_slope
+
+    pdf = pd.DataFrame(
+        [("c", i, i, 7.5) for i in range(10)],
+        columns=["source", "ts_s", "event_id", "value"],
+    )
+    r = trend_slope(spark.createDataFrame(pdf)).collect()[0]
+    assert r["slope"] == 0.0 and r["r2"] == 0.0
+    np.testing.assert_allclose(r["intercept"], 7.5)
+
+
+def test_seasonal_anomalies_flags_injected(spark):
+    from numalogic_spark.operators.tsfeatures import seasonal_anomalies, stl_lite
+
+    # 30 periods + moderate spikes: classical (mean-based) seasonal fit
+    # smears a spike by spike/n_periods into its phase and spike/period
+    # into neighbor trends — sized here to stay under the 3-sigma MAD
+    # threshold so only the true anomalies flag
+    n, period = 24 * 30, 24
+    rng = np.random.default_rng(13)
+    x = 100 + 10 * np.sin(2 * np.pi * np.arange(n) / period) + rng.normal(0, 0.5, n)
+    spikes = {60: 12.0, 300: -11.0}
+    for t, d in spikes.items():
+        x[t] += d
+    pdf = pd.DataFrame(
+        [("m", i * 3600, float(round(v, 2))) for i, v in enumerate(x)],
+        columns=["source", "bucket_s", "val"],
+    )
+    dec = stl_lite(spark.createDataFrame(pdf), period=period)
+    out = seasonal_anomalies(dec, n_sigmas=3.0).collect()
+    flagged = {int(r["bucket_s"] // 3600) for r in out if r["is_anomaly"]}
+    for t in spikes:
+        assert t in flagged
+    # the +-10 seasonal swing itself is NOT flagged (robust threshold);
+    # tolerate the ~0.3% gaussian tail but nothing systematic
+    assert len(flagged) <= 6
