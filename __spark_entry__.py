@@ -2357,6 +2357,58 @@ FROM det d JOIN seas s USING (source, phase)
 """
 
 
+def _q_series_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-series describe (count/min/quantiles/max/mean/std) via
+    the value-histogram trick — distinct-value state, not row state."""
+    from numalogic_spark.operators.tsfeatures import series_summary
+
+    out = series_summary(_evt_series(spark, sf_dir))
+    qcols = [c for c in out.columns if c.startswith("q")]
+    return out.select(
+        "source", "n", "vmin", *qcols, "vmax",
+        _r6("mean").alias("mean"), _r6("std").alias("std"),
+    )
+
+
+def _series_summary_sql(
+    quantiles=(0.25, 0.5, 0.75, 0.95, 0.99), scale: int = 100
+) -> str:
+    qexprs = ",\n       ".join(
+        f"CAST(min(CASE WHEN cum >= CAST(ceil({float(q)!r} * CAST(n AS DOUBLE)) AS BIGINT)"
+        f" THEN k END) AS DOUBLE) / {float(scale)!r} AS q{int(round(q * 100)):02d}"
+        for q in quantiles
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type AS source,
+         CAST(floor(value * {float(scale)!r} + 0.5) AS BIGINT) AS k,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT source, k, c,
+         sum(c) OVER (PARTITION BY source ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM h
+), m AS (
+  SELECT source,
+       CAST(first(n) AS BIGINT) AS n,
+       CAST(min(k) AS DOUBLE) / {float(scale)!r} AS vmin,
+       {qexprs},
+       CAST(max(k) AS DOUBLE) / {float(scale)!r} AS vmax,
+       CAST(sum(CAST(k AS DECIMAL(18,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS sk,
+       CAST(sum(CAST(k * k AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS skk
+  FROM cum GROUP BY 1
+)
+SELECT source, n, vmin, {', '.join(f"q{int(round(q * 100)):02d}" for q in quantiles)}, vmax,
+       floor(((sk / CAST(n AS DOUBLE)) / {float(scale)!r}) * 1000000 + 0.5) / 1000000.0 AS mean,
+       floor((CASE WHEN (skk - (sk * sk) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0.0
+              THEN sqrt((skk - (sk * sk) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) / {float(scale)!r}
+              ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS std
+FROM m
+"""
+
+
 def _q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend on position (slope/intercept/r²) from decimal
     raw moments — one sort + one agg."""
@@ -3021,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear_1h_events": _q_holt,
         "rolling_corr_pairs_events": _q_rolling_corr,
         "token_divergence_documents": _q_token_divergence,
+        "series_summary_events": _q_series_summary,
         "trend_slope_events": _q_trend_slope,
         "seasonal_anomalies_events": _q_seasonal_anomalies,
     }
@@ -3093,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_linear_1h_events": _holt_sql(),
         "rolling_corr_pairs_events": _rolling_corr_sql(),
         "token_divergence_documents": _token_divergence_sql(),
+        "series_summary_events": _series_summary_sql(),
         "trend_slope_events": _trend_slope_sql(),
         "seasonal_anomalies_events": _seasonal_anomalies_sql(),
     }

@@ -257,6 +257,77 @@ def hampel_filter(
     )
 
 
+def series_summary(
+    df: DataFrame,
+    value_col: str = "value",
+    source_col: str = "source",
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    scale: int = 100,
+) -> DataFrame:
+    """Exact per-series describe — count/min/quantiles/max/mean/std —
+    via the VALUE-HISTOGRAM trick (the rollup-p95 discipline): quantize
+    each value to an integer key (`floor(v·scale + 0.5)`, the identity
+    for inputs with ≤ log10(scale) decimals), aggregate counts per
+    (series, key), and read every statistic off the histogram:
+
+      quantile q = smallest key whose cumulative count ≥ ceil(q·n)
+                   (type-1 / lower quantile — integer logic, engine-exact)
+      mean/std from decimal Σkey·c and Σkey²·c moments
+
+    Unlike sort- or collect-based describes, the state per series is the
+    DISTINCT-VALUE histogram (bounded by value resolution, not row
+    count), so a trillion-row series costs one groupBy + one tiny
+    window. `summary()`/approxQuantile trade exactness for rank error;
+    this is exact at 1/scale resolution.
+
+    Output: (source, n, vmin, q25..., vmax, mean, std)."""
+    qv = F.floor(F.col(value_col) * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    h = df.groupBy(F.col(source_col).alias("source"), qv.alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy("k")
+    cum = h.select(
+        "source", "k", "c",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    # scale-0 decimals: Σk·c and Σk²·c are INTEGER moments — a (38,0)
+    # product can only overflow (it never silently rounds the way
+    # fractional-scale precision capping does), and k²·c ≤ 1e24 ≪ 1e38
+    kd = F.col("k").cast("decimal(18,0)")
+    kkd = (F.col("k") * F.col("k")).cast("decimal(19,0)")
+    cd = F.col("c").cast("decimal(19,0)")
+    nd = F.col("n").cast("double")
+    sc = float(scale)
+    aggs = [
+        F.first("n").alias("n"),
+        (F.min("k").cast("double") / F.lit(sc)).alias("vmin"),
+    ]
+    for q in quantiles:
+        rank = F.ceil(F.lit(float(q)) * nd)
+        name = f"q{int(round(q * 100)):02d}"
+        aggs.append(
+            (
+                F.min(F.when(F.col("cum") >= rank, F.col("k"))).cast("double")
+                / F.lit(sc)
+            ).alias(name)
+        )
+    aggs += [
+        (F.max("k").cast("double") / F.lit(sc)).alias("vmax"),
+        F.sum(kd * cd).cast("double").alias("_sk"),
+        F.sum(kkd * cd).cast("double").alias("_skk"),
+    ]
+    m = cum.groupBy("source").agg(*aggs)
+    nd2 = F.col("n").cast("double")
+    mean = (F.col("_sk") / nd2) / F.lit(sc)
+    var = (F.col("_skk") - (F.col("_sk") * F.col("_sk")) / nd2) / nd2
+    std = F.when(var > F.lit(0.0), F.sqrt(var) / F.lit(sc)).otherwise(F.lit(0.0))
+    keep = [c for c in m.columns if not c.startswith("_")]
+    return m.select(*keep, mean.alias("mean"), std.alias("std"))
+
+
 def trend_slope(
     df: DataFrame,
     value_col: str = "value",

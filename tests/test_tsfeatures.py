@@ -299,3 +299,37 @@ def test_seasonal_anomalies_flags_injected(spark):
     # the +-10 seasonal swing itself is NOT flagged (robust threshold);
     # tolerate the ~0.3% gaussian tail but nothing systematic
     assert len(flagged) <= 6
+
+
+def test_series_summary_matches_numpy(spark):
+    from numalogic_spark.operators.tsfeatures import series_summary
+
+    rng = np.random.default_rng(17)
+    rows = []
+    series = {}
+    for s in range(3):
+        x = np.round(rng.normal(50, 15, 500), 2)
+        series[f"s{s}"] = x
+        rows += [(f"s{s}", i, i, float(v)) for i, v in enumerate(x)]
+    pdf = pd.DataFrame(rows, columns=["source", "ts_s", "event_id", "value"])
+    got = {r["source"]: r for r in series_summary(spark.createDataFrame(pdf)).collect()}
+    for s, x in series.items():
+        r = got[s]
+        assert r["n"] == 500
+        np.testing.assert_allclose(r["vmin"], x.min())
+        np.testing.assert_allclose(r["vmax"], x.max())
+        # type-1 (lower) quantile: smallest value with cum count >= ceil(q*n)
+        xs = np.sort(x)
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"),
+                       (0.95, "q95"), (0.99, "q99")):
+            want = xs[int(np.ceil(q * len(xs))) - 1]
+            np.testing.assert_allclose(r[col], want, err_msg=f"{s} {col}")
+        np.testing.assert_allclose(r["mean"], x.mean(), atol=1e-6)
+        np.testing.assert_allclose(r["std"], x.std(), atol=1e-6)
+    # duplicate-heavy series: histogram state is tiny and quantiles exact
+    dup = pd.DataFrame(
+        [("d", i, i, float(v)) for i, v in enumerate([1.0] * 90 + [9.0] * 10)],
+        columns=["source", "ts_s", "event_id", "value"],
+    )
+    r = series_summary(spark.createDataFrame(dup)).collect()[0]
+    assert r["q50"] == 1.0 and r["q95"] == 9.0 and r["q75"] == 1.0
