@@ -2357,6 +2357,71 @@ FROM det d JOIN seas s USING (source, phase)
 """
 
 
+_PCA_K, _PCA_SAMPLE, _PCA_SEED = 4, 2000, 42
+
+
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto components fitted on a
+    deterministic portable-hash sample (driver-bounded fit, literal
+    components, one JVM fold per PC — the IVF-codebook discipline)."""
+    from numalogic_spark.operators.similarity import pca_project, pca_train
+
+    embs = _embs(spark, sf_dir)
+    comps, mu, _ = pca_train(
+        embs, k=_PCA_K, sample_rows=_PCA_SAMPLE, seed=_PCA_SEED
+    )
+    out = pca_project(embs, comps, mu)
+    return out.select(
+        "vec_id", "label",
+        *[_r6(f"pc{j}").alias(f"pc{j}") for j in range(1, _PCA_K + 1)],
+    )
+
+
+def _pca_sql() -> str:
+    """Replays the exact fit (portable sample order + shared
+    pca_fit_numpy) over the sf0.01 fixture, then projects in SQL with
+    literal components — list_sum is an in-order fold, matching the
+    engine's zip_with/aggregate exactly."""
+    import duckdb
+    import numpy as np
+
+    from numalogic_spark.operators.dedup import MERSENNE31
+    from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
+    from numalogic_spark.operators.similarity import pca_fit_numpy
+
+    rel = duckdb.sql(
+        "SELECT vec_id, embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL"
+    ).fetchall()
+
+    def unit(vid: int) -> float:
+        acc = _PCA_SEED % MERSENNE31
+        for ch in str(vid):
+            acc = (acc * _CHAR_MULT + ord(ch)) % MERSENNE31
+        return ((_SAMPLE_A * acc + _SAMPLE_B) % MERSENNE31) / MERSENNE31
+
+    ordered = sorted(rel, key=lambda r: (unit(r[0]), r[0]))[:_PCA_SAMPLE]
+    x = np.asarray([list(r[1]) for r in ordered], dtype=float)
+    comps, mu, _ = pca_fit_numpy(x, _PCA_K)
+    d = comps.shape[1]
+    cols = []
+    for j, w in enumerate(comps, start=1):
+        bias = 0.0
+        for a, b in zip(mu, w):
+            bias += a * b
+        wlit = "[" + ", ".join(repr(float(v)) for v in w) + "]::DOUBLE[]"
+        cols.append(
+            f"floor((list_sum(list_transform(generate_series(1, {d}), "
+            f"i -> v[i] * ({wlit})[i])) - {bias!r}) * 1000000 + 0.5) / 1000000.0 AS pc{j}"
+        )
+    col_block = ",\n       ".join(cols)
+    return f"""
+SELECT vec_id, label,
+       {col_block}
+FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
 def _q_series_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-series describe (count/min/quantiles/max/mean/std) via
     the value-histogram trick — distinct-value state, not row state."""
@@ -3073,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear_1h_events": _q_holt,
         "rolling_corr_pairs_events": _q_rolling_corr,
         "token_divergence_documents": _q_token_divergence,
+        "pca_project_embeddings": _q_pca_project,
         "series_summary_events": _q_series_summary,
         "trend_slope_events": _q_trend_slope,
         "seasonal_anomalies_events": _q_seasonal_anomalies,
@@ -3163,6 +3229,12 @@ def oracle_sql() -> dict[str, str]:
     # over the sf0.01 fixture and embeds the fitted stats as literals.
     try:
         out["robust_mahalanobis_events"] = _robust_mahalanobis_sql()
+    except Exception:
+        pass
+    # PCA: the oracle generator replays the portable-hash sample + shared
+    # numpy fit (pca_fit_numpy) and embeds components/biases as literals.
+    try:
+        out["pca_project_embeddings"] = _pca_sql()
     except Exception:
         pass
     return out

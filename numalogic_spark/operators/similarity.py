@@ -491,3 +491,81 @@ def centroid_cosine(
         F.col(group_col),
         cosine_expr(v, F.col("_cent").cast("array<double>")).alias("cos_to_centroid"),
     )
+
+
+def pca_fit_numpy(x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic PCA fit shared by the engine and the oracle
+    generator (the kmeans_fit discipline): population covariance of the
+    sample, `eigh` eigendecomposition (symmetric, deterministic for a
+    given numpy build), components ordered by descending eigenvalue with
+    ties broken by eigh's ascending output order, and a fixed sign
+    convention (the largest-|w| coordinate of each component is
+    positive; first index wins ties). Returns (components k×d, mean d,
+    explained_variance_ratio k)."""
+    x = np.asarray(x, dtype=float)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = xc.T @ xc / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    idx = np.argsort(-evals, kind="stable")[: int(k)]
+    comps = evecs[:, idx].T.copy()
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    total = float(evals.sum())
+    ratio = (evals[idx] / total) if total > 0 else np.zeros(len(idx))
+    return comps, mu, ratio
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    sample_rows: int = 2000,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA on a deterministic driver-side sample: rows ordered by the
+    PORTABLE hash of `id_col` (sampling.uniform_hash_unit — an external
+    replayer reproduces the exact sample), capped at `sample_rows` so the
+    driver state is bounded by contract regardless of corpus size (the
+    IVF-codebook recipe: fit on a sample, project the corpus
+    distributedly). Train once and reuse; don't refit per query."""
+    from numalogic_spark.operators.sampling import uniform_hash_unit
+
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .orderBy(uniform_hash_unit(id_col, salt=seed), F.col(id_col))
+        .select(vec_col)
+        .limit(int(sample_rows))
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=float)
+    if x.ndim != 2 or not len(x):
+        raise ValueError("no non-null embeddings to fit PCA")
+    return pca_fit_numpy(x, k)
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project each vector onto the fitted components: score_j =
+    (v − μ)·w_j = v·w_j − (μ·w_j), with the μ·w_j bias folded into a
+    literal so the per-row work is one JVM-side zip_with fold per
+    component — no Python, no shuffle, broadcast-free (the components
+    ride the plan as literals). Adds columns pc1..pck."""
+    comps = np.asarray(components, dtype=float)
+    mu = np.asarray(mean, dtype=float)
+    out = df
+    for j, w in enumerate(comps, start=1):
+        bias = 0.0
+        for a, b in zip(mu, w):  # sequential fold — replayable in SQL
+            bias += a * b
+        out = out.withColumn(
+            f"pc{j}", _dot_const_expr(vec_col, w) - F.lit(float(bias))
+        )
+    return out

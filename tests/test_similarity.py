@@ -369,3 +369,57 @@ def test_centroid_cosine_ragged_vectors_branch_parity(spark):
         S._CENTROID_INLINE_DIMS = 256
     got, exp = exploded.sort_index().to_numpy(), inline.sort_index().to_numpy()
     assert (got == exp).all() or np.allclose(got, exp, atol=0, rtol=0, equal_nan=True)
+
+
+class TestPca:
+    def test_project_matches_numpy_and_properties(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from numalogic_spark.operators.similarity import (
+            pca_fit_numpy,
+            pca_project,
+            pca_train,
+        )
+
+        rng = np.random.default_rng(7)
+        # anisotropic cloud: variance concentrated along two directions
+        basis = rng.normal(size=(8, 8))
+        scales = np.array([10.0, 5.0, 1.0, 0.5, 0.3, 0.2, 0.1, 0.05])
+        x = rng.normal(size=(300, 8)) * scales @ basis
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(300), "embedding": [list(map(float, v)) for v in x]}
+        )
+        df = spark.createDataFrame(pdf)
+        comps, mu, ratio = pca_train(df, k=3, sample_rows=300)
+        # orthonormal components, descending explained variance
+        np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+        assert ratio[0] >= ratio[1] >= ratio[2] > 0
+        # sign convention: max-|w| coordinate positive
+        for w in comps:
+            assert w[int(np.argmax(np.abs(w)))] > 0
+
+        got = (
+            pca_project(df, comps, mu)
+            .select("vec_id", "pc1", "pc2", "pc3")
+            .toPandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        want = (x - mu) @ comps.T
+        for j in range(3):
+            np.testing.assert_allclose(
+                got[f"pc{j + 1}"].to_numpy(), want[:, j], atol=1e-8
+            )
+        # the fit itself is deterministic and matches a direct numpy fit
+        c2, m2, _ = pca_fit_numpy(x, 3)
+        sample_used = pca_train(df, k=3, sample_rows=300)[0]
+        np.testing.assert_allclose(sample_used, c2, atol=0)
+        # projected variance dominated by pc1
+        assert got["pc1"].var() > got["pc2"].var() > got["pc3"].var()
+
+    def test_pca_train_validates_empty(self, spark):
+        from numalogic_spark.operators.similarity import pca_train
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError):
+            pca_train(df)
