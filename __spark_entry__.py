@@ -2474,6 +2474,74 @@ FROM m
 """
 
 
+def _q_pot_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPOT-style extreme-value threshold per series: exact histogram
+    quantile u + closed-form (MoM) GPD fit over the exceedances."""
+    from numalogic_spark.operators.tsfeatures import pot_threshold
+
+    out = pot_threshold(
+        _evt_series(spark, sf_dir), u_quantile=0.95, target_prob=1e-4
+    )
+    return out.select(
+        "source", "n", "u", "n_exceed",
+        _r6("xi").alias("xi"), _r6("sigma").alias("sigma"), _r6("z_q").alias("z_q"),
+    )
+
+
+def _pot_sql(u_quantile: float = 0.95, target_prob: float = 1e-4, scale: int = 100) -> str:
+    uq, p, sc = repr(float(u_quantile)), repr(float(target_prob)), repr(float(scale))
+    fit = """
+  SELECT us.source, us.n, us.u,
+         CAST(coalesce(mom.n_exceed, 0) AS BIGINT) AS n_exceed,
+         se / CAST(mom.n_exceed AS DOUBLE) AS m,
+         (see - (se * se) / CAST(mom.n_exceed AS DOUBLE)) / CAST(mom.n_exceed AS DOUBLE) AS v
+  FROM us LEFT JOIN mom USING (source)
+"""
+    return f"""
+WITH h AS (
+  SELECT event_type AS source,
+         CAST(floor(value * {sc} + 0.5) AS BIGINT) AS k, count(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT source, k, c,
+         sum(c) OVER (PARTITION BY source ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM h
+), us AS (
+  SELECT source, CAST(first(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN cum >= CAST(ceil({uq} * CAST(n AS DOUBLE)) AS BIGINT)
+                  THEN k END) AS DOUBLE) / {sc} AS u
+  FROM cum GROUP BY 1
+), exc AS (
+  SELECT e.event_type AS source, CAST(e.value - us.u AS DECIMAL(19,6)) AS ed
+  FROM events e JOIN us ON us.source = e.event_type
+  WHERE e.value > us.u
+), mom AS (
+  SELECT source, count(*) AS n_exceed,
+         CAST(sum(ed) AS DOUBLE) AS se,
+         CAST(sum(ed * ed) AS DOUBLE) AS see
+  FROM exc GROUP BY 1
+), f AS ({fit}
+), g AS (
+  SELECT source, n, u, n_exceed,
+         0.5 * (1.0 - (m * m) / v) AS xi,
+         0.5 * m * ((m * m) / v + 1.0) AS sigma,
+         ({p} * CAST(n AS DOUBLE)) / CAST(n_exceed AS DOUBLE) AS r,
+         (n_exceed > 1 AND v > 0.0) AS ok, m, v
+  FROM f
+)
+SELECT source, n, u, n_exceed,
+       floor((CASE WHEN ok THEN xi END) * 1000000 + 0.5) / 1000000.0 AS xi,
+       floor((CASE WHEN ok THEN sigma END) * 1000000 + 0.5) / 1000000.0 AS sigma,
+       floor((CASE WHEN ok THEN
+           CASE WHEN abs(xi) < 1e-09 THEN u - sigma * ln(r)
+                ELSE u + (sigma / xi) * (pow(r, -xi) - 1.0) END
+         END) * 1000000 + 0.5) / 1000000.0 AS z_q
+FROM g
+"""
+
+
 def _q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend on position (slope/intercept/r²) from decimal
     raw moments — one sort + one agg."""
@@ -3142,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_summary_events": _q_series_summary,
         "trend_slope_events": _q_trend_slope,
         "seasonal_anomalies_events": _q_seasonal_anomalies,
+        "pot_threshold_events": _q_pot_threshold,
     }
 
 
@@ -3215,6 +3284,7 @@ def oracle_sql() -> dict[str, str]:
         "series_summary_events": _series_summary_sql(),
         "trend_slope_events": _trend_slope_sql(),
         "seasonal_anomalies_events": _seasonal_anomalies_sql(),
+        "pot_threshold_events": _pot_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -328,6 +328,88 @@ def series_summary(
     return m.select(*keep, mean.alias("mean"), std.alias("std"))
 
 
+def pot_threshold(
+    df: DataFrame,
+    value_col: str = "value",
+    source_col: str = "source",
+    u_quantile: float = 0.95,
+    target_prob: float = 1e-4,
+    scale: int = 100,
+) -> DataFrame:
+    """Peaks-over-threshold extreme-value threshold per series (the SPOT
+    recipe, Siffer et al. KDD'17): fit a Generalized Pareto to the
+    exceedances over an initial high quantile u, then extrapolate the
+    anomaly threshold at a far-tail probability no empirical quantile
+    can reach:
+
+        u        = exact type-1 quantile at `u_quantile` (histogram trick)
+        ξ  (MoM) = ½·(1 − m²/v)          m, v: mean/variance of (x − u), x > u
+        σ  (MoM) = ½·m·(m²/v + 1)
+        z_q      = u + (σ/ξ)·((p·n/n_u)^(−ξ) − 1)    [ξ→0: u − σ·ln(p·n/n_u)]
+
+    Method-of-moments instead of MLE keeps the fit a CLOSED FORM over
+    decimal moments — no per-series iteration, one aggregation, and the
+    DuckDB oracle replays it exactly. Exceedances x−u are exact at the
+    input's decimal resolution (both 2-dp), so their decimal moments are
+    exact. Series with no exceedances or zero exceedance variance yield
+    NULL fit columns.
+
+    Output: (source, n, u, n_exceed, xi, sigma, z_q)."""
+    if not (0.0 < u_quantile < 1.0) or not (0.0 < target_prob < 1.0):
+        raise ValueError("u_quantile and target_prob must be in (0, 1)")
+    sc = float(scale)
+    qv = F.floor(F.col(value_col) * F.lit(sc) + F.lit(0.5)).cast("long")
+    h = df.groupBy(F.col(source_col).alias("source"), qv.alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy("k")
+    cum = h.select(
+        "source", "k", "c",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    rank = F.ceil(F.lit(float(u_quantile)) * F.col("n").cast("double"))
+    uk = cum.groupBy("source").agg(
+        F.first("n").alias("n"),
+        F.min(F.when(F.col("cum") >= rank, F.col("k"))).alias("_uk"),
+    )
+    us = uk.select(
+        "source", "n", (F.col("_uk").cast("double") / F.lit(sc)).alias("u")
+    )
+    joined = df.select(
+        F.col(source_col).alias("source"), F.col(value_col).alias("x")
+    ).join(F.broadcast(us), "source")
+    exc = joined.filter(F.col("x") > F.col("u")).select(
+        "source", (F.col("x") - F.col("u")).cast(_DEC).alias("ed")
+    )
+    mom = exc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_exceed"),
+        F.sum("ed").cast("double").alias("se"),
+        F.sum(F.col("ed") * F.col("ed")).cast("double").alias("see"),
+    )
+    out = us.join(mom, "source", "left")
+    ned = F.col("n_exceed").cast("double")
+    m = F.col("se") / ned
+    v = (F.col("see") - (F.col("se") * F.col("se")) / ned) / ned
+    m2v = (m * m) / v
+    xi = F.lit(0.5) * (F.lit(1.0) - m2v)
+    sigma = F.lit(0.5) * m * (m2v + F.lit(1.0))
+    r = (F.lit(float(target_prob)) * F.col("n").cast("double")) / ned
+    zq = F.when(
+        F.abs(xi) < F.lit(1e-9), F.col("u") - sigma * F.log(r)
+    ).otherwise(F.col("u") + (sigma / xi) * (F.pow(r, -xi) - F.lit(1.0)))
+    ok = (F.col("n_exceed") > F.lit(1)) & (v > F.lit(0.0))
+    return out.select(
+        "source", "n", "u",
+        F.coalesce(F.col("n_exceed"), F.lit(0)).alias("n_exceed"),
+        F.when(ok, xi).alias("xi"),
+        F.when(ok, sigma).alias("sigma"),
+        F.when(ok, zq).alias("z_q"),
+    )
+
+
 def trend_slope(
     df: DataFrame,
     value_col: str = "value",

@@ -333,3 +333,59 @@ def test_series_summary_matches_numpy(spark):
     )
     r = series_summary(spark.createDataFrame(dup)).collect()[0]
     assert r["q50"] == 1.0 and r["q95"] == 9.0 and r["q75"] == 1.0
+
+
+def test_pot_threshold_matches_numpy(spark):
+    from numalogic_spark.operators.tsfeatures import pot_threshold
+
+    rng = np.random.default_rng(31)
+    rows = []
+    series = {}
+    for s in range(2):
+        # heavy-ish tail: lognormal
+        x = np.round(np.exp(rng.normal(2, 0.6, 2000)), 2)
+        series[f"s{s}"] = x
+        rows += [(f"s{s}", i, i, float(v)) for i, v in enumerate(x)]
+    pdf = pd.DataFrame(rows, columns=["source", "ts_s", "event_id", "value"])
+    got = {
+        r["source"]: r
+        for r in pot_threshold(
+            spark.createDataFrame(pdf), u_quantile=0.95, target_prob=1e-3
+        ).collect()
+    }
+    for s, x in series.items():
+        xs = np.sort(x)
+        n = len(xs)
+        u = xs[int(np.ceil(0.95 * n)) - 1]
+        e = x[x > u] - u
+        m, v = e.mean(), e.var()
+        m2v = m * m / v
+        xi = 0.5 * (1 - m2v)
+        sigma = 0.5 * m * (m2v + 1)
+        rr = 1e-3 * n / len(e)
+        zq = u + (sigma / xi) * (rr ** (-xi) - 1)
+        r = got[s]
+        assert r["n"] == n and r["u"] == u and r["n_exceed"] == len(e)
+        np.testing.assert_allclose(r["xi"], xi, atol=2e-6)
+        np.testing.assert_allclose(r["sigma"], sigma, atol=2e-6)
+        np.testing.assert_allclose(r["z_q"], zq, atol=1e-4)
+        # the extrapolated threshold sits beyond u and is tail-consistent:
+        # the empirical exceedance probability at z_q is near target
+        assert r["z_q"] > u
+        emp = float((x > r["z_q"]).mean())
+        assert emp <= 0.005
+
+
+def test_pot_threshold_degenerate(spark):
+    from numalogic_spark.operators.tsfeatures import pot_threshold
+
+    pdf = pd.DataFrame(
+        [("c", i, i, 5.0) for i in range(50)],
+        columns=["source", "ts_s", "event_id", "value"],
+    )
+    r = pot_threshold(spark.createDataFrame(pdf)).collect()[0]
+    # constant series: u = max, no exceedances, fit undefined
+    assert r["n_exceed"] == 0
+    assert r["xi"] is None and r["sigma"] is None and r["z_q"] is None
+    with pytest.raises(ValueError):
+        pot_threshold(spark.createDataFrame(pdf), u_quantile=1.5)
