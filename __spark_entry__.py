@@ -2625,6 +2625,51 @@ FROM dec JOIN st2 USING (source)
 """
 
 
+_CCF_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+def _q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation for every source pair on the hourly
+    grid — shift-join (no per-series sort), one join for all lags."""
+    from numalogic_spark.operators.tsfeatures import ccf_pairs
+
+    out = ccf_pairs(_hourly_series(spark, sf_dir), lags=_CCF_LAGS)
+    return out.select("src_a", "src_b", "lag", "n", _r6("ccf").alias("ccf"))
+
+
+def _ccf_sql() -> str:
+    lag_list = ", ".join(str(k) for k in _CCF_LAGS)
+    return f"""
+WITH hourly AS ({_HOURLY_SQL}),
+a AS (
+  SELECT source AS src_a, bucket_s, CAST(val AS DECIMAL(19,6)) AS xd FROM hourly
+), b AS (
+  SELECT source AS src_b, t.k AS lag,
+         bucket_s + CAST(t.k AS BIGINT) * 3600 AS bucket_s,
+         CAST(val AS DECIMAL(19,6)) AS yd
+  FROM hourly, unnest([{lag_list}]) AS t(k)
+), m AS (
+  SELECT src_a, src_b, lag, count(*) AS n,
+         CAST(sum(xd) AS DOUBLE) AS sx,
+         CAST(sum(yd) AS DOUBLE) AS sy,
+         CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+         CAST(sum(yd * yd) AS DOUBLE) AS syy,
+         CAST(sum(xd * yd) AS DOUBLE) AS sxy
+  FROM a JOIN b USING (bucket_s)
+  WHERE src_a < src_b
+  GROUP BY 1, 2, 3
+)
+SELECT src_a, src_b, lag, n,
+       floor((CASE WHEN CAST(n AS DOUBLE) > 1.0
+                        AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0.0
+                        AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0.0
+              THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))
+              END) * 1000000 + 0.5) / 1000000.0 AS ccf
+FROM m
+"""
+
+
 def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 24h Pearson correlation for every source pair on the
     hourly grid — the co-movement diagnostic (decimal window moments,
@@ -3205,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_decompose_events": _q_stl,
         "holt_linear_1h_events": _q_holt,
         "rolling_corr_pairs_events": _q_rolling_corr,
+        "ccf_pairs_events": _q_ccf,
         "token_divergence_documents": _q_token_divergence,
         "pca_project_embeddings": _q_pca_project,
         "series_summary_events": _q_series_summary,
@@ -3280,6 +3326,7 @@ def oracle_sql() -> dict[str, str]:
         "stl_decompose_events": _stl_sql(),
         "holt_linear_1h_events": _holt_sql(),
         "rolling_corr_pairs_events": _rolling_corr_sql(),
+        "ccf_pairs_events": _ccf_sql(),
         "token_divergence_documents": _token_divergence_sql(),
         "series_summary_events": _series_summary_sql(),
         "trend_slope_events": _trend_slope_sql(),

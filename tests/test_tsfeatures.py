@@ -389,3 +389,29 @@ def test_pot_threshold_degenerate(spark):
     assert r["xi"] is None and r["sigma"] is None and r["z_q"] is None
     with pytest.raises(ValueError):
         pot_threshold(spark.createDataFrame(pdf), u_quantile=1.5)
+
+
+def test_ccf_detects_lead_lag(spark):
+    from numalogic_spark.operators.tsfeatures import ccf_pairs
+
+    rng = np.random.default_rng(41)
+    n = 300
+    driver = np.cumsum(rng.normal(0, 1, n + 5))
+    rows = []
+    # "b" follows "a" with a 2-step delay
+    for i in range(n):
+        rows.append(("a", i * 3600, float(round(driver[i + 2], 2))))
+        rows.append(("b", i * 3600, float(round(driver[i] + rng.normal(0, 0.1), 2))))
+    pdf = pd.DataFrame(rows, columns=["source", "bucket_s", "val"])
+    out = ccf_pairs(spark.createDataFrame(pdf), lags=(-3, -2, -1, 0, 1, 2, 3)).collect()
+    got = {r["lag"]: r["ccf"] for r in out}
+    assert set(got) == {-3, -2, -1, 0, 1, 2, 3}
+    # ccf(a, b, k) = corr(a_t, b_{t-k}); b trails a by 2 -> peak at k = -2
+    assert max(got, key=lambda k: got[k]) == -2
+    assert got[-2] > 0.99
+
+    # numeric parity with numpy at the peak
+    a_vals = pdf[pdf.source == "a"].sort_values("bucket_s")["val"].to_numpy()
+    b_vals = pdf[pdf.source == "b"].sort_values("bucket_s")["val"].to_numpy()
+    want = np.corrcoef(a_vals[:-2], b_vals[2:])[0, 1]
+    np.testing.assert_allclose(got[-2], want, atol=1e-6)
