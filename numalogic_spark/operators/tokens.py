@@ -454,6 +454,8 @@ def token_distribution_divergence(
         groups = folded.groupBy("grp").agg(F.sum("c").alias("n_tokens"))
         corpus_folded = folded.groupBy("w").agg(F.sum("c").alias("cq"))
         n_corpus = folded.agg(F.sum("c")).collect()[0][0]
+        if n_corpus is None:
+            raise ValueError("empty corpus: no tokens to fit a distribution on")
 
         # full (group × vocab-state) grid so never-seen words still carry
         # their smoothed mass — bounded at groups × (V+1)
