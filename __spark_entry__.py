@@ -2625,6 +2625,50 @@ FROM dec JOIN st2 USING (source)
 """
 
 
+_PH_DELTA, _PH_LAMBDA = 0.0, 200.0
+
+
+def _q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift test on the hourly series — sequential
+    running-mean recursion in applyInPandas, 6-dp ph output."""
+    from numalogic_spark.operators.tsfeatures import page_hinkley
+
+    out = page_hinkley(
+        _hourly_series(spark, sf_dir), delta=_PH_DELTA, lam=_PH_LAMBDA
+    )
+    return out.select("source", "bucket_s", "val", _r6("ph").alias("ph"), "alarm")
+
+
+def _page_hinkley_sql() -> str:
+    d, lam = repr(float(_PH_DELTA)), repr(float(_PH_LAMBDA))
+    m_new = f"r.m + (i.val - (r.s + i.val) / CAST(i.pos AS DOUBLE) - {d})"
+    return f"""
+WITH RECURSIVE hourly AS ({_HOURLY_SQL}),
+ix AS (
+  SELECT source, bucket_s, val,
+         row_number() OVER (PARTITION BY source ORDER BY bucket_s) AS pos
+  FROM hourly
+),
+rec AS (
+  SELECT source, pos, bucket_s, val,
+         val AS s,
+         (val - val - {d}) AS m,
+         (val - val - {d}) AS mmin
+  FROM ix WHERE pos = 1
+  UNION ALL
+  SELECT i.source, i.pos, i.bucket_s, i.val,
+         r.s + i.val AS s,
+         {m_new} AS m,
+         least(r.mmin, {m_new}) AS mmin
+  FROM rec r JOIN ix i ON i.source = r.source AND i.pos = r.pos + 1
+)
+SELECT source, bucket_s, val,
+       floor((m - mmin) * 1000000 + 0.5) / 1000000.0 AS ph,
+       (m - mmin) > {lam} AS alarm
+FROM rec
+"""
+
+
 _CCF_LAGS = (-3, -2, -1, 0, 1, 2, 3)
 
 
@@ -3251,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear_1h_events": _q_holt,
         "rolling_corr_pairs_events": _q_rolling_corr,
         "ccf_pairs_events": _q_ccf,
+        "page_hinkley_1h_events": _q_page_hinkley,
         "token_divergence_documents": _q_token_divergence,
         "pca_project_embeddings": _q_pca_project,
         "series_summary_events": _q_series_summary,
@@ -3327,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_linear_1h_events": _holt_sql(),
         "rolling_corr_pairs_events": _rolling_corr_sql(),
         "ccf_pairs_events": _ccf_sql(),
+        "page_hinkley_1h_events": _page_hinkley_sql(),
         "token_divergence_documents": _token_divergence_sql(),
         "series_summary_events": _series_summary_sql(),
         "trend_slope_events": _trend_slope_sql(),

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -189,6 +190,64 @@ def cusum_changepoint(
             _r6c(F.col("_s_abs")).alias("s_abs_max"),
         )
     )
+
+
+def page_hinkley(
+    bucketed: DataFrame,
+    value_col: str = "val",
+    source_col: str = "source",
+    order_col: str = "bucket_s",
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Page–Hinkley drift test per series (the online mean-shift
+    detector CUSUM's sibling — Page 1954; the streaming-drift staple in
+    river/MOA): with x̄_t the running mean,
+
+        m_t  = m_{t-1} + (x_t − x̄_t − δ),   m_0 = 0
+        PH_t = m_t − min_{i≤t} m_i,          alarm when PH_t > λ
+
+    Genuinely sequential (the running mean couples every step), so it
+    runs as a scalar python loop in applyInPandas — parallelism = series
+    cardinality, series length bounded by the time range (the Holt
+    design point). Every step is a fixed IEEE op sequence, replayed
+    bit-for-bit by the driver's recursive-CTE oracle.
+
+    Output: (source, <order>, val, ph, alarm)."""
+    d = float(delta)
+    lam = float(lam)
+    schema = (
+        f"{source_col} string, {order_col} long, val double, "
+        "ph double, alarm boolean"
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, ignore_index=True)
+        xs = [float(v) for v in pdf[value_col]]
+        s = 0.0
+        m = 0.0
+        mmin = float("inf")
+        phs, alarms = [], []
+        for i, x in enumerate(xs, start=1):
+            s += x
+            mean = s / i
+            m = m + (x - mean - d)
+            if m < mmin:
+                mmin = m
+            ph = m - mmin
+            phs.append(ph)
+            alarms.append(ph > lam)
+        return pd.DataFrame(
+            {
+                source_col: pdf[source_col],
+                order_col: pdf[order_col],
+                "val": xs,
+                "ph": phs,
+                "alarm": alarms,
+            }
+        )
+
+    return bucketed.groupBy(source_col).applyInPandas(_run, schema=schema)
 
 
 def _sorted_median(arr: Column) -> Column:

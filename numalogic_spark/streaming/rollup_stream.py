@@ -249,3 +249,83 @@ def streaming_hampel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_PH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("m", T.DoubleType()),
+        T.StructField("mmin", T.DoubleType()),
+    ]
+)
+_PH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ph", T.DoubleType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+
+
+def streaming_page_hinkley(
+    stream_df: DataFrame,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    source_col: str = "source",
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming Page–Hinkley drift detector: the batch
+    recursion (operators/tsfeatures.page_hinkley) continued across
+    micro-batches with four scalars of state per series — (n, Σx, m,
+    min m). Identical IEEE op sequence to the batch loop, so batch ≡
+    stream on the concatenated input. Event-time-ordered arrival per
+    series assumed (the streaming_ewm contract)."""
+    d, lam_ = float(delta), float(lam)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (source,) = key
+        if state.exists:
+            n, s, m, mmin = state.get
+        else:
+            n, s, m, mmin = 0, 0.0, 0.0, float("inf")
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if not len(whole):
+            yield pd.DataFrame(
+                {c.name: pd.Series([], dtype="object") for c in _PH_OUT_SCHEMA}
+            )
+            return
+        whole = whole.sort_values(ts_col, kind="mergesort")
+        vals = [float(v) for v in whole[value_col]]
+        phs, alarms = [], []
+        for x in vals:
+            s += x
+            n += 1
+            mean = s / n
+            m = m + (x - mean - d)
+            if m < mmin:
+                mmin = m
+            ph = m - mmin
+            phs.append(ph)
+            alarms.append(ph > lam_)
+        state.update((int(n), float(s), float(m), float(mmin)))
+        yield pd.DataFrame(
+            {
+                "source": source,
+                "event_ts": whole[ts_col].to_numpy(),
+                "value": vals,
+                "ph": phs,
+                "alarm": alarms,
+            }
+        )
+
+    return stream_df.groupBy(source_col).applyInPandasWithState(
+        fn,
+        outputStructType=_PH_OUT_SCHEMA,
+        stateStructType=_PH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

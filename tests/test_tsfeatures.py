@@ -415,3 +415,32 @@ def test_ccf_detects_lead_lag(spark):
     b_vals = pdf[pdf.source == "b"].sort_values("bucket_s")["val"].to_numpy()
     want = np.corrcoef(a_vals[:-2], b_vals[2:])[0, 1]
     np.testing.assert_allclose(got[-2], want, atol=1e-6)
+
+
+def test_page_hinkley_batch_oracle_and_shift(spark):
+    from numalogic_spark.operators.tsfeatures import page_hinkley
+
+    rng = np.random.default_rng(37)
+    x = 10 + rng.normal(0, 1, 200)
+    x[120:] += 6.0
+    pdf = pd.DataFrame(
+        [("a", i, float(round(v, 2))) for i, v in enumerate(x)],
+        columns=["source", "bucket_s", "val"],
+    )
+    got = (
+        page_hinkley(spark.createDataFrame(pdf), delta=0.0, lam=40.0)
+        .toPandas()
+        .sort_values("bucket_s", ignore_index=True)
+    )
+    # python oracle
+    s = m = 0.0
+    mmin = float("inf")
+    for i, v in enumerate(pdf["val"], start=1):
+        s += v
+        mean = s / i
+        m = m + (v - mean - 0.0)
+        mmin = min(mmin, m)
+        assert got.loc[i - 1, "ph"] == m - mmin, i
+    first = got.index[got["alarm"]].min()
+    assert 120 <= first <= 160
+    assert not got.loc[: first - 1, "alarm"].any()
