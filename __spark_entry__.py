@@ -2669,6 +2669,82 @@ FROM rec
 """
 
 
+_PSI_BINS = 10
+
+
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the first and second time halves of each hourly
+    series — quantile bins from the first half, Laplace-smoothed
+    shares, sorted-fold sum."""
+    from numalogic_spark.operators.tsfeatures import psi_drift
+
+    out = psi_drift(_hourly_series(spark, sf_dir), n_bins=_PSI_BINS)
+    return out.select("source", "n_first", "n_second", _r6("psi").alias("psi"))
+
+
+def _psi_sql(n_bins: int = _PSI_BINS, scale: int = 100) -> str:
+    sc = repr(float(scale))
+    edge_sel = ",\n         ".join(
+        f"CAST(min(CASE WHEN cum >= CAST(ceil({j / n_bins!r} * CAST(n1 AS DOUBLE)) AS BIGINT)"
+        f" THEN k END) AS DOUBLE) / {sc} AS e{j}"
+        for j in range(1, n_bins)
+    )
+    bin_expr = " + ".join(
+        f"(CASE WHEN v > e{j} THEN 1 ELSE 0 END)" for j in range(1, n_bins)
+    )
+    lap = repr(float(n_bins) / 2.0)
+    return f"""
+WITH hourly AS ({_HOURLY_SQL}),
+ix AS (
+  SELECT source, val AS v,
+         row_number() OVER (PARTITION BY source ORDER BY bucket_s) AS pos,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM hourly
+), base AS (
+  SELECT source, v, CASE WHEN pos <= n // 2 THEN 1 ELSE 2 END AS half FROM ix
+), h1 AS (
+  SELECT source, CAST(floor(v * {sc} + 0.5) AS BIGINT) AS k, count(*) AS c
+  FROM base WHERE half = 1 GROUP BY 1, 2
+), cum AS (
+  SELECT source, k,
+         sum(c) OVER (PARTITION BY source ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n1
+  FROM h1
+), edges AS (
+  SELECT source,
+         {edge_sel}
+  FROM cum GROUP BY 1
+), binned AS (
+  SELECT b.source, b.half, ({bin_expr}) AS bin
+  FROM base b JOIN edges USING (source)
+), counts AS (
+  SELECT source, half, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3
+), halves AS (
+  SELECT source, half, count(*) AS hn FROM base GROUP BY 1, 2
+), grid AS (
+  SELECT h.source, h.half, g.b, h.hn,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM halves h
+  CROSS JOIN (SELECT unnest(generate_series(0, {n_bins - 1})) AS b) g
+  LEFT JOIN counts c ON c.source = h.source AND c.half = h.half AND c.bin = g.b
+), pq AS (
+  SELECT source, half, b, hn,
+         (CAST(c AS DOUBLE) + 0.5) / (CAST(hn AS DOUBLE) + {lap}) AS sh
+  FROM grid
+), terms AS (
+  SELECT p.source,
+         CAST(p.hn AS BIGINT) AS n_first, CAST(q.hn AS BIGINT) AS n_second,
+         (q.sh - p.sh) * ln(q.sh / p.sh) AS t
+  FROM (SELECT * FROM pq WHERE half = 1) p
+  JOIN (SELECT * FROM pq WHERE half = 2) q USING (source, b)
+)
+SELECT source, n_first, n_second,
+       floor(list_sum(list_sort(list(t))) * 1000000 + 0.5) / 1000000.0 AS psi
+FROM terms GROUP BY 1, 2, 3
+"""
+
+
 _CCF_LAGS = (-3, -2, -1, 0, 1, 2, 3)
 
 
@@ -3296,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_pairs_events": _q_rolling_corr,
         "ccf_pairs_events": _q_ccf,
         "page_hinkley_1h_events": _q_page_hinkley,
+        "psi_drift_events": _q_psi_drift,
         "token_divergence_documents": _q_token_divergence,
         "pca_project_embeddings": _q_pca_project,
         "series_summary_events": _q_series_summary,
@@ -3373,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_corr_pairs_events": _rolling_corr_sql(),
         "ccf_pairs_events": _ccf_sql(),
         "page_hinkley_1h_events": _page_hinkley_sql(),
+        "psi_drift_events": _psi_sql(),
         "token_divergence_documents": _token_divergence_sql(),
         "series_summary_events": _series_summary_sql(),
         "trend_slope_events": _trend_slope_sql(),

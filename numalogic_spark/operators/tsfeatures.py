@@ -192,6 +192,117 @@ def cusum_changepoint(
     )
 
 
+def psi_drift(
+    bucketed: DataFrame,
+    value_col: str = "val",
+    source_col: str = "source",
+    order_col: str = "bucket_s",
+    n_bins: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Population Stability Index per series between the FIRST and
+    SECOND time halves — the standard ML-monitoring drift score
+    ("has this metric's distribution moved since the reference
+    window?"):
+
+        bins  = `n_bins` quantile buckets of the FIRST half (type-1
+                edges off the value histogram — exact, engine-neutral)
+        p_b,q_b = Laplace-smoothed bin shares ((c+½)/(n+B/2)) of each half
+        PSI   = Σ_b (q_b − p_b)·ln(q_b / p_b)
+
+    Rule-of-thumb: <0.1 stable, 0.1–0.25 moderate shift, >0.25 drifted.
+    The time split is by per-series row rank (first ⌊n/2⌋ buckets);
+    edges come from the same distinct-value histogram machinery as
+    series_summary, ride back as a broadcast, and the final fold is a
+    sorted sum of ≤ n_bins terms — everything engine-exact.
+
+    Output: (source, n_first, n_second, psi)."""
+    if not (2 <= n_bins <= 100):
+        raise ValueError(f"n_bins must be in [2, 100], got {n_bins}")
+    sc = float(scale)
+    w = Window.partitionBy(source_col).orderBy(F.col(order_col))
+    base = bucketed.select(
+        F.col(source_col).alias("source"),
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("_pos"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    ).select(
+        "source", "v",
+        F.when(F.col("_pos") <= F.floor(F.col("_n") / F.lit(2)), F.lit(1))
+        .otherwise(F.lit(2)).alias("half"),
+    )
+
+    # quantile edges of the FIRST half (k-space, exact)
+    qv = F.floor(F.col("v") * F.lit(sc) + F.lit(0.5)).cast("long")
+    h1 = (
+        base.filter(F.col("half") == 1)
+        .groupBy("source", qv.alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cw = Window.partitionBy("source").orderBy("k")
+    cum = h1.select(
+        "source", "k",
+        F.sum("c").over(cw.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n1"),
+    )
+    edge_aggs = []
+    for j in range(1, n_bins):
+        qj = j / n_bins  # python float — emitted identically in the oracle
+        rank = F.ceil(F.lit(qj) * F.col("n1").cast("double"))
+        edge_aggs.append(
+            (F.min(F.when(F.col("cum") >= rank, F.col("k"))).cast("double")
+             / F.lit(sc)).alias(f"e{j}")
+        )
+    edges = cum.groupBy("source").agg(*edge_aggs)
+
+    binned = base.join(F.broadcast(edges), "source")
+    bin_col = F.lit(0)
+    for j in range(1, n_bins):
+        bin_col = bin_col + F.when(F.col("v") > F.col(f"e{j}"), 1).otherwise(0)
+    counts = binned.select("source", "half", bin_col.alias("b")).groupBy(
+        "source", "half", "b"
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    halves = base.groupBy("source", "half").agg(F.count(F.lit(1)).alias("hn"))
+    grid = (
+        halves.crossJoin(
+            F.broadcast(
+                bucketed.sparkSession.range(n_bins).select(
+                    F.col("id").cast("int").alias("b")
+                )
+            )
+        )
+        .join(counts, ["source", "half", "b"], "left")
+        .select(
+            "source", "half", "b", "hn",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    share = (F.col("c").cast("double") + F.lit(0.5)) / (
+        F.col("hn").cast("double") + F.lit(float(n_bins) / 2.0)
+    )
+    pq = grid.select("source", "half", "b", "hn", share.alias("sh"))
+    p = pq.filter(F.col("half") == 1).select(
+        "source", "b", F.col("sh").alias("p"), F.col("hn").alias("n_first")
+    )
+    q = pq.filter(F.col("half") == 2).select(
+        "source", "b", F.col("sh").alias("q"), F.col("hn").alias("n_second")
+    )
+    terms = p.join(q, ["source", "b"]).select(
+        "source", "n_first", "n_second",
+        ((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))).alias("t"),
+    )
+    return terms.groupBy("source", "n_first", "n_second").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("t")), F.lit(0.0), lambda acc, t: acc + t
+        ).alias("psi")
+    )
+
+
 def page_hinkley(
     bucketed: DataFrame,
     value_col: str = "val",

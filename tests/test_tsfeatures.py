@@ -444,3 +444,40 @@ def test_page_hinkley_batch_oracle_and_shift(spark):
     first = got.index[got["alarm"]].min()
     assert 120 <= first <= 160
     assert not got.loc[: first - 1, "alarm"].any()
+
+
+def test_psi_drift_matches_numpy_and_detects_shift(spark):
+    from numalogic_spark.operators.tsfeatures import psi_drift
+
+    rng = np.random.default_rng(43)
+    rows = []
+    # "stable": same distribution both halves; "shifted": mean jump
+    for s, shift in (("stable", 0.0), ("shifted", 10.0)):
+        x = np.round(50 + rng.normal(0, 3, 400), 2)
+        x[200:] += shift
+        rows += [(s, i, float(v)) for i, v in enumerate(x)]
+    pdf = pd.DataFrame(rows, columns=["source", "bucket_s", "val"])
+    got = {r["source"]: r for r in psi_drift(spark.createDataFrame(pdf)).collect()}
+
+    def psi_np(x, n_bins=10):
+        first, second = x[:200], x[200:]
+        edges = [np.sort(first)[int(np.ceil(j / n_bins * len(first))) - 1]
+                 for j in range(1, n_bins)]
+        def shares(h):
+            b = np.zeros(len(h), dtype=int)
+            for e in edges:
+                b += (h > e).astype(int)
+            c = np.bincount(b, minlength=n_bins)
+            return (c + 0.5) / (len(h) + n_bins / 2.0)
+        p, q = shares(first), shares(second)
+        return float(sum(sorted((q - p) * np.log(q / p))))
+
+    for s in ("stable", "shifted"):
+        x = pdf[pdf.source == s].sort_values("bucket_s")["val"].to_numpy()
+        r = got[s]
+        assert r["n_first"] == 200 and r["n_second"] == 200
+        np.testing.assert_allclose(r["psi"], psi_np(x), atol=2e-6, err_msg=s)
+    assert got["stable"]["psi"] < 0.1
+    assert got["shifted"]["psi"] > 0.25
+    with pytest.raises(ValueError):
+        psi_drift(spark.createDataFrame(pdf), n_bins=1)
