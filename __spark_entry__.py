@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from numalogic_spark.functions import transforms as TX
@@ -2669,6 +2669,82 @@ FROM rec
 """
 
 
+_PERIOD_LAGS = tuple(range(2, 37))
+
+
+def _q_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-detected seasonality: the lag in 2..36 with the highest
+    hourly-series autocorrelation (ties → smallest lag) — the
+    configure-`period`-for-STL/SeasonalNaive helper."""
+    from numalogic_spark.operators.tsfeatures import acf
+
+    hourly = _hourly_series(spark, sf_dir)
+    scored = acf(
+        hourly, value_col="val", source_col="source",
+        order_cols=("bucket_s",), lags=_PERIOD_LAGS,
+    )
+    pick = Window.partitionBy("source").orderBy(
+        F.desc("acf_value"), F.asc("lag")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "source",
+            F.col("lag").alias("period"),
+            "n_used",
+            _r6("acf_value").alias("acf_value"),
+        )
+    )
+
+
+def _dominant_period_sql() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(CAST(val AS DECIMAL(19,6)), {k}) OVER w AS l{k}" for k in _PERIOD_LAGS
+    )
+    mom_cols = ",\n         ".join(
+        f"count(l{k}) AS nk{k},\n"
+        f"         CAST(sum(xd * l{k}) AS DOUBLE) AS sxl{k},\n"
+        f"         CAST(sum(CASE WHEN l{k} IS NOT NULL THEN xd END) AS DOUBLE) AS sxk{k},\n"
+        f"         CAST(sum(l{k}) AS DOUBLE) AS slk{k}"
+        for k in _PERIOD_LAGS
+    )
+    mu = "(sx / CAST(n AS DOUBLE))"
+    den = "(sxx - (sx * sx) / CAST(n AS DOUBLE))"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT source, {k} AS lag, nk{k} AS n_used,\n"
+        f"       CASE WHEN {den} > 0.0 AND nk{k} > 0 THEN\n"
+        f"         (sxl{k} - {mu} * (sxk{k} + slk{k}) + CAST(nk{k} AS DOUBLE) * {mu} * {mu}) / {den}\n"
+        f"         ELSE 0.0 END AS acf_value\n"
+        f"FROM m"
+        for k in _PERIOD_LAGS
+    )
+    return f"""
+WITH hourly AS ({_HOURLY_SQL}),
+b AS (
+  SELECT source,
+         CAST(val AS DECIMAL(19,6)) AS xd,
+         {lag_cols}
+  FROM hourly
+  WINDOW w AS (PARTITION BY source ORDER BY bucket_s)
+), m AS (
+  SELECT source,
+         count(*) AS n,
+         CAST(sum(xd) AS DOUBLE) AS sx,
+         CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+         {mom_cols}
+  FROM b GROUP BY 1
+), scored AS (
+{arms}
+)
+SELECT source, lag AS period, n_used,
+       floor(acf_value * 1000000 + 0.5) / 1000000.0 AS acf_value
+FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY acf_value DESC, lag ASC) AS rk
+      FROM scored)
+WHERE rk = 1
+"""
+
+
 _PSI_BINS = 10
 
 
@@ -3373,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_pairs_events": _q_ccf,
         "page_hinkley_1h_events": _q_page_hinkley,
         "psi_drift_events": _q_psi_drift,
+        "dominant_period_events": _q_dominant_period,
         "token_divergence_documents": _q_token_divergence,
         "pca_project_embeddings": _q_pca_project,
         "series_summary_events": _q_series_summary,
@@ -3451,6 +3528,7 @@ def oracle_sql() -> dict[str, str]:
         "ccf_pairs_events": _ccf_sql(),
         "page_hinkley_1h_events": _page_hinkley_sql(),
         "psi_drift_events": _psi_sql(),
+        "dominant_period_events": _dominant_period_sql(),
         "token_divergence_documents": _token_divergence_sql(),
         "series_summary_events": _series_summary_sql(),
         "trend_slope_events": _trend_slope_sql(),

@@ -481,3 +481,36 @@ def test_psi_drift_matches_numpy_and_detects_shift(spark):
     assert got["shifted"]["psi"] > 0.25
     with pytest.raises(ValueError):
         psi_drift(spark.createDataFrame(pdf), n_bins=1)
+
+
+def test_dominant_period_recovers_injected_cycle(spark):
+    """Composition check: argmax-ACF over a lag range recovers the true
+    period of synthetic seasonal series (the STL/SeasonalNaive
+    auto-config helper in __spark_entry__)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.tsfeatures import acf
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for s, period in (("daily", 24), ("halfday", 12)):
+        x = np.round(
+            100 + 20 * np.sin(2 * np.pi * np.arange(24 * 14) / period)
+            + rng.normal(0, 1, 24 * 14),
+            2,
+        )
+        rows += [(s, i * 3600, float(v)) for i, v in enumerate(x)]
+    pdf = pd.DataFrame(rows, columns=["source", "bucket_s", "val"])
+    scored = acf(
+        spark.createDataFrame(pdf), value_col="val",
+        order_cols=("bucket_s",), lags=tuple(range(2, 37)),
+    )
+    pick = Window.partitionBy("source").orderBy(F.desc("acf_value"), F.asc("lag"))
+    best = {
+        r["source"]: r["lag"]
+        for r in scored.withColumn("rk", F.row_number().over(pick))
+        .filter("rk = 1")
+        .collect()
+    }
+    assert best == {"daily": 24, "halfday": 12}
