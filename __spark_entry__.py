@@ -2669,6 +2669,57 @@ FROM rec
 """
 
 
+_KF_Q, _KF_R = 1.0, 4.0
+
+
+def _q_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter on the hourly series — adaptive-gain
+    smoothing (applyInPandas recursion, recursive-CTE oracle)."""
+    from numalogic_spark.operators.forecast import kalman_level
+
+    out = kalman_level(_hourly_series(spark, sf_dir), q=_KF_Q, r=_KF_R)
+    return out.select(
+        "source", "bucket_s", "val",
+        _r6("level").alias("level"),
+        _r6("gain").alias("gain"),
+        _r6("innovation").alias("innovation"),
+    )
+
+
+def _kalman_sql(q: float = _KF_Q, r: float = _KF_R) -> str:
+    qs, rs = repr(float(q)), repr(float(r))
+    k_expr = f"(r.p + {qs}) / ((r.p + {qs}) + {rs})"
+    innov = "(i.val - r.xh)"
+    return f"""
+WITH RECURSIVE hourly AS ({_HOURLY_SQL}),
+ix AS (
+  SELECT source, bucket_s, val,
+         row_number() OVER (PARTITION BY source ORDER BY bucket_s) AS pos
+  FROM hourly
+),
+rec AS (
+  SELECT source, pos, bucket_s, val,
+         -- CAST: a bare {rs} literal is DECIMAL(2,1) in DuckDB and the
+         -- whole P recursion would run in scale-1 decimal arithmetic
+         val AS xh, CAST({rs} AS DOUBLE) AS p,
+         CAST(NULL AS DOUBLE) AS gain, CAST(NULL AS DOUBLE) AS innov
+  FROM ix WHERE pos = 1
+  UNION ALL
+  SELECT i.source, i.pos, i.bucket_s, i.val,
+         r.xh + {k_expr} * {innov} AS xh,
+         (1.0 - {k_expr}) * (r.p + {qs}) AS p,
+         {k_expr} AS gain,
+         {innov} AS innov
+  FROM rec r JOIN ix i ON i.source = r.source AND i.pos = r.pos + 1
+)
+SELECT source, bucket_s, val,
+       floor(xh * 1000000 + 0.5) / 1000000.0 AS level,
+       floor(gain * 1000000 + 0.5) / 1000000.0 AS gain,
+       floor(innov * 1000000 + 0.5) / 1000000.0 AS innovation
+FROM rec
+"""
+
+
 _PERIOD_LAGS = tuple(range(2, 37))
 
 
@@ -3450,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley_1h_events": _q_page_hinkley,
         "psi_drift_events": _q_psi_drift,
         "dominant_period_events": _q_dominant_period,
+        "kalman_level_1h_events": _q_kalman,
         "token_divergence_documents": _q_token_divergence,
         "pca_project_embeddings": _q_pca_project,
         "series_summary_events": _q_series_summary,
@@ -3529,6 +3581,7 @@ def oracle_sql() -> dict[str, str]:
         "page_hinkley_1h_events": _page_hinkley_sql(),
         "psi_drift_events": _psi_sql(),
         "dominant_period_events": _dominant_period_sql(),
+        "kalman_level_1h_events": _kalman_sql(),
         "token_divergence_documents": _token_divergence_sql(),
         "series_summary_events": _series_summary_sql(),
         "trend_slope_events": _trend_slope_sql(),

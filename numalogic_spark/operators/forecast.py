@@ -296,3 +296,65 @@ def holt_linear(
         )
 
     return bucketed.groupBy(source_col).applyInPandas(_fit, schema=schema)
+
+
+def kalman_level(
+    bucketed: DataFrame,
+    value_col: str = "val",
+    source_col: str = "source",
+    bucket_col: str = "bucket_s",
+    q: float = 1.0,
+    r: float = 4.0,
+) -> DataFrame:
+    """Local-level Kalman filter per series (the random-walk-plus-noise
+    state space — the optimal version of what EWM approximates, with a
+    gain that ADAPTS over the warm-up instead of being fixed):
+
+        P⁻ = P + q;   K = P⁻/(P⁻ + r);   x̂ += K·(z − x̂);   P = (1−K)·P⁻
+
+    initialized x̂_1 = z_1, P_1 = r (gain/innovation NULL at t=1).
+    q = process variance, r = observation variance; r/q sets the
+    smoothing horizon. Sequential recursion in applyInPandas (the
+    Holt/Page-Hinkley design point); constants are pre-folded IEEE
+    values so the driver's recursive-CTE oracle replays the identical
+    op sequence bit-for-bit.
+
+    Output: (source, bucket_s, val, level, gain, innovation)."""
+    if q <= 0 or r <= 0:
+        raise ValueError(f"q and r must be > 0, got {q}, {r}")
+    q_, r_ = float(q), float(r)
+    schema = (
+        f"{source_col} string, {bucket_col} long, val double, "
+        "level double, gain double, innovation double"
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col, ignore_index=True)
+        zs = [float(v) for v in pdf[value_col]]
+        if not zs:
+            return pd.DataFrame(
+                columns=[source_col, bucket_col, "val", "level", "gain", "innovation"]
+            )
+        xh, p = zs[0], r_
+        levels, gains, innovs = [xh], [None], [None]
+        for t in range(1, len(zs)):
+            pp = p + q_
+            k = pp / (pp + r_)
+            innov = zs[t] - xh
+            xh = xh + k * innov
+            p = (1.0 - k) * pp
+            levels.append(xh)
+            gains.append(k)
+            innovs.append(innov)
+        return pd.DataFrame(
+            {
+                source_col: pdf[source_col],
+                bucket_col: pdf[bucket_col],
+                "val": zs,
+                "level": levels,
+                "gain": gains,
+                "innovation": innovs,
+            }
+        )
+
+    return bucketed.groupBy(source_col).applyInPandas(_run, schema=schema)

@@ -182,3 +182,42 @@ class TestHoltLinear:
         assert {r["source"] for r in out} == {"two"}
         with pytest.raises(ValueError):
             holt_linear(df, alpha=0.0)
+
+
+class TestKalmanLevel:
+    def test_matches_python_recursion_and_tracks_shift(self, spark):
+        from numalogic_spark.operators.forecast import kalman_level
+
+        rng = np.random.default_rng(53)
+        x = 10 + rng.normal(0, 2, 120)
+        x[60:] += 15.0
+        pdf = pd.DataFrame(
+            [("a", i * 3600, float(round(v, 2))) for i, v in enumerate(x)],
+            columns=["source", "bucket_s", "val"],
+        )
+        got = (
+            kalman_level(spark.createDataFrame(pdf), q=1.0, r=4.0)
+            .toPandas()
+            .sort_values("bucket_s", ignore_index=True)
+        )
+        zs = pdf["val"].to_list()
+        xh, p = zs[0], 4.0
+        assert got.loc[0, "level"] == xh and pd.isna(got.loc[0, "gain"])
+        for t in range(1, len(zs)):
+            pp = p + 1.0
+            k = pp / (pp + 4.0)
+            innov = zs[t] - xh
+            xh = xh + k * innov
+            p = (1.0 - k) * pp
+            assert got.loc[t, "level"] == xh, t
+            assert got.loc[t, "gain"] == k, t
+            assert got.loc[t, "innovation"] == innov, t
+        # gain converges to the steady state k* = (sqrt(q^2+4qr)-q+... )
+        # for q=1, r=4: k* solves k = (p+1)/(p+5), p = (1-k)(p+1) -> ~0.39
+        tail_gain = got["gain"].iloc[-1]
+        assert abs(tail_gain - got["gain"].iloc[-2]) < 1e-9
+        assert 0.3 < tail_gain < 0.5
+        # level catches the +15 shift within ~6 steps
+        assert abs(got.loc[66, "level"] - x[60:].mean()) < 3.0
+        with pytest.raises(ValueError):
+            kalman_level(spark.createDataFrame(pdf), q=0.0)
