@@ -127,6 +127,26 @@ def main() -> None:
         grab(stl_lite(hourly)),
     ))
 
+    # round 4 second wave: histogram-statistics + drift + pair operators
+    from numalogic_spark.operators.tsfeatures import (
+        ccf_pairs,
+        pot_threshold,
+        series_summary,
+    )
+
+    sections.append((
+        "series summary (distinct-value histogram: one groupBy + a tiny per-series window; quantiles/mean/std read off the histogram, never a row-level sort)",
+        grab(series_summary(ev)),
+    ))
+    sections.append((
+        "POT/GPD extreme-value threshold (histogram quantile u broadcast back; exceedance moments are one partial-agg groupBy; fit is a closed-form projection)",
+        grab(pot_threshold(ev)),
+    ))
+    sections.append((
+        "CCF pair cross-correlation (lag explode + time-shift equi-join — no per-series sort; moments partial-aggregate on (pair, lag))",
+        grab(ccf_pairs(hourly)),
+    ))
+
     # round 4: bigram-LM perplexity — vocab and model ride broadcasts,
     # the corpus is tokenized exactly once
     from numalogic_spark.operators.lm import bigram_perplexity
