@@ -557,9 +557,15 @@ def pca_project(
     (v − μ)·w_j = v·w_j − (μ·w_j), with the μ·w_j bias folded into a
     literal so the per-row work is one JVM-side zip_with fold per
     component — no Python, no shuffle, broadcast-free (the components
-    ride the plan as literals). Adds columns pc1..pck."""
+    ride the plan as literals). Above _LITERAL_BUDGET inlined floats
+    (k·d — real dims like 8×1536) the plan switches to one Arrow-batched
+    matmul kernel instead of k giant fold expressions (the SRP/IVF
+    discipline; the oracle-gated query stays on the small inline path).
+    Adds columns pc1..pck."""
     comps = np.asarray(components, dtype=float)
     mu = np.asarray(mean, dtype=float)
+    if comps.size > _LITERAL_BUDGET:
+        return _pca_project_kernel(df, comps, mu, vec_col)
     out = df
     for j, w in enumerate(comps, start=1):
         bias = 0.0
@@ -569,3 +575,25 @@ def pca_project(
             f"pc{j}", _dot_const_expr(vec_col, w) - F.lit(float(bias))
         )
     return out
+
+
+def _pca_project_kernel(
+    df: DataFrame, comps: np.ndarray, mu: np.ndarray, vec_col: str
+) -> DataFrame:
+    """Arrow path for large k·d: one pandas UDF computing all k scores
+    per batch as (V − μ)·Wᵀ; returns the same pc1..pck columns."""
+    from pyspark.sql.functions import pandas_udf
+
+    k = comps.shape[0]
+    wt = comps.T.copy()
+
+    @pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(e, dtype=float) for e in v])
+        scores = (x - mu) @ wt
+        return pd.Series([list(map(float, row)) for row in scores])
+
+    out = df.withColumn("_pcs", project(F.col(vec_col)))
+    for j in range(1, k + 1):
+        out = out.withColumn(f"pc{j}", F.element_at("_pcs", j))
+    return out.drop("_pcs")

@@ -423,3 +423,37 @@ class TestPca:
         df = spark.createDataFrame([], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError):
             pca_train(df)
+
+    def test_kernel_path_matches_inline(self, spark):
+        """Above the literal budget the Arrow matmul kernel must produce
+        the same projections as the inline fold path (up to matmul
+        association error)."""
+        import numpy as np
+        import pandas as pd
+
+        from numalogic_spark.operators.similarity import (
+            _pca_project_kernel,
+            pca_project,
+            pca_train,
+        )
+
+        rng = np.random.default_rng(19)
+        x = rng.normal(size=(100, 16))
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(100), "embedding": [list(map(float, v)) for v in x]}
+        )
+        df = spark.createDataFrame(pdf)
+        comps, mu, _ = pca_train(df, k=2, sample_rows=100)
+        inline = (
+            pca_project(df, comps, mu).select("vec_id", "pc1", "pc2")
+            .toPandas().sort_values("vec_id", ignore_index=True)
+        )
+        kernel = (
+            _pca_project_kernel(df, np.asarray(comps), np.asarray(mu), "embedding")
+            .select("vec_id", "pc1", "pc2")
+            .toPandas().sort_values("vec_id", ignore_index=True)
+        )
+        for c in ("pc1", "pc2"):
+            np.testing.assert_allclose(
+                inline[c].to_numpy(), kernel[c].to_numpy(), atol=1e-9
+            )
