@@ -3429,6 +3429,227 @@ FROM agg
 """
 
 
+def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter semantics: a wrapped cumulative counter is
+    synthesized per series (cumsum of value mod 10000 — deterministic in
+    both engines), then increase / rate / resets are computed with
+    counter-RESET correction (operators/promql.py)."""
+    from numalogic_spark.operators.promql import counter_rate
+
+    base = _evt_series(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("ts_s", "event_id")
+    ctr = base.withColumn(
+        "counter",
+        (F.sum(F.col("value").cast("decimal(15,6)")).over(w) % F.lit(10000)).cast(
+            "decimal(15,6)"
+        ),
+    )
+    out = counter_rate(ctr, bucket_s=3600, value_col="counter")
+    return out.select(
+        "source",
+        "bucket_s",
+        "n_samples",
+        _r6("increase").alias("increase"),
+        "rate_per_s",
+        "resets",
+    )
+
+
+_COUNTER_RATE_SQL = f"""
+WITH b AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+         CAST(value AS DECIMAL(15,6)) AS vd
+  FROM events
+), c AS (
+  SELECT source, ts_s, event_id,
+         CAST(sum(vd) OVER w % 10000 AS DECIMAL(15,6)) AS counter
+  FROM b WINDOW w AS (PARTITION BY source ORDER BY ts_s, event_id)
+), d AS (
+  SELECT source, ts_s, counter, lag(counter) OVER w AS prev
+  FROM c WINDOW w AS (PARTITION BY source ORDER BY ts_s, event_id)
+), e AS (
+  SELECT source, ts_s,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN counter - prev >= 0 THEN CAST(counter - prev AS DECIMAL(16,6))
+              ELSE CAST(counter AS DECIMAL(16,6)) END AS adjusted,
+         CASE WHEN prev IS NOT NULL AND counter - prev < 0 THEN 1 ELSE 0 END AS is_reset
+  FROM d
+)
+SELECT source,
+       ts_s - ts_s % 3600 AS bucket_s,
+       count(*) AS n_samples,
+       floor(CAST(coalesce(sum(adjusted), 0) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS increase,
+       floor(CAST(coalesce(sum(adjusted), 0) AS DOUBLE) / 3600.0 * 1000000 + 0.5) / 1000000.0 AS rate_per_s,
+       CAST(sum(is_reset) AS BIGINT) AS resets
+FROM e GROUP BY 1, 2
+"""
+
+
+def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsample (Jugel et al. VLDB'14): first/last/min/max
+    points per (series, hour pixel) in one struct-extreme aggregation."""
+    from numalogic_spark.operators.promql import m4_downsample
+
+    return m4_downsample(_evt_series(spark, sf_dir), bucket_s=3600)
+
+
+_M4_SQL = """
+WITH b AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, value
+  FROM events
+)
+SELECT source,
+       ts_s - ts_s % 3600 AS bucket_s,
+       count(*) AS n,
+       (min({'t': ts_s, 'i': event_id, 'v': value})).t AS t_first,
+       (min({'t': ts_s, 'i': event_id, 'v': value})).v AS v_first,
+       (max({'t': ts_s, 'i': event_id, 'v': value})).t AS t_last,
+       (max({'t': ts_s, 'i': event_id, 'v': value})).v AS v_last,
+       (min({'v': value, 't': ts_s, 'i': event_id})).t AS t_min,
+       (min({'v': value, 't': ts_s, 'i': event_id})).v AS v_min,
+       (max({'v': value, 't': ts_s, 'i': event_id})).t AS t_max,
+       (max({'v': value, 't': ts_s, 'i': event_id})).v AS v_max
+FROM b GROUP BY 1, 2
+"""
+
+_RETENTION_POLICY = {"1m": 3 * 86400, "1h": 10 * 86400, "1d": None}
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-ladder audit over the fused tier cascade: per tier the
+    kept/expired split against its horizon, clocked off the data
+    watermark (operators/retention.py)."""
+    from numalogic_spark.operators.retention import retention_summary
+    from numalogic_spark.operators.rollup import histogram, rollup_tiers_fused
+
+    fused = rollup_tiers_fused(
+        histogram(_events(spark, sf_dir), EVENTS_CFG, "minute"), EVENTS_CFG
+    )
+    return retention_summary(fused, _RETENTION_POLICY)
+
+
+def _retention_sql() -> str:
+    keep = (
+        "CASE tier WHEN '1m' THEN now_s - bucket_s < 259200 "
+        "WHEN '1h' THEN now_s - bucket_s < 864000 ELSE TRUE END"
+    )
+    return f"""
+WITH t AS ({_rollup_fused_sql()}),
+mx AS (SELECT max(bucket_s) AS now_s FROM t)
+SELECT tier,
+       CAST(CASE tier WHEN '1m' THEN 259200 WHEN '1h' THEN 864000 END AS BIGINT) AS horizon_s,
+       CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN {keep} THEN 0 ELSE 1 END) AS BIGINT) AS expired,
+       min(CASE WHEN {keep} THEN bucket_s END) AS min_kept_s,
+       max(CASE WHEN {keep} THEN bucket_s END) AS max_kept_s
+FROM t, mx GROUP BY tier
+"""
+
+
+def _q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization: per-series PAA(16) z-normalized to a 4-letter
+    Gaussian-breakpoint alphabet (operators/tsfeatures.py)."""
+    from numalogic_spark.operators.tsfeatures import sax_symbols
+
+    return sax_symbols(_evt_series(spark, sf_dir), segment=16, alphabet=4)
+
+
+_SAX_SQL = """
+WITH b AS (
+  SELECT event_type AS source, CAST(value AS DECIMAL(15,6)) AS vd,
+         CAST((row_number() OVER (PARTITION BY event_type
+               ORDER BY floor(epoch(ts)), event_id) - 1) // 16 AS BIGINT) AS segment
+  FROM events
+), paa AS (
+  SELECT source, segment, count(*) AS n_in_segment,
+         CAST(sum(vd) AS DOUBLE) / count(*) AS praw
+  FROM b GROUP BY 1, 2
+), mom AS (
+  SELECT source, count(*) AS n, CAST(sum(vd) AS DOUBLE) AS sx,
+         CAST(sum(CAST(vd * vd AS DECIMAL(31,12))) AS DOUBLE) AS sxx
+  FROM b GROUP BY 1
+), z AS (
+  SELECT p.source, p.segment, p.n_in_segment, p.praw,
+         floor((CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+                THEN (praw - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))
+                ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS zz
+  FROM paa p JOIN mom m ON p.source = m.source
+)
+SELECT source, segment, n_in_segment,
+       floor(praw * 1000000 + 0.5) / 1000000.0 AS paa,
+       zz AS z,
+       substr('abcd', 1 + (CASE WHEN zz >= -0.674490 THEN 1 ELSE 0 END
+                         + CASE WHEN zz >= 0.0 THEN 1 ELSE 0 END
+                         + CASE WHEN zz >= 0.674490 THEN 1 ELSE 0 END), 1) AS symbol
+FROM z
+"""
+
+
+def _q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate word-8-gram coverage per document (Lee et al.
+    exact-substring dedup signal; operators/dedup.py)."""
+    from numalogic_spark.operators.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+_DUP_NGRAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS gram
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        FROM w WHERE len(ws) >= 8)
+), gd AS (
+  SELECT gram, doc_id, count(*) AS c FROM g GROUP BY 1, 2
+), flagged AS (
+  SELECT gram FROM gd GROUP BY gram HAVING count(*) >= 2
+), dup AS (
+  SELECT doc_id, sum(c) AS n_dup
+  FROM gd JOIN flagged USING (gram) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN len(ws) >= 8 THEN
+         floor(CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
+               / CAST(len(ws) - 7 AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+       ELSE 0.0 END AS dup_frac
+FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id
+"""
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 heavy-hitter words per source (operators/tokens.py
+    heavy_hitters_per_group over whitespace words)."""
+    from numalogic_spark.operators.tokens import heavy_hitters_per_group
+
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "").alias("words"),
+    )
+    return heavy_hitters_per_group(docs, group_col="source", tokens_col="words", k=10)
+
+
+_HEAVY_HITTERS_SQL = r"""
+WITH t AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+), c AS (
+  SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2
+)
+SELECT source, token, cnt, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rnk
+  FROM c
+) WHERE rnk <= 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": _q_rollup("1m"),
@@ -3508,6 +3729,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope_events": _q_trend_slope,
         "seasonal_anomalies_events": _q_seasonal_anomalies,
         "pot_threshold_events": _q_pot_threshold,
+        "counter_rate_events": _q_counter_rate,
+        "m4_downsample_events": _q_m4,
+        "retention_policy_events": _q_retention,
+        "sax_symbols_events": _q_sax,
+        "dup_ngram_spans_documents": _q_dup_ngrams,
+        "heavy_hitter_tokens_documents": _q_heavy_hitters,
     }
 
 
@@ -3587,6 +3814,12 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope_events": _trend_slope_sql(),
         "seasonal_anomalies_events": _seasonal_anomalies_sql(),
         "pot_threshold_events": _pot_sql(),
+        "counter_rate_events": _COUNTER_RATE_SQL,
+        "m4_downsample_events": _M4_SQL,
+        "retention_policy_events": _retention_sql(),
+        "sax_symbols_events": _SAX_SQL,
+        "dup_ngram_spans_documents": _DUP_NGRAM_SQL,
+        "heavy_hitter_tokens_documents": _HEAVY_HITTERS_SQL,
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

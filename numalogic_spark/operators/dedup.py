@@ -1087,3 +1087,89 @@ def embedding_near_pairs_lsh(
         ).filter(F.col("cos_sim") >= threshold)
         out = pairs if out is None else out.unionByName(pairs)
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate n-gram detection (the exact-substring
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022, §4.1 — at word rather than BPE
+    granularity): every word n-gram occurring in ≥ `min_docs` distinct
+    documents is a duplicated span; per document we report how much of
+    it is covered by such spans.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_frac): n_grams = number
+    of n-gram start positions (len(words) - n + 1, 0 for short docs),
+    n_dup_grams = starts whose n-gram also appears elsewhere, dup_frac
+    = n_dup_grams / n_grams (0 for short docs). A `dup_frac` near 1 is
+    the boilerplate/mirror-page signature this filter exists to catch.
+
+    Scale shape (suffix arrays don't distribute; hashing does):
+    - grams are md5 hex digests, so the wide text never shuffles — the
+      exploded frame is (doc_id, 32-byte hash);
+    - the first aggregation is per (gram, doc) WITH multiplicity (one
+      map-side-combinable groupBy), making the doc-frequency pass a
+      count over already-deduped rows, never a COUNT DISTINCT;
+    - flagged grams join back LEFT SEMI on the hash (equi-join, AQE
+      skew-splittable; the pathological all-docs-share-a-gram key is
+      bounded by doc count, not occurrence count, thanks to the
+      per-doc pre-dedup).
+    md5 is deterministic and identical in Spark and DuckDB; a 128-bit
+    digest makes collisions (two different grams flagged as one)
+    negligible at any corpus size — and any collision is at worst one
+    over-flagged span, never a correctness divergence, since the oracle
+    hashes identically.
+    """
+    words = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    grams = F.when(
+        F.size(F.col("_ws")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(_ws) - {n - 1}),"
+            f" i -> md5(array_join(slice(_ws, i, {n}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_ws")).select(
+        "doc_id", grams.alias("_gs")
+    )
+    # (gram, doc) with per-doc multiplicity: one shuffle, map-side combined
+    gd = (
+        base.select("doc_id", F.explode("_gs").alias("gram"))
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    flagged = (
+        gd.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    dup = (
+        gd.join(flagged, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_dup_grams"))
+    )
+    totals = base.select(
+        "doc_id", F.size("_gs").cast("bigint").alias("n_grams")
+    )
+    return totals.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.floor(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

@@ -1,0 +1,187 @@
+"""Prometheus-style counter semantics and M4 visual downsampling.
+
+numalogic's input IS Prometheus range data (its connector wraps
+`query_range`, /root/reference/numalogic/connectors/prometheus.py) but it
+consumes pre-computed gauge values and leaves counter math to PromQL on
+the server. A standalone engine over raw scraped samples needs that math
+itself — the counter family (`increase` / `rate` / `resets` with
+counter-RESET correction) is the single most-used PromQL construct and
+the canonical "you can't just sum the column" time-series trap.
+
+Semantics (TimescaleDB `counter_agg` / InfluxDB style, documented vs
+PromQL): per series ordered by time,
+
+    delta_i   = v_i - v_{i-1}
+    adjusted  = delta_i               if delta_i >= 0
+              = v_i                   if delta_i <  0   (reset: counter
+                                       restarted near 0, the post-reset
+                                       value is the best increase bound)
+    increase(bucket) = sum(adjusted over samples IN the bucket)
+    resets(bucket)   = count(delta_i < 0)
+    rate(bucket)     = increase / bucket_seconds
+
+Unlike PromQL's `rate()` we do NOT extrapolate to the window edges
+(PromQL's lookbehind-window extrapolation is a visual-smoothing heuristic
+that makes results non-reproducible across step alignments); bucketed
+adjusted-delta sums are exact, associative, and re-aggregable — the same
+property the rollup tiers rely on.
+
+M4 downsampling (Jugel et al., VLDB 2014): the error-free line-chart
+reduction — per (series, pixel bucket) keep the first / last / min / max
+points with their timestamps. Four struct-extremes in ONE
+map-side-combinable aggregation; at 10^12 rows this is the only shuffle
+(and it is a partial-agg shuffle of 4 structs per bucket, not rows).
+
+Cross-engine exactness: deltas and sums are decimal(15,6) (2-dp inputs →
+exact); struct extremes compare lexicographically identically on Spark
+and DuckDB (`min(struct(v, ts, id))` ≡ `min(row(v, ts, id))`).
+
+Scale shape:
+- counter ops: one exchange + sort per series (the lag window), then a
+  map-side-combinable groupBy on (series, bucket) that reuses the same
+  partitioning. Per-series sort parallelism = series cardinality; the
+  windows.py salted-chunk note applies (lag-1 state crosses chunk
+  boundaries by exactly one row).
+- m4: one partial-aggregated shuffle, no sort, no window. Output is
+  4 points per (series, pixel) regardless of input density.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(15,6)"
+
+
+def _bucket_start(ts_s: Column, width_s: int) -> Column:
+    """Integral-second bucket start: ts - (ts % width). Both engines
+    floor-divide positive ints identically."""
+    return ts_s - (ts_s % F.lit(width_s))
+
+
+def counter_deltas(
+    df: DataFrame,
+    value_col: str = "value",
+    source_col: str = "source",
+    order_cols: Sequence[str] = ("ts_s", "event_id"),
+) -> DataFrame:
+    """Per-sample reset-adjusted counter deltas.
+
+    Adds `adjusted` (decimal increase contribution; NULL for each
+    series' first sample — no preceding interval) and `is_reset`.
+    One exchange + sort per series; everything downstream of the lag is
+    a projection.
+    """
+    w = Window.partitionBy(source_col).orderBy(*order_cols)
+    v = F.col(value_col).cast(_DEC)
+    prev = F.lag(v).over(w)
+    delta = v - prev
+    return df.withColumn(
+        "adjusted",
+        F.when(prev.isNull(), F.lit(None).cast("decimal(16,6)"))
+        .when(delta >= 0, delta.cast("decimal(16,6)"))
+        .otherwise(v.cast("decimal(16,6)")),
+    ).withColumn("is_reset", (prev.isNotNull() & (delta < 0)).cast("int"))
+
+
+def counter_rate(
+    df: DataFrame,
+    bucket_s: int = 3600,
+    value_col: str = "value",
+    source_col: str = "source",
+    ts_col: str = "ts_s",
+    order_cols: Sequence[str] = ("ts_s", "event_id"),
+) -> DataFrame:
+    """Bucketed increase / rate / resets over a (possibly resetting)
+    counter column.
+
+    Returns (source, bucket_s, n_samples, increase, rate_per_s, resets).
+    `increase` sums the reset-adjusted deltas of samples whose timestamp
+    falls in the bucket (each sample's delta is attributed to ITS bucket,
+    so bucket sums re-aggregate exactly to coarser tiers — the rollup
+    cascade property). rate_per_s = increase / bucket_s.
+    """
+    d = counter_deltas(df, value_col, source_col, order_cols)
+    out = (
+        d.groupBy(
+            F.col(source_col).alias("source"),
+            _bucket_start(F.col(ts_col), bucket_s).alias("bucket_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("adjusted").alias("increase_dec"),
+            F.sum("is_reset").alias("resets"),
+        )
+        .select(
+            "source",
+            "bucket_s",
+            "n_samples",
+            F.coalesce(F.col("increase_dec"), F.lit(0).cast("decimal(16,6)"))
+            .cast("double")
+            .alias("increase"),
+            _r6(
+                F.coalesce(F.col("increase_dec"), F.lit(0).cast("decimal(16,6)")).cast(
+                    "double"
+                )
+                / F.lit(float(bucket_s))
+            ).alias("rate_per_s"),
+            F.col("resets").cast("bigint").alias("resets"),
+        )
+    )
+    return out
+
+
+def _r6(c: Column) -> Column:
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def m4_downsample(
+    df: DataFrame,
+    bucket_s: int = 3600,
+    value_col: str = "value",
+    source_col: str = "source",
+    ts_col: str = "ts_s",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """M4 reduction: per (series, pixel bucket) the first/last/min/max
+    points with their timestamps — the error-free line-chart downsample
+    (rendering these 4 points per pixel column reproduces the exact
+    pixel-perfect polyline of the full series).
+
+    One map-side-combinable aggregation of four struct extremes; ties on
+    value break deterministically by (ts, id) — min takes the earliest
+    minimal point, max the latest maximal point (lexicographic struct
+    order on both engines).
+    """
+    v, t, i = F.col(value_col), F.col(ts_col), F.col(id_col)
+    by_time = F.struct(t.alias("t"), i.alias("i"), v.alias("v"))
+    by_val = F.struct(v.alias("v"), t.alias("t"), i.alias("i"))
+    return (
+        df.groupBy(
+            F.col(source_col).alias("source"),
+            _bucket_start(t, bucket_s).alias("bucket_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(by_time).alias("first_p"),
+            F.max(by_time).alias("last_p"),
+            F.min(by_val).alias("min_p"),
+            F.max(by_val).alias("max_p"),
+        )
+        .select(
+            "source",
+            "bucket_s",
+            "n",
+            F.col("first_p.t").alias("t_first"),
+            F.col("first_p.v").alias("v_first"),
+            F.col("last_p.t").alias("t_last"),
+            F.col("last_p.v").alias("v_last"),
+            F.col("min_p.t").alias("t_min"),
+            F.col("min_p.v").alias("v_min"),
+            F.col("max_p.t").alias("t_max"),
+            F.col("max_p.v").alias("v_max"),
+        )
+    )

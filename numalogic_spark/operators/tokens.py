@@ -506,3 +506,35 @@ def token_distribution_divergence(
         return out.localCheckpoint(eager=True)
     finally:
         wc.unpersist()
+
+
+def heavy_hitters_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k heavy-hitter tokens per group: (group, token, cnt,
+    rnk), ties broken by token ascending (deterministic cross-engine).
+
+    The group column keeps its input name.
+
+    Two-level shape: the (group, token) count is ONE map-side-combinable
+    groupBy (partial aggregation absorbs the Zipf head before the
+    shuffle — the hot token contributes one partial row per input
+    partition, not one row per occurrence), then the rank window runs
+    over groups of vocabulary size, never corpus size. At 100 TB this is
+    the exact counterpart of a SpaceSaving sketch — exactness costs one
+    shuffle of the (group × vocab) grid, which Zipf keeps far below the
+    row count."""
+    counts = (
+        df.select(F.col(group_col), F.explode(tokens_col).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(group_col, "token", "cnt", "rnk")
+    )

@@ -866,3 +866,87 @@ def stl_lite(
         _r6c(F.col("seasonal")).alias("seasonal"),
         _r6c(F.col("val") - F.col("trend") - F.col("seasonal")).alias("remainder"),
     )
+
+
+# Gaussian equiprobable breakpoints for SAX alphabets 3..8 (Lin et al.,
+# "A Symbolic Representation of Time Series", DMKD 2003, Table 3),
+# pre-rounded to 6 dp so both engines compare against identical literals.
+_SAX_BREAKPOINTS: dict[int, tuple[float, ...]] = {
+    3: (-0.430727, 0.430727),
+    4: (-0.674490, 0.0, 0.674490),
+    5: (-0.841621, -0.253347, 0.253347, 0.841621),
+    6: (-0.967422, -0.430727, 0.0, 0.430727, 0.967422),
+    7: (-1.067571, -0.565949, -0.180012, 0.180012, 0.565949, 1.067571),
+    8: (-1.150349, -0.674490, -0.318639, 0.0, 0.318639, 0.674490, 1.150349),
+}
+_SAX_LETTERS = "abcdefgh"
+
+
+def sax_symbols(
+    df: DataFrame,
+    segment: int = 16,
+    alphabet: int = 4,
+    value_col: str = "value",
+    source_col: str = "source",
+    order_cols: Sequence[str] = ("ts_s", "event_id"),
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): per series, PAA over
+    fixed-width `segment`-point windows, z-normalized by the SERIES
+    mean/std, mapped to `alphabet` letters at the Gaussian equiprobable
+    breakpoints — the standard discretization feeding motif discovery /
+    sequitur-style anomaly mining over metric streams.
+
+    Cross-engine exactness: PAA means come from decimal sums; the series
+    mean/std come from decimal raw moments (population std, the SAX
+    convention); z is rounded to 6 dp before comparing against the 6-dp
+    breakpoint literals, so the letter assignment is deterministic on
+    both engines. Zero-variance series map every segment to the middle
+    letter (z = 0).
+
+    Scale shape: one exchange + sort per series for the position
+    row_number; the PAA groupBy on (series, segment) is map-side
+    combinable and reuses the series partitioning; the per-series
+    moments are a second tiny aggregate broadcast back. Ragged tails
+    (final segment shorter than `segment`) keep their true count in the
+    PAA divisor.
+    """
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}")
+    w = Window.partitionBy(source_col).orderBy(*[F.col(c) for c in order_cols])
+    vd = F.col(value_col).cast(_DEC)
+    pos = df.select(
+        F.col(source_col).alias("source"),
+        vd.alias("vd"),
+        ((F.row_number().over(w) - 1) / F.lit(segment))
+        .cast("bigint")
+        .alias("segment"),
+    )
+    paa = pos.groupBy("source", "segment").agg(
+        F.count(F.lit(1)).alias("n_in_segment"),
+        (F.sum("vd").cast("double") / F.count(F.lit(1)).cast("double")).alias("_paa"),
+    )
+    vdc = F.col("vd")
+    mom = pos.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("vd").cast("double").alias("_sx"),
+        F.sum((vdc * vdc).cast("decimal(31,12)")).cast("double").alias("_sxx"),
+    )
+    # population variance from raw moments; guard <= 0 (constant series)
+    mu = F.col("_sx") / F.col("_n").cast("double")
+    var = F.col("_sxx") / F.col("_n").cast("double") - mu * mu
+    joined = paa.join(F.broadcast(mom), "source").withColumn(
+        "z",
+        _r6c(
+            F.when(var > 0, (F.col("_paa") - mu) / F.sqrt(var)).otherwise(F.lit(0.0))
+        ),
+    )
+    bps = _SAX_BREAKPOINTS[alphabet]
+    idx = sum((F.col("z") >= F.lit(b)).cast("int") for b in bps)
+    return joined.select(
+        "source",
+        "segment",
+        "n_in_segment",
+        _r6c(F.col("_paa")).alias("paa"),
+        "z",
+        F.substring(F.lit(_SAX_LETTERS[:alphabet]), idx + 1, 1).alias("symbol"),
+    )

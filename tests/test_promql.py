@@ -1,0 +1,217 @@
+"""Counter semantics (increase/rate/resets with reset correction), M4
+downsampling, and retention-policy enforcement vs brute-force numpy/pandas
+oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from numalogic_spark.operators.promql import counter_deltas, counter_rate, m4_downsample
+from numalogic_spark.operators.retention import (
+    DEFAULT_POLICY,
+    apply_retention,
+    retention_summary,
+)
+
+
+def _counter_frame(spark, n=500, n_src=3, seed=11, wrap=200.0):
+    """Monotone-increment counters that wrap at `wrap` (hard resets)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(n_src):
+        c = 0.0
+        for i in range(n):
+            c += float(np.round(rng.uniform(0.5, 9.5), 2))
+            if c >= wrap:
+                c -= wrap  # scrape-style reset: counter restarts low
+            rows.append((f"s{s}", i * 30, i, round(c, 2)))
+    pdf = pd.DataFrame(rows, columns=["source", "ts_s", "event_id", "value"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _increase_np(vals):
+    """Brute-force reset-adjusted increase per sample."""
+    out, resets = [], []
+    prev = None
+    for v in vals:
+        if prev is None:
+            out.append(None)
+            resets.append(0)
+        else:
+            d = round(v - prev, 6)
+            out.append(d if d >= 0 else v)
+            resets.append(1 if d < 0 else 0)
+        prev = v
+    return out, resets
+
+
+def test_counter_deltas_match_bruteforce(spark):
+    df, pdf = _counter_frame(spark)
+    got = (
+        counter_deltas(df)
+        .select("source", "event_id", F.col("adjusted").cast("double"), "is_reset")
+        .toPandas()
+        .sort_values(["source", "event_id"], ignore_index=True)
+    )
+    for s, grp in pdf.groupby("source"):
+        exp_adj, exp_rst = _increase_np(list(grp["value"]))
+        g = got[got["source"] == s].reset_index(drop=True)
+        for i, (ea, er) in enumerate(zip(exp_adj, exp_rst)):
+            if ea is None:
+                assert pd.isna(g.loc[i, "adjusted"])
+            else:
+                assert g.loc[i, "adjusted"] == pytest.approx(ea, abs=1e-9)
+            assert g.loc[i, "is_reset"] == er
+
+
+def test_counter_rate_bucket_sums(spark):
+    df, pdf = _counter_frame(spark)
+    out = counter_rate(df, bucket_s=600).toPandas()
+    # buckets re-aggregate: total increase == sum of adjusted deltas
+    for s, grp in pdf.groupby("source"):
+        exp_adj, exp_rst = _increase_np(list(grp["value"]))
+        total = sum(a for a in exp_adj if a is not None)
+        g = out[out["source"] == s]
+        assert g["increase"].sum() == pytest.approx(total, abs=1e-6)
+        assert int(g["resets"].sum()) == sum(exp_rst)
+        assert int(g["n_samples"].sum()) == len(grp)
+    # rate = increase / bucket width
+    assert (
+        out["rate_per_s"]
+        - np.floor(out["increase"] / 600.0 * 1e6 + 0.5) / 1e6
+    ).abs().max() <= 1e-12
+
+
+def test_counter_monotone_equals_plain_delta(spark):
+    """Without resets, bucketed increase == last - first of the counter
+    (telescoping sum) per series."""
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 100,
+            "ts_s": np.arange(100) * 10,
+            "event_id": np.arange(100),
+            "value": np.round(np.cumsum(np.full(100, 1.25)), 2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = counter_rate(df, bucket_s=10_000_000).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "increase"] == pytest.approx(
+        pdf["value"].iloc[-1] - pdf["value"].iloc[0]
+    )
+    assert out.loc[0, "resets"] == 0
+
+
+def test_m4_matches_pandas(spark):
+    rng = np.random.default_rng(3)
+    n = 1000
+    pdf = pd.DataFrame(
+        {
+            "source": np.repeat(["a", "b"], n // 2),
+            "ts_s": np.tile(np.arange(n // 2) * 7, 2),
+            "event_id": np.arange(n),
+            "value": np.round(rng.normal(50, 10, n), 2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = m4_downsample(df, bucket_s=300).toPandas()
+    pdf["bucket_s"] = pdf["ts_s"] - pdf["ts_s"] % 300
+    for (s, b), grp in pdf.groupby(["source", "bucket_s"]):
+        row = out[(out["source"] == s) & (out["bucket_s"] == b)].iloc[0]
+        assert row["n"] == len(grp)
+        srt = grp.sort_values(["ts_s", "event_id"])
+        assert row["t_first"] == srt["ts_s"].iloc[0]
+        assert row["v_first"] == srt["value"].iloc[0]
+        assert row["t_last"] == srt["ts_s"].iloc[-1]
+        assert row["v_last"] == srt["value"].iloc[-1]
+        assert row["v_min"] == grp["value"].min()
+        assert row["v_max"] == grp["value"].max()
+        # min point tie-break: earliest (ts, id) among minima
+        minima = grp[grp["value"] == grp["value"].min()].sort_values(
+            ["ts_s", "event_id"]
+        )
+        assert row["t_min"] == minima["ts_s"].iloc[0]
+        # max point: latest among maxima (lexicographic struct max)
+        maxima = grp[grp["value"] == grp["value"].max()].sort_values(
+            ["ts_s", "event_id"]
+        )
+        assert row["t_max"] == maxima["ts_s"].iloc[-1]
+
+
+def test_m4_bounds_output_size(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 10_000,
+            "ts_s": np.arange(10_000),
+            "event_id": np.arange(10_000),
+            "value": np.round(np.sin(np.arange(10_000) * 0.01) * 100, 2),
+        }
+    )
+    out = m4_downsample(spark.createDataFrame(pdf), bucket_s=1000)
+    assert out.count() == 10  # 10 pixel buckets regardless of density
+
+
+def _tier_frame(spark):
+    rows = []
+    day = 86400
+    for tier, step, n in (("1m", 60, 3000), ("1h", 3600, 600), ("1d", day, 40)):
+        for i in range(n):
+            rows.append((tier, "s0", pd.Timestamp(1700000000 + i * step, unit="s")))
+    pdf = pd.DataFrame(rows, columns=["tier", "source", "bucket_ts"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_retention_horizons(spark):
+    df, pdf = _tier_frame(spark)
+    pol = {"1m": 86400, "1h": 7 * 86400, "1d": None}
+    now = int(pdf["bucket_ts"].astype("int64").max() // 10**9)
+    kept = apply_retention(df, pol).toPandas()
+    pdf["age"] = now - pdf["bucket_ts"].astype("int64") // 10**9
+    for tier, horizon in pol.items():
+        exp = pdf[pdf["tier"] == tier]
+        if horizon is not None:
+            exp = exp[exp["age"] < horizon]
+        assert len(kept[kept["tier"] == tier]) == len(exp)
+    # schema untouched
+    assert kept.columns.tolist() == ["tier", "source", "bucket_ts"]
+
+
+def test_retention_summary_counts(spark):
+    df, pdf = _tier_frame(spark)
+    pol = {"1m": 86400, "1h": 7 * 86400, "1d": None}
+    summ = retention_summary(df, pol).toPandas().set_index("tier")
+    now = int(pdf["bucket_ts"].astype("int64").max() // 10**9)
+    for tier, horizon in pol.items():
+        grp = pdf[pdf["tier"] == tier]
+        age = now - grp["bucket_ts"].astype("int64") // 10**9
+        exp_kept = int((age < horizon).sum()) if horizon is not None else len(grp)
+        assert summ.loc[tier, "kept"] == exp_kept
+        assert summ.loc[tier, "expired"] == len(grp) - exp_kept
+        if horizon is None:
+            assert pd.isna(summ.loc[tier, "horizon_s"])
+        else:
+            assert summ.loc[tier, "horizon_s"] == horizon
+    # kept + expired covers every row
+    assert int(summ["kept"].sum() + summ["expired"].sum()) == len(pdf)
+
+
+def test_retention_unknown_tier_fail_open(spark):
+    df, _ = _tier_frame(spark)
+    from datetime import datetime, timezone
+
+    extra = df.union(
+        df.sparkSession.createDataFrame(
+            [("raw", "s0", datetime.fromtimestamp(1, tz=timezone.utc))], df.schema
+        )
+    )
+    kept = apply_retention(extra, DEFAULT_POLICY).toPandas()
+    # a tier the policy does not know is never dropped
+    assert (kept["tier"] == "raw").sum() == 1
+
+
+def test_retention_explicit_now(spark):
+    df, pdf = _tier_frame(spark)
+    far_future = int(pdf["bucket_ts"].astype("int64").max() // 10**9) + 10**9
+    kept = apply_retention(df, {"1m": 60, "1h": 60, "1d": 60}, now_s=far_future)
+    assert kept.count() == 0
