@@ -3623,6 +3623,90 @@ FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id
 """
 
 
+def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB shape-preserving downsample to 20 points per series
+    (operators/promql.py); the oracle replays the sequential bucket
+    selection as a recursive CTE over per-bucket point lists."""
+    from numalogic_spark.operators.promql import lttb_downsample
+
+    return lttb_downsample(_evt_series(spark, sf_dir), threshold=20)
+
+
+def _lttb_sql(t: int = 20) -> str:
+    """Recursive-CTE replay of LTTB: bucket point-lists + next-bucket
+    means precomputed; each recursion step picks the first-max-area
+    point via list_transform/list_aggregate/list_position (scalar list
+    functions — legal in a recursive member where aggregates are not).
+    Doubles go through the identical expression shape as the numpy
+    kernel; bucket means use exact integer sums (integral-second
+    timestamps, 2-dp values scaled to cents — never half-integral, so
+    DuckDB's round-half-away CAST and numpy's half-even rint agree)."""
+    tm2 = t - 2
+    area = (
+        "list_transform(bb.pl, p -> abs((s.sx - bb.cx) * (p.y - s.sy)"
+        " - (s.sx - p.x) * (bb.cy - s.sy)))"
+    )
+    return f"""
+WITH RECURSIVE
+b AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, value
+  FROM events
+),
+pts AS (
+  SELECT source, ts_s, value,
+         row_number() OVER (PARTITION BY source ORDER BY ts_s, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM b
+),
+big AS (SELECT DISTINCT source FROM pts WHERE n > {t}),
+mid AS (
+  SELECT p.source, p.ts_s, p.value, p.rn,
+         CAST(((p.rn - 1) * {tm2}) // (p.n - 2) AS BIGINT) AS bk
+  FROM pts p JOIN big USING (source)
+  WHERE p.rn >= 1 AND p.rn <= p.n - 2
+),
+bl AS (
+  SELECT source, bk,
+         list({{'x': CAST(ts_s AS DOUBLE), 'y': value, 't': ts_s}} ORDER BY rn) AS pl,
+         CAST(sum(ts_s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mx,
+         CAST(sum(CAST(value * 100 AS BIGINT)) AS DOUBLE) / 100.0
+           / CAST(count(*) AS DOUBLE) AS my
+  FROM mid GROUP BY 1, 2
+),
+lastp AS (
+  SELECT p.source, CAST(p.ts_s AS DOUBLE) AS lx, p.value AS ly
+  FROM pts p JOIN big USING (source) WHERE p.rn = p.n - 1
+),
+blx AS (
+  SELECT a.source, a.bk, a.pl,
+         coalesce(nx.mx, l.lx) AS cx,
+         coalesce(nx.my, l.ly) AS cy
+  FROM bl a
+  LEFT JOIN bl nx ON nx.source = a.source AND nx.bk = a.bk + 1
+  JOIN lastp l ON l.source = a.source
+),
+sel AS (
+  SELECT p.source, CAST(-1 AS BIGINT) AS bk, CAST(p.ts_s AS DOUBLE) AS sx,
+         p.value AS sy, p.ts_s AS st
+  FROM pts p JOIN big USING (source) WHERE p.rn = 0
+  UNION ALL
+  SELECT source, bk, (pick).x AS sx, (pick).y AS sy, (pick).t AS st FROM (
+    SELECT s.source AS source, s.bk + 1 AS bk,
+           bb.pl[list_position({area}, list_aggregate({area}, 'max'))] AS pick
+    FROM sel s JOIN blx bb ON bb.source = s.source AND bb.bk = s.bk + 1
+  )
+)
+SELECT source, bk + 1 AS sel_idx, st AS ts_s, sy AS value FROM sel
+UNION ALL
+SELECT p.source, CAST({t - 1} AS BIGINT) AS sel_idx, p.ts_s, p.value
+FROM pts p JOIN big USING (source) WHERE p.rn = p.n - 1
+UNION ALL
+SELECT p.source, p.rn AS sel_idx, p.ts_s, p.value
+FROM pts p WHERE p.n <= {t}
+"""
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 heavy-hitter words per source (operators/tokens.py
     heavy_hitters_per_group over whitespace words)."""
@@ -3735,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_symbols_events": _q_sax,
         "dup_ngram_spans_documents": _q_dup_ngrams,
         "heavy_hitter_tokens_documents": _q_heavy_hitters,
+        "lttb_downsample_events": _q_lttb,
     }
 
 
@@ -3820,6 +3905,7 @@ def oracle_sql() -> dict[str, str]:
         "sax_symbols_events": _SAX_SQL,
         "dup_ngram_spans_documents": _DUP_NGRAM_SQL,
         "heavy_hitter_tokens_documents": _HEAVY_HITTERS_SQL,
+        "lttb_downsample_events": _lttb_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

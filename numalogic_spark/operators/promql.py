@@ -185,3 +185,100 @@ def m4_downsample(
             F.col("max_p.v").alias("v_max"),
         )
     )
+
+
+def _lttb_np(ts, vs, threshold: int):
+    """LTTB point selection for one series (Steinarsson 2013), oracle-
+    replayable: integer bucket split, scaled-integer bucket means, raw
+    IEEE doubles in the triangle areas, first-max tie-break.
+
+    Returns (sel_idx, ts, value) arrays of length min(threshold, n).
+    """
+    import numpy as np
+
+    n = len(ts)
+    ts = np.asarray(ts, dtype=np.float64)
+    vs = np.asarray(vs, dtype=np.float64)
+    if threshold >= n or n <= 2:
+        return np.arange(n), ts, vs
+    t = threshold
+    # middle points rn = 1..n-2 → bucket floor((rn-1)(t-2)/(n-2)); with
+    # t-2 <= n-2 every bucket is non-empty (monotone surjection), so the
+    # selection never stalls
+    rn = np.arange(1, n - 1)
+    bk = (rn - 1) * (t - 2) // (n - 2)
+    sel_i = np.empty(t, dtype=np.int64)
+    sel_i[0] = 0
+    sel_i[-1] = n - 1
+    ax, ay = ts[0], vs[0]
+    for i in range(t - 2):
+        members = rn[bk == i]
+        if i + 1 <= t - 3:
+            nxt = rn[bk == i + 1]
+            cnt = float(len(nxt))
+            cx = ts[nxt].sum() / cnt
+            # 2-dp values → exact integer cents: the sum is order-free
+            # exact, matching the oracle's decimal-free BIGINT sum
+            cy = np.rint(vs[nxt] * 100.0).sum() / 100.0 / cnt
+        else:
+            cx, cy = ts[n - 1], vs[n - 1]
+        bx, by = ts[members], vs[members]
+        areas = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+        pick = members[int(np.argmax(areas))]  # first max, like the oracle
+        sel_i[i + 1] = pick
+        ax, ay = ts[pick], vs[pick]
+    return np.arange(t), ts[sel_i], vs[sel_i]
+
+
+def lttb_downsample(
+    df: DataFrame,
+    threshold: int = 20,
+    value_col: str = "value",
+    source_col: str = "source",
+    ts_col: str = "ts_s",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample to `threshold` points
+    per series — the perceptual companion to `m4_downsample` (M4 is
+    pixel-exact for rendering at a known width; LTTB picks the
+    shape-preserving polyline at any width).
+
+    The selection is inherently sequential (each bucket's pick depends
+    on the previous pick), so it runs per series in one applyInPandas
+    task over numpy — the same design point as Holt/Kalman recursions
+    (windows.py salted-chunk caveat applies for few-series corpora; at
+    the 100-source design point parallelism = series count). Each
+    series is first reduced to (ts, value) pairs, so the task carries
+    two float64 arrays per series, not rows.
+
+    Exactness contract (the recursive-CTE oracle replays it): integer
+    bucket assignment, bucket means from exact integer sums (timestamps
+    are integral seconds; 2-dp values scale to integer cents), triangle
+    areas as raw IEEE doubles in one fixed expression shape, ties to
+    the first maximal point.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{source_col} string, sel_idx bigint, {ts_col} bigint, "
+        f"{value_col} double"
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, id_col], ignore_index=True)
+        idx, sts, svs = _lttb_np(
+            pdf[ts_col].to_numpy(), pdf[value_col].to_numpy(), threshold
+        )
+        return pd.DataFrame(
+            {
+                source_col: pdf[source_col].iloc[0],
+                "sel_idx": idx,
+                ts_col: sts.astype("int64"),
+                value_col: svs,
+            }
+        )
+
+    cols = [source_col, ts_col, id_col, value_col]
+    return (
+        df.select(*cols).groupBy(source_col).applyInPandas(fn, schema=out_schema)
+    )

@@ -903,12 +903,15 @@ def sax_symbols(
     both engines. Zero-variance series map every segment to the middle
     letter (z = 0).
 
-    Scale shape: one exchange + sort per series for the position
-    row_number; the PAA groupBy on (series, segment) is map-side
-    combinable and reuses the series partitioning; the per-series
-    moments are a second tiny aggregate broadcast back. Ragged tails
-    (final segment shorter than `segment`) keep their true count in the
-    PAA divisor.
+    Scale shape: ONE pass over the input — one exchange + sort per
+    series for the position row_number, then the (series, segment)
+    groupBy carries decimal Σx and Σx² partials; the per-series moments
+    are RE-AGGREGATED from the (tiny, segment-level) partials rather
+    than a second scan of the raw table — exact, because decimal sums
+    are associative. The segment frame is localCheckpointed so its two
+    consumers (PAA rows, moments) don't each replay the window scan.
+    Ragged tails (final segment shorter than `segment`) keep their true
+    count in the PAA divisor.
     """
     if alphabet not in _SAX_BREAKPOINTS:
         raise ValueError(f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}")
@@ -921,15 +924,27 @@ def sax_symbols(
         .cast("bigint")
         .alias("segment"),
     )
-    paa = pos.groupBy("source", "segment").agg(
-        F.count(F.lit(1)).alias("n_in_segment"),
-        (F.sum("vd").cast("double") / F.count(F.lit(1)).cast("double")).alias("_paa"),
-    )
     vdc = F.col("vd")
-    mom = pos.groupBy("source").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("vd").cast("double").alias("_sx"),
-        F.sum((vdc * vdc).cast("decimal(31,12)")).cast("double").alias("_sxx"),
+    seg = pos.groupBy("source", "segment").agg(
+        F.count(F.lit(1)).alias("n_in_segment"),
+        F.sum("vd").alias("_svd"),
+        F.sum((vdc * vdc).cast("decimal(31,12)")).alias("_svd2"),
+    )
+    # segment-level partials are (series × segments) rows — model-sized;
+    # cut the diamond so PAA and moments don't both replay the scan+sort
+    seg = seg.localCheckpoint(eager=False)
+    paa = seg.select(
+        "source",
+        "segment",
+        "n_in_segment",
+        (F.col("_svd").cast("double") / F.col("n_in_segment").cast("double")).alias(
+            "_paa"
+        ),
+    )
+    mom = seg.groupBy("source").agg(
+        F.sum("n_in_segment").alias("_n"),
+        F.sum("_svd").cast("double").alias("_sx"),
+        F.sum("_svd2").cast("double").alias("_sxx"),
     )
     # population variance from raw moments; guard <= 0 (constant series)
     mu = F.col("_sx") / F.col("_n").cast("double")

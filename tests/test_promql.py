@@ -215,3 +215,69 @@ def test_retention_explicit_now(spark):
     far_future = int(pdf["bucket_ts"].astype("int64").max() // 10**9) + 10**9
     kept = apply_retention(df, {"1m": 60, "1h": 60, "1d": 60}, now_s=far_future)
     assert kept.count() == 0
+
+
+def test_lttb_basic_properties(spark):
+    from numalogic_spark.operators.promql import lttb_downsample
+
+    rng = np.random.default_rng(9)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * n + ["b"] * n,
+            "ts_s": np.tile(np.arange(n) * 60, 2),
+            "event_id": np.arange(2 * n),
+            "value": np.round(rng.normal(10, 3, 2 * n), 2),
+        }
+    )
+    out = lttb_downsample(spark.createDataFrame(pdf), threshold=25).toPandas()
+    for s, grp in pdf.groupby("source"):
+        g = out[out["source"] == s].sort_values("sel_idx").reset_index(drop=True)
+        assert len(g) == 25
+        srt = grp.sort_values(["ts_s", "event_id"])
+        # endpoints always kept
+        assert g.loc[0, "ts_s"] == srt["ts_s"].iloc[0]
+        assert g.loc[24, "ts_s"] == srt["ts_s"].iloc[-1]
+        # strictly increasing timestamps (one pick per bucket, in order)
+        assert (np.diff(g["ts_s"].to_numpy()) > 0).all()
+        # every selected point is a real input point
+        merged = g.merge(srt, on=["ts_s", "value"], how="left", indicator=True)
+        assert (merged["_merge"] == "both").all()
+
+
+def test_lttb_small_series_passthrough(spark):
+    from numalogic_spark.operators.promql import lttb_downsample
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 6,
+            "ts_s": np.arange(6) * 10,
+            "event_id": np.arange(6),
+            "value": [1.0, 2.0, 3.0, 2.0, 1.0, 0.5],
+        }
+    )
+    out = (
+        lttb_downsample(spark.createDataFrame(pdf), threshold=20)
+        .toPandas()
+        .sort_values("sel_idx")
+    )
+    assert out["value"].tolist() == pdf["value"].tolist()
+    assert out["sel_idx"].tolist() == list(range(6))
+
+
+def test_lttb_keeps_spike(spark):
+    from numalogic_spark.operators.promql import lttb_downsample
+
+    n = 400
+    vals = np.full(n, 5.0)
+    vals[137] = 500.0  # a huge spike must survive any sane downsample
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * n,
+            "ts_s": np.arange(n) * 10,
+            "event_id": np.arange(n),
+            "value": vals,
+        }
+    )
+    out = lttb_downsample(spark.createDataFrame(pdf), threshold=10).toPandas()
+    assert (out["value"] == 500.0).any()
