@@ -3707,6 +3707,68 @@ FROM pts p WHERE p.n <= {t}
 """
 
 
+_HIST_LES = (1.0, 2.0, 3.0, 5.0, 8.0, 12.0, 20.0, 50.0)
+
+
+def _q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile(0.9) over hourly cumulative fixed
+    buckets — the O(buckets)-state mergeable quantile path
+    (operators/promql.py fixed_histogram + histogram_quantile)."""
+    from numalogic_spark.operators.promql import fixed_histogram, histogram_quantile
+
+    hist = fixed_histogram(_evt_series(spark, sf_dir), _HIST_LES, bucket_s=3600)
+    return histogram_quantile(hist, q=0.9)
+
+
+def _hist_quantile_sql(q: float = 0.9) -> str:
+    fins = list(_HIST_LES)
+    le_case = "CASE " + " ".join(
+        f"WHEN value <= {b} THEN {b}" for b in fins
+    ) + " ELSE CAST('infinity' AS DOUBLE) END"
+    le_list = ", ".join(str(b) for b in fins) + ", CAST('infinity' AS DOUBLE)"
+    return f"""
+WITH b AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+  FROM events
+), raw AS (
+  SELECT source, ts_s - ts_s % 3600 AS bucket_s, {le_case} AS le, count(*) AS cnt
+  FROM b GROUP BY 1, 2, 3
+), grid AS (
+  SELECT g.source, g.bucket_s, l.le
+  FROM (SELECT DISTINCT source, bucket_s FROM raw) g
+  CROSS JOIN (SELECT unnest([{le_list}]) AS le) l
+), dense AS (
+  SELECT g.source, g.bucket_s, g.le, coalesce(r.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN raw r
+    ON r.source = g.source AND r.bucket_s = g.bucket_s AND r.le = g.le
+), cum AS (
+  SELECT source, bucket_s, le,
+         CAST(sum(cnt) OVER (PARTITION BY source, bucket_s ORDER BY le
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumd
+  FROM dense
+), h AS (
+  SELECT source, bucket_s, le, cumd,
+         lag(cumd, 1, 0.0) OVER w AS prev_cum,
+         lag(le, 1, 0.0) OVER w AS prev_le,
+         max(cumd) OVER (PARTITION BY source, bucket_s) AS total,
+         max(CASE WHEN le <> CAST('infinity' AS DOUBLE) THEN le END)
+           OVER (PARTITION BY source, bucket_s) AS maxfin
+  FROM cum WINDOW w AS (PARTITION BY source, bucket_s ORDER BY le)
+), sel AS (
+  SELECT source, bucket_s,
+         min({{'le': le, 'prev_le': prev_le, 'cum': cumd, 'prev_cum': prev_cum,
+              'rank': {q} * total, 'maxfin': maxfin, 'total': total}}) AS s
+  FROM h WHERE cumd >= {q} * total GROUP BY 1, 2
+)
+SELECT source, bucket_s, CAST((s).total AS BIGINT) AS total,
+  floor((CASE WHEN (s).le = CAST('infinity' AS DOUBLE) THEN (s).maxfin
+    ELSE (s).prev_le + ((s).le - (s).prev_le)
+         * ((s).rank - (s).prev_cum) / ((s).cum - (s).prev_cum) END)
+    * 1000000 + 0.5) / 1000000.0 AS phi
+FROM sel
+"""
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 heavy-hitter words per source (operators/tokens.py
     heavy_hitters_per_group over whitespace words)."""
@@ -3820,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans_documents": _q_dup_ngrams,
         "heavy_hitter_tokens_documents": _q_heavy_hitters,
         "lttb_downsample_events": _q_lttb,
+        "histogram_quantile_events": _q_hist_quantile,
     }
 
 
@@ -3906,6 +3969,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_spans_documents": _DUP_NGRAM_SQL,
         "heavy_hitter_tokens_documents": _HEAVY_HITTERS_SQL,
         "lttb_downsample_events": _lttb_sql(),
+        "histogram_quantile_events": _hist_quantile_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

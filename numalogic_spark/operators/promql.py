@@ -282,3 +282,111 @@ def lttb_downsample(
     return (
         df.select(*cols).groupBy(source_col).applyInPandas(fn, schema=out_schema)
     )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    les: Sequence[float],
+    bucket_s: int = 3600,
+    value_col: str = "value",
+    source_col: str = "source",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Prometheus-style cumulative fixed-bucket histogram per (series,
+    time bucket): one row per `le` upper bound (plus +Inf) with the
+    CUMULATIVE count of values <= le.
+
+    Each input row increments exactly one raw bucket (its smallest
+    containing le — O(log buckets) per row, not a les-sized explode);
+    the cumulative view is a running sum over the tiny per-group bucket
+    rows. Cumulative fixed buckets are the mergeable quantile state:
+    O(buckets) per group, re-aggregable across retention tiers by plain
+    addition — the scale story PromQL histograms exist for.
+    """
+    fins = sorted(float(x) for x in les)
+    # smallest le >= value, else +Inf: a fold over the literal bounds
+    idx_expr = F.lit(float("inf"))
+    for b in reversed(fins):
+        idx_expr = F.when(F.col(value_col) <= F.lit(b), F.lit(b)).otherwise(idx_expr)
+    raw = (
+        df.groupBy(
+            F.col(source_col).alias("source"),
+            _bucket_start(F.col(ts_col), bucket_s).alias("bucket_s"),
+            idx_expr.alias("le"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # densify to the FULL configured bucket grid (a Prometheus histogram
+    # always carries every le, counted or not — quantile interpolation
+    # depends on the empty buckets being present): observed groups ×
+    # broadcast le literals, raw counts left-joined in
+    spark = df.sparkSession
+    les_df = spark.createDataFrame(
+        [(float(b),) for b in fins + [float("inf")]], "le double"
+    )
+    grid = (
+        raw.select("source", "bucket_s").distinct().crossJoin(F.broadcast(les_df))
+    )
+    dense = grid.join(raw, ["source", "bucket_s", "le"], "left").na.fill({"cnt": 0})
+    w = (
+        Window.partitionBy("source", "bucket_s")
+        .orderBy("le")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "source", "bucket_s", "le", F.sum("cnt").over(w).alias("cum_count")
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q: float = 0.9,
+) -> DataFrame:
+    """PromQL `histogram_quantile(q, ...)` over a cumulative fixed-bucket
+    histogram frame (source, bucket_s, le, cum_count): linear
+    interpolation inside the first bucket whose cumulative count reaches
+    rank = q·total; the +Inf bucket returns the largest finite bound and
+    the lowest bucket interpolates from 0 (the PromQL conventions).
+
+    Implementation is one lag window + one struct-min aggregation over
+    the (tiny) bucket rows — never touches raw samples.
+    """
+    w_ord = Window.partitionBy("source", "bucket_s").orderBy("le")
+    w_all = Window.partitionBy("source", "bucket_s")
+    cum_d = F.col("cum_count").cast("double")
+    h = (
+        hist.withColumn("prev_cum", F.lag(cum_d, 1, 0.0).over(w_ord))
+        .withColumn("prev_le", F.lag(F.col("le"), 1, 0.0).over(w_ord))
+        .withColumn("total", F.max(cum_d).over(w_all))
+        .withColumn(
+            "maxfin",
+            F.max(F.when(F.col("le") != float("inf"), F.col("le"))).over(w_all),
+        )
+        .withColumn("rank", F.lit(float(q)) * F.col("total"))
+    )
+    cand = h.filter(cum_d >= F.col("rank"))
+    sel = cand.groupBy("source", "bucket_s").agg(
+        F.min(
+            F.struct(
+                F.col("le").alias("le"),
+                F.col("prev_le").alias("prev_le"),
+                cum_d.alias("cum"),
+                F.col("prev_cum").alias("prev_cum"),
+                F.col("rank").alias("rank"),
+                F.col("maxfin").alias("maxfin"),
+                F.col("total").alias("total"),
+            )
+        ).alias("s")
+    )
+    phi = F.when(F.col("s.le") == float("inf"), F.col("s.maxfin")).otherwise(
+        F.col("s.prev_le")
+        + (F.col("s.le") - F.col("s.prev_le"))
+        * (F.col("s.rank") - F.col("s.prev_cum"))
+        / (F.col("s.cum") - F.col("s.prev_cum"))
+    )
+    return sel.select(
+        "source",
+        "bucket_s",
+        F.col("s.total").cast("bigint").alias("total"),
+        _r6(phi).alias("phi"),
+    )

@@ -329,3 +329,76 @@ def streaming_page_hinkley(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("has_prev", T.BooleanType()),
+        T.StructField("prev", T.DoubleType()),
+    ]
+)
+_CTR_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("adjusted", T.DoubleType()),
+        T.StructField("is_reset", T.BooleanType()),
+    ]
+)
+
+
+def streaming_counter_deltas(
+    stream_df: DataFrame,
+    source_col: str = "source",
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming twin of operators/promql.counter_deltas: the
+    reset-adjusted counter delta continued across micro-batches with ONE
+    scalar of state per series (the last counter value). Each series'
+    very first sample emits a NULL delta (no preceding interval), exactly
+    like the batch lag(); downstream bucket sums then re-aggregate to the
+    same increase/rate/resets as the batch path (batch ≡ stream on the
+    concatenated input — tested). Event-time-ordered arrival per series
+    assumed (the streaming_ewm contract)."""
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (source,) = key
+        has_prev, prev = state.get if state.exists else (False, 0.0)
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if not len(whole):
+            yield pd.DataFrame(
+                {c.name: pd.Series([], dtype="object") for c in _CTR_OUT_SCHEMA}
+            )
+            return
+        whole = whole.sort_values(ts_col, kind="mergesort")
+        adjusted, resets = [], []
+        for v in (float(x) for x in whole[value_col]):
+            if not has_prev:
+                adjusted.append(None)
+                resets.append(False)
+                has_prev = True
+            else:
+                d = v - prev
+                adjusted.append(d if d >= 0 else v)
+                resets.append(d < 0)
+            prev = v
+        state.update((bool(has_prev), float(prev)))
+        yield pd.DataFrame(
+            {
+                "source": source,
+                "event_ts": whole[ts_col].to_numpy(),
+                "value": whole[value_col].to_numpy(),
+                "adjusted": pd.array(adjusted, dtype="float64"),
+                "is_reset": resets,
+            }
+        )
+
+    return stream_df.groupBy(source_col).applyInPandasWithState(
+        fn,
+        outputStructType=_CTR_OUT_SCHEMA,
+        stateStructType=_CTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

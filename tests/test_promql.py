@@ -281,3 +281,82 @@ def test_lttb_keeps_spike(spark):
     )
     out = lttb_downsample(spark.createDataFrame(pdf), threshold=10).toPandas()
     assert (out["value"] == 500.0).any()
+
+
+def test_fixed_histogram_cumulative(spark):
+    from numalogic_spark.operators.promql import fixed_histogram
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 8,
+            "ts_s": [0, 1, 2, 3, 4, 5, 6, 7],
+            "event_id": range(8),
+            "value": [0.5, 1.5, 2.5, 2.5, 9.0, 9.5, 100.0, 3.0],
+        }
+    )
+    out = (
+        fixed_histogram(spark.createDataFrame(pdf), les=[1, 3, 10], bucket_s=3600)
+        .toPandas()
+        .sort_values("le")
+        .reset_index(drop=True)
+    )
+    # full grid including +Inf, cumulative counts
+    assert out["le"].tolist() == [1.0, 3.0, 10.0, np.inf]
+    assert out["cum_count"].tolist() == [1, 5, 7, 8]
+
+
+def test_histogram_quantile_interpolation(spark):
+    from numalogic_spark.operators.promql import fixed_histogram, histogram_quantile
+
+    # 10 values uniform in (0, 10]; buckets at 5 and 10: median rank=5
+    # falls exactly at cum(le=5)=5 -> phi = 0 + 5 * (5-0)/(5-0) = 5
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 10,
+            "ts_s": range(10),
+            "event_id": range(10),
+            "value": [float(i) for i in range(1, 11)],
+        }
+    )
+    hist = fixed_histogram(spark.createDataFrame(pdf), les=[5, 10], bucket_s=3600)
+    out = histogram_quantile(hist, q=0.5).toPandas()
+    assert out.loc[0, "total"] == 10
+    assert out.loc[0, "phi"] == pytest.approx(5.0)
+    # q=0.75 -> rank 7.5 inside (5,10] bucket: 5 + 5*(7.5-5)/(10-5) = 7.5
+    out75 = histogram_quantile(hist, q=0.75).toPandas()
+    assert out75.loc[0, "phi"] == pytest.approx(7.5)
+
+
+def test_histogram_quantile_inf_bucket(spark):
+    from numalogic_spark.operators.promql import fixed_histogram, histogram_quantile
+
+    # all mass above the largest finite le -> PromQL returns maxfin
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 4,
+            "ts_s": range(4),
+            "event_id": range(4),
+            "value": [50.0, 60.0, 70.0, 80.0],
+        }
+    )
+    hist = fixed_histogram(spark.createDataFrame(pdf), les=[1, 10], bucket_s=3600)
+    out = histogram_quantile(hist, q=0.9).toPandas()
+    assert out.loc[0, "phi"] == pytest.approx(10.0)
+
+
+def test_histogram_quantile_lowest_bucket_from_zero(spark):
+    from numalogic_spark.operators.promql import fixed_histogram, histogram_quantile
+
+    # all mass in the first bucket -> interpolate from lower bound 0
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 4,
+            "ts_s": range(4),
+            "event_id": range(4),
+            "value": [0.5, 1.0, 1.5, 2.0],
+        }
+    )
+    hist = fixed_histogram(spark.createDataFrame(pdf), les=[2, 10], bucket_s=3600)
+    out = histogram_quantile(hist, q=0.5).toPandas()
+    # rank=2, bucket (0,2]: 0 + 2*(2-0)/(4-0) = 1.0
+    assert out.loc[0, "phi"] == pytest.approx(1.0)

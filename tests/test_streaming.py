@@ -490,3 +490,76 @@ def test_streaming_page_hinkley_matches_batch(spark, tmp_path):
         g = g.reset_index(drop=True)
         first_alarm = g.index[g["alarm"]].min()
         assert 150 <= first_alarm <= 200
+
+
+def test_streaming_counter_deltas_match_batch(spark, tmp_path):
+    """Stateful streaming counter deltas ≡ the batch lag() kernel across
+    micro-batch splits (one scalar of state: the last counter value);
+    resets detected identically."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.promql import counter_deltas
+    from numalogic_spark.streaming.rollup_stream import streaming_counter_deltas
+
+    rng = np.random.default_rng(31)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for s in range(3):
+        c = 0.0
+        for i in range(120):
+            c += float(np.round(rng.uniform(0.5, 9.5), 2))
+            if c >= 150.0:
+                c -= 150.0  # wrap: a hard counter reset
+            rows.append((f"s{s}", t0 + dt.timedelta(seconds=10 * i), round(c, 2)))
+    pdf = pd.DataFrame(rows, columns=["source", "event_ts", "value"])
+    schema = "source string, event_ts timestamp, value double"
+
+    d = tmp_path / "ctr_src"
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        spark.createDataFrame(pdf.iloc[chunk], schema).repartition(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/part*")
+    )
+    q = (
+        streaming_counter_deltas(stream)
+        .writeStream.format("memory")
+        .queryName("ctrq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM ctrq")
+        .toPandas()
+        .sort_values(["source", "event_ts"], ignore_index=True)
+    )
+
+    batch_in = spark.createDataFrame(
+        pdf.assign(
+            ts_s=(pdf["event_ts"] - t0).dt.total_seconds().astype("int64"),
+            event_id=np.arange(len(pdf)),
+        )
+    )
+    exp = (
+        counter_deltas(batch_in)
+        .select(
+            "source", "event_ts", F.col("adjusted").cast("double"), "is_reset"
+        )
+        .toPandas()
+        .sort_values(["source", "event_ts"], ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["source"] == exp["source"]).all()
+    both_nan = got["adjusted"].isna() & exp["adjusted"].isna()
+    close = (got["adjusted"] - exp["adjusted"]).abs() < 1e-9
+    assert (both_nan | close).all()
+    assert (got["is_reset"].astype(bool) == exp["is_reset"].astype(bool)).all()
+    # at least one reset actually exercised
+    assert got["is_reset"].astype(bool).sum() > 0
