@@ -3707,6 +3707,46 @@ FROM pts p WHERE p.n <= {t}
 """
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every event matched to the mean of the last
+    COMPLETED hour of its series (stat stamped at bucket end — the
+    fitted-threshold-lookup pattern; operators/joins.py). Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from numalogic_spark.operators.joins import asof_join_backward
+
+    ev = _evt_series(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "source",
+            ((F.col("ts_s") - F.col("ts_s") % 3600) + 3600).alias("rt"),
+        )
+        .agg(
+            _r6(
+                F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("stat_mean")
+        )
+    )
+    return asof_join_backward(ev, hourly, right_ts="rt")
+
+
+_ASOF_SQL = """
+WITH b AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, value
+  FROM events
+), r AS (
+  SELECT source, (ts_s - ts_s % 3600) + 3600 AS rt,
+         floor((CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS stat_mean
+  FROM b GROUP BY 1, 2
+)
+SELECT b.source, b.ts_s, b.event_id, b.value,
+       r.rt AS asof_ts, r.stat_mean AS asof_stat_mean
+FROM b ASOF LEFT JOIN r ON b.source = r.source AND b.ts_s >= r.rt
+"""
+
+
 _HIST_LES = (1.0, 2.0, 3.0, 5.0, 8.0, 12.0, 20.0, 50.0)
 
 
@@ -3883,6 +3923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens_documents": _q_heavy_hitters,
         "lttb_downsample_events": _q_lttb,
         "histogram_quantile_events": _q_hist_quantile,
+        "asof_join_events": _q_asof,
     }
 
 
@@ -3970,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_tokens_documents": _HEAVY_HITTERS_SQL,
         "lttb_downsample_events": _lttb_sql(),
         "histogram_quantile_events": _hist_quantile_sql(),
+        "asof_join_events": _ASOF_SQL,
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —
