@@ -3707,6 +3707,58 @@ FROM pts p WHERE p.n <= {t}
 """
 
 
+_DSIR_VOCAB = 2000
+
+
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: unigram log p_target − log p_raw per doc
+    with target = English docs (operators/sampling.dsir_importance);
+    6dp-quantized log-ratios + decimal sums keep scores engine-exact."""
+    from numalogic_spark.operators.sampling import dsir_importance
+
+    return dsir_importance(
+        _docs(spark, sf_dir), F.col("lang") == "en", max_vocab=_DSIR_VOCAB
+    )
+
+
+def _dsir_sql(v: int = _DSIR_VOCAB) -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, is_t, t.w AS word FROM w, unnest(w.ws) AS t(w)
+), wc AS (
+  SELECT word, count(*) AS raw_c,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_c
+  FROM tok GROUP BY 1
+), vocab AS (
+  SELECT word, raw_c, tgt_c FROM wc ORDER BY raw_c DESC, word LIMIT {v}
+), vs AS (SELECT count(*) AS vv FROM vocab),
+tot AS (SELECT sum(raw_c) AS t_raw, sum(tgt_c) AS t_tgt FROM vocab),
+lr AS (
+  SELECT word,
+    CAST(floor(ln((tgt_c + 1.0) / (t_tgt + 1.0 * (vv + 1))) * 1000000 + 0.5) / 1000000.0
+       - floor(ln((raw_c + 1.0) / (t_raw + 1.0 * (vv + 1))) * 1000000 + 0.5) / 1000000.0
+       AS DECIMAL(28,6)) AS lr
+  FROM vocab, tot, vs
+), unk AS (
+  SELECT CAST(floor(ln(1.0 / (t_tgt + 1.0 * (vv + 1))) * 1000000 + 0.5) / 1000000.0
+            - floor(ln(1.0 / (t_raw + 1.0 * (vv + 1))) * 1000000 + 0.5) / 1000000.0
+            AS DECIMAL(28,6)) AS lr_unk
+  FROM tot, vs
+), sc AS (
+  SELECT tok.doc_id, count(*) AS n_tokens,
+         sum(coalesce(lr.lr, (SELECT lr_unk FROM unk))) AS lw
+  FROM tok LEFT JOIN lr USING (word) GROUP BY 1
+)
+SELECT w.doc_id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sc.lw, CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS log_weight
+FROM w LEFT JOIN sc USING (doc_id)
+"""
+
+
 def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: every event matched to the mean of the last
     COMPLETED hour of its series (stat stamped at bucket end — the
@@ -3924,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample_events": _q_lttb,
         "histogram_quantile_events": _q_hist_quantile,
         "asof_join_events": _q_asof,
+        "dsir_weights_documents": _q_dsir,
     }
 
 
@@ -4012,6 +4065,7 @@ def oracle_sql() -> dict[str, str]:
         "lttb_downsample_events": _lttb_sql(),
         "histogram_quantile_events": _hist_quantile_sql(),
         "asof_join_events": _ASOF_SQL,
+        "dsir_weights_documents": _dsir_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

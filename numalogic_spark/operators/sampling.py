@@ -177,3 +177,103 @@ def curriculum_order(
         .withColumn("ord", F.row_number().over(w_ord) - 1)
         .drop(tmp)
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 50_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023 — the unigram bag-of-words instantiation): score every
+    document by log p_target(doc) − log p_raw(doc) under add-α-smoothed
+    unigram models, where the target model is fit on the rows matching
+    `target_pred` (e.g. a trusted high-quality subset) and the raw model
+    on the whole corpus. Rank-descending and keep the head to select a
+    target-like training mix; weights are also the log of the importance
+    ratio for resampling.
+
+    Returns (doc_id, n_tokens, log_weight). Positive ⇒ more target-like
+    than the corpus average.
+
+    Engine shape (the classify.py discipline): ONE tokenize pass —
+    the word frame persists across the vocabulary pass and both count
+    passes; the model is a (V+1)-row broadcast table of 6dp-quantized
+    log-ratios (per-word quantization + decimal sums ⇒ the DuckDB oracle
+    replays scores bit-exactly); scoring is explode → broadcast join →
+    decimal sum, map-side combinable.
+    """
+    _q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    words = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    warr = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("is_target"),
+        words.alias("ws"),
+    ).persist()
+    try:
+        tok = warr.select("doc_id", "is_target", F.explode("ws").alias("word"))
+        wc = tok.groupBy("word").agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.sum(F.col("is_target").cast("bigint")).alias("tgt_c"),
+        )
+        vocab_rows = (
+            wc.orderBy(F.col("raw_c").desc(), F.col("word"))
+            .limit(int(max_vocab))
+            .collect()
+        )
+        v_size = len(vocab_rows)
+        spark = df.sparkSession
+        model = spark.createDataFrame(
+            [(r["word"], int(r["raw_c"]), int(r["tgt_c"])) for r in vocab_rows],
+            "word string, raw_c long, tgt_c long",
+        )
+        # in-vocab token totals per distribution: Σ over the model rows
+        # (model-sized re-agg — no second corpus pass)
+        totals = model.agg(
+            F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
+        )
+        denom_raw = F.col("t_raw") + F.lit(alpha) * F.lit(float(v_size + 1))
+        denom_tgt = F.col("t_tgt") + F.lit(alpha) * F.lit(float(v_size + 1))
+        lr = model.crossJoin(F.broadcast(totals)).select(
+            "word",
+            (
+                _q6(F.log((F.col("tgt_c") + F.lit(alpha)) / denom_tgt))
+                - _q6(F.log((F.col("raw_c") + F.lit(alpha)) / denom_raw))
+            ).cast("decimal(28,6)").alias("lr"),
+        )
+        unk = totals.select(
+            (
+                _q6(F.log(F.lit(alpha) / denom_tgt))
+                - _q6(F.log(F.lit(alpha) / denom_raw))
+            ).cast("decimal(28,6)").alias("lr_unk"),
+        )
+        scored = (
+            tok.select("doc_id", "word")
+            .join(F.broadcast(lr), "word", "left")
+            .crossJoin(F.broadcast(unk))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(F.coalesce(F.col("lr"), F.col("lr_unk"))).alias("lw"),
+            )
+        )
+        out = (
+            warr.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias(
+                    "n_tokens"
+                ),
+                F.coalesce(F.col("lw").cast("double"), F.lit(0.0)).alias(
+                    "log_weight"
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        warr.unpersist()

@@ -2,6 +2,7 @@
 accuracy, python-oracle parity of the hash, and budget math."""
 
 import numpy as np
+import pytest
 
 from numalogic_spark.operators.dedup import MERSENNE31
 from numalogic_spark.operators.sampling import (
@@ -151,3 +152,82 @@ def test_curriculum_order(spark):
     m = got.merge(got3, on="doc_id", suffixes=("", "_s"))
     assert (m["tier"] == m["tier_s"]).all()
     assert (m["ord"] != m["ord_s"]).any()
+
+
+def test_dsir_importance_direction(spark):
+    """Docs made of target-only words score positive; anti-target docs
+    negative; the empty doc scores 0 with 0 tokens."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.sampling import dsir_importance
+
+    rows = []
+    # target corpus says "alpha beta", the rest says "gamma delta"
+    for i in range(40):
+        rows.append((i, "alpha beta alpha beta", "en"))
+    for i in range(40, 80):
+        rows.append((i, "gamma delta gamma delta", "de"))
+    rows.append((80, "alpha alpha alpha", "de"))   # target-like outlier
+    rows.append((81, "gamma gamma gamma", "en"))   # anti-target outlier
+    rows.append((82, "", "en"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = (
+        dsir_importance(spark.createDataFrame(pdf), F.col("lang") == "en")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[80, "log_weight"] > 0       # target-like text
+    assert out.loc[81, "log_weight"] < 0       # anti-target text
+    assert out.loc[0, "log_weight"] > out.loc[40, "log_weight"]
+    assert out.loc[82, "n_tokens"] == 0 and out.loc[82, "log_weight"] == 0.0
+    assert len(out) == 83
+
+
+def test_dsir_matches_numpy_model(spark):
+    """Log-weights equal the brute-force smoothed unigram ratio (with the
+    engine's 6dp per-word quantization)."""
+    import numpy as np
+    import pandas as pd
+    from collections import Counter
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.sampling import dsir_importance
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        is_t = i % 3 == 0
+        probs = np.ones(30)
+        probs[:10] += 3.0 if is_t else 0.0   # target skews to first 10 words
+        probs /= probs.sum()
+        text = " ".join(rng.choice(vocab, size=25, p=probs))
+        rows.append((i, text, "en" if is_t else "de"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = (
+        dsir_importance(spark.createDataFrame(pdf), F.col("lang") == "en")
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    raw = Counter()
+    tgt = Counter()
+    for _, r in pdf.iterrows():
+        ws = r["text"].lower().split()
+        raw.update(ws)
+        if r["lang"] == "en":
+            tgt.update(ws)
+    V = len(raw)  # < max_vocab, all words in vocab
+    t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+    q6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def lr(w):
+        a = q6(np.log((tgt[w] + 1.0) / (t_tgt + 1.0 * (V + 1))))
+        b = q6(np.log((raw[w] + 1.0) / (t_raw + 1.0 * (V + 1))))
+        return a - b
+
+    for i in (0, 1, 30, 59):
+        ws = pdf.loc[i, "text"].lower().split()
+        exp = round(sum(lr(w) for w in ws), 6)
+        assert out.loc[i, "log_weight"] == pytest.approx(exp, abs=2e-6)
