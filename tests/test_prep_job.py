@@ -130,3 +130,56 @@ def test_diagnostics_job_end_to_end(tmp_path):
     assert rows["cusum"] == 5
     assert rows["hampel"] == 1000
     assert all(v > 0 for v in rows.values())
+
+
+@pytest.mark.skipif(not os.path.exists(SUBMIT), reason="spark-submit not available")
+def test_retention_job_end_to_end(tmp_path, spark):
+    """Retention/compaction pass: tier table in, retained set (partitioned
+    by tier) + per-tier audit out; kept+expired covers the input and the
+    retained output matches the audit counts."""
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.rollup import RollupConfig, histogram, rollup_tiers_fused
+
+    cfg = RollupConfig(
+        source_col="event_type", ts_col="ts", value_col="value",
+        integral_values=False, decimal_sum=True,
+    )
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tiers_path = tmp_path / "tiers"
+    rollup_tiers_fused(histogram(ev, cfg, "minute"), cfg).write.parquet(
+        str(tiers_path)
+    )
+    n_in = spark.read.parquet(str(tiers_path)).count()
+
+    zip_path = tmp_path / "pkg.zip"
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", str(zip_path), "numalogic_spark"],
+        cwd=REPO, check=True,
+    )
+    out = tmp_path / "retained"
+    audit = tmp_path / "audit"
+    r = subprocess.run(
+        [
+            SUBMIT, "--master", "local[4]", "--py-files", str(zip_path),
+            "jobs/retention_job.py",
+            "--input", str(tiers_path), "--output", str(out),
+            "--audit", str(audit),
+            "--policy", "1m=259200,1h=864000,1d=keep",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["job"] == "retention"
+    import duckdb
+
+    kept_total = sum(t["kept"] for t in summary["tiers"].values())
+    expired_total = sum(t["expired"] for t in summary["tiers"].values())
+    assert kept_total + expired_total == n_in
+    (n_out,) = duckdb.sql(f"select count(*) from '{out}/*/*.parquet'").fetchone()
+    assert n_out == kept_total
+    # tier-partitioned layout (directory-level pruning for tier reads)
+    assert any(p.name.startswith("tier=") for p in out.iterdir())
+    # daily tier is keep-forever
+    assert summary["tiers"]["1d"]["expired"] == 0
