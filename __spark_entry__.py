@@ -3707,6 +3707,87 @@ FROM pts p WHERE p.n <= {t}
 """
 
 
+def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-user sketch per (series, hour) next to
+    the exact count (operators/sketches.py): portable-hash registers, so
+    the ESTIMATE itself is oracle-replayable — Spark's built-in
+    approx_count_distinct never is."""
+    from numalogic_spark.operators.sketches import hll_distinct
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600).alias("bucket_s"),
+        "user_id",
+    )
+    est = hll_distinct(ev, "user_id", ["source", "bucket_s"], m=256)
+    exact = ev.groupBy("source", "bucket_s").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(est, ["source", "bucket_s"])
+
+
+def _hll_sql(m: int = 256) -> str:
+    from numalogic_spark.operators.dedup import MERSENNE31
+    from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
+
+    p = MERSENNE31
+
+    def fold(salt: int) -> str:
+        return (
+            f"(({_SAMPLE_A} * list_reduce(list_prepend(CAST({salt} AS BIGINT), "
+            "list_transform(generate_series(1, greatest(length(s), 1)), "
+            f"i -> CAST(ascii(s[i]) AS BIGINT))), "
+            f"(acc, c) -> (acc * {_CHAR_MULT} + c) % {p}) + {_SAMPLE_B}) % {p})"
+        )
+
+    return f"""
+WITH b AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_s,
+         CAST(user_id AS VARCHAR) AS s
+  FROM events
+), hashed AS (
+  SELECT source, bucket_s, s,
+         {fold(0)} % {m} AS register,
+         {fold(1)} AS h2
+  FROM b
+), regs AS (
+  SELECT source, bucket_s, register,
+         max(CASE WHEN h2 = 0 THEN 32 ELSE 32 - length(bin(CAST(h2 AS BIGINT))) END) AS max_rho
+  FROM hashed GROUP BY 1, 2, 3
+), grid AS (
+  SELECT g.source, g.bucket_s, r.register
+  FROM (SELECT DISTINCT source, bucket_s FROM regs) g
+  CROSS JOIN (SELECT unnest(range(0, {m})) AS register) r
+), dense AS (
+  SELECT g.source, g.bucket_s, coalesce(regs.max_rho, 0) AS max_rho
+  FROM grid g LEFT JOIN regs
+    ON regs.source = g.source AND regs.bucket_s = g.bucket_s
+   AND regs.register = g.register
+), agg AS (
+  SELECT source, bucket_s,
+         sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << max_rho AS DOUBLE)) AS sterm,
+         sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS v
+  FROM dense GROUP BY 1, 2
+), est AS (
+  SELECT source, bucket_s,
+         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST({m} AS DOUBLE)))
+           * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE) / sterm AS raw_e,
+         v
+  FROM agg
+)
+SELECT e.source, e.bucket_s,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       floor((CASE WHEN raw_e <= 2.5 * {m} AND v > 0
+              THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / CAST(v AS DOUBLE))
+              ELSE raw_e END) * 1000000 + 0.5) / 1000000.0 AS hll_estimate
+FROM est e
+JOIN (SELECT source, bucket_s, count(DISTINCT s) AS exact_distinct
+      FROM b GROUP BY 1, 2) x
+  ON x.source = e.source AND x.bucket_s = e.bucket_s
+"""
+
+
 _DSIR_VOCAB = 2000
 
 
@@ -3977,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile_events": _q_hist_quantile,
         "asof_join_events": _q_asof,
         "dsir_weights_documents": _q_dsir,
+        "hll_distinct_events": _q_hll,
     }
 
 
@@ -4066,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantile_events": _hist_quantile_sql(),
         "asof_join_events": _ASOF_SQL,
         "dsir_weights_documents": _dsir_sql(),
+        "hll_distinct_events": _hll_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

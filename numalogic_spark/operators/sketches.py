@@ -1,0 +1,101 @@
+"""Deterministic HyperLogLog distinct-count sketch.
+
+Exact COUNT DISTINCT at 10^12 rows means shuffling every distinct key;
+the HLL register table is the mergeable O(m)-per-group state that
+replaces it (the same role the value-histogram plays for quantiles and
+cumulative buckets for histogram_quantile). Spark's built-in
+`approx_count_distinct` IS an HLL — but its register hashing is
+engine-private, so its estimates can't be replayed by an external
+oracle. This sketch builds the registers from the repo's PORTABLE hash
+family (the dedup/sampling Carter-Wegman fold — identical arithmetic in
+any SQL engine), making the estimate itself hash-gateable:
+
+  register j  = h1(id) mod m          (h1: salt-0 portable hash)
+  rho         = 32 − bitlength(h2)    (h2: salt-1 portable hash, 31
+                bits; bitlength via bin() string length — INTEGER-exact
+                in both engines; h2 = 0 → rho = 32)
+  M_j         = max rho per register  (mergeable by max — registers
+                re-aggregate across retention tiers like everything
+                else in the cascade)
+  E           = α_m · m² / Σ_j 2^(−M_j)   (empty registers contribute
+                2^0 = 1; 2^(−M) computed as 1.0 / (1 << M) — exact
+                division by a power of two, no libm pow)
+  small-range = if E ≤ 2.5 m and V empty registers: E = m · ln(m / V)
+                (Flajolet et al. 2007 linear-counting correction)
+
+Standard error ≈ 1.04/√m (m = 256 → ~6.5%). The 31-bit rho source caps
+usable cardinality around 2^31 per register pattern — far above any
+per-(series, bucket) group this engine rolls up.
+
+Scale shape: one map-side-combinable groupBy to (group, register) max —
+the only shuffle, carrying ≤ m rows per group — then a dense
+m-register grid (groups × broadcast literals, the fixed-histogram
+densify) and a tiny per-group fold. No count-distinct anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from numalogic_spark.operators.sampling import portable_hash_long
+
+
+def hll_registers(
+    df: DataFrame,
+    id_col: str,
+    group_cols: Sequence[str],
+    m: int = 256,
+) -> DataFrame:
+    """(group..., register, max_rho) — the mergeable sketch state.
+    Missing registers mean max_rho 0; `hll_estimate` densifies."""
+    h1 = portable_hash_long(id_col, salt=0)
+    h2 = portable_hash_long(id_col, salt=1)
+    rho = F.when(h2 == 0, F.lit(32)).otherwise(
+        F.lit(32) - F.length(F.bin(h2)).cast("int")
+    )
+    return (
+        df.select(*group_cols, (h1 % F.lit(m)).alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    m: int = 256,
+) -> DataFrame:
+    """(group..., hll_estimate) from a register frame (dense or sparse)."""
+    gcols = list(group_cols)
+    spark = registers.sparkSession
+    reg_df = spark.createDataFrame([(i,) for i in range(m)], "register int")
+    grid = registers.select(*gcols).distinct().crossJoin(F.broadcast(reg_df))
+    dense = grid.join(registers, gcols + ["register"], "left").na.fill({"max_rho": 0})
+    # 2^(-M) as exact division by (1 << M): no libm pow in the fold
+    # (F.shiftleft takes only a literal shift — the SQL form takes a column)
+    term = F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), max_rho)").cast("double")
+    per_group = dense.groupBy(*gcols).agg(
+        F.sum(term).alias("s"),
+        F.sum((F.col("max_rho") == 0).cast("int")).alias("v"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw_e = alpha * F.lit(float(m)) * F.lit(float(m)) / F.col("s")
+    est = F.when(
+        (raw_e <= F.lit(2.5 * m)) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")),
+    ).otherwise(raw_e)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return per_group.select(*gcols, r6(est).alias("hll_estimate"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    id_col: str,
+    group_cols: Sequence[str],
+    m: int = 256,
+) -> DataFrame:
+    """Sketch estimate per group in one call (registers → estimate)."""
+    return hll_estimate(hll_registers(df, id_col, group_cols, m), group_cols, m)
