@@ -3707,6 +3707,43 @@ FROM pts p WHERE p.n <= {t}
 """
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of events per user (30 min gap): lag
+    boundary flag + running-sum session ids off ONE sort, then a
+    map-side-combinable per-session aggregate (operators/promql.py)."""
+    from numalogic_spark.operators.promql import sessionize
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s"), "event_id", "value"
+    )
+    return sessionize(ev, gap_s=1800, key_cols=("user_id",))
+
+
+_SESSIONIZE_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+         CAST(value AS DECIMAL(15,6)) AS vd
+  FROM events
+), f AS (
+  SELECT user_id, ts_s, event_id, vd,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS bnd
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), s AS (
+  SELECT user_id, ts_s, vd,
+         sum(bnd) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM f
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts_s) AS start_s, max(ts_s) AS end_s,
+       count(*) AS n_events,
+       max(ts_s) - min(ts_s) AS duration_s,
+       CAST(sum(vd) AS DOUBLE) AS value_sum
+FROM s GROUP BY 1, 2
+"""
+
+
 def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HLL distinct-user sketch per (series, hour) next to
     the exact count (operators/sketches.py): portable-hash registers, so
@@ -4059,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof,
         "dsir_weights_documents": _q_dsir,
         "hll_distinct_events": _q_hll,
+        "sessionize_events": _q_sessionize,
     }
 
 
@@ -4149,6 +4187,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": _ASOF_SQL,
         "dsir_weights_documents": _dsir_sql(),
         "hll_distinct_events": _hll_sql(),
+        "sessionize_events": _SESSIONIZE_SQL,
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -139,6 +139,20 @@ def main() -> None:
 
     import __spark_entry__ as E
 
+    # python-worker/Arrow warmup: the full job above is pure JVM, so the
+    # first pandas-UDF query in the loop would otherwise absorb the
+    # one-time worker-pool spawn + Arrow serializer init (~1.5 s measured
+    # — session infrastructure, not operator cost; the same reason the
+    # full job gets a codegen/file-listing warmup)
+    def _identity_batches(it):
+        yield from it
+
+    _noop(
+        spark.range(main_cores * 2)
+        .repartition(main_cores)
+        .mapInPandas(_identity_batches, "id long")
+    )
+
     for name in ("rollup_1m_events", "rollup_1d_events", "gapfill_1m_events",
                  "stateless_transforms", "difference_transform",
                  "dedup_exact_documents", "text_quality_documents",

@@ -390,3 +390,47 @@ def histogram_quantile(
         F.col("s.total").cast("bigint").alias("total"),
         _r6(phi).alias("phi"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int = 1800,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts_s",
+    order_cols: Sequence[str] = ("ts_s", "event_id"),
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gap-based sessionization: per key, events closer than `gap_s`
+    seconds to their predecessor share a session; a larger gap opens a
+    new one. Returns one row per session: (keys..., session_idx,
+    start_s, end_s, n_events, duration_s[, value_sum]).
+
+    The classic two-window composition — boundary flag from lag(ts),
+    session id as the running sum of boundaries — BOTH windows share
+    one exchange + one sort per key (same partitioning, same ordering),
+    then the per-session aggregate is map-side combinable. This is the
+    batch twin of Structured Streaming's session_window; at 10^12
+    events it is one shuffle, never an iterative merge.
+
+    value_sum uses a decimal cast (2-dp inputs ⇒ exact,
+    order-independent — the engine's cross-engine sum discipline).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    boundary = (
+        prev_ts.isNull() | (F.col(ts_col) - prev_ts > F.lit(int(gap_s)))
+    ).cast("bigint")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = df.withColumn("session_idx", F.sum(boundary).over(wrun))
+    aggs = [
+        F.min(F.col(ts_col)).alias("start_s"),
+        F.max(F.col(ts_col)).alias("end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col(ts_col)) - F.min(F.col(ts_col))).alias("duration_s"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast(_DEC)).cast("double").alias("value_sum")
+        )
+    return sess.groupBy(*keys, "session_idx").agg(*aggs)

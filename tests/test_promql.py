@@ -360,3 +360,64 @@ def test_histogram_quantile_lowest_bucket_from_zero(spark):
     out = histogram_quantile(hist, q=0.5).toPandas()
     # rank=2, bucket (0,2]: 0 + 2*(2-0)/(4-0) = 1.0
     assert out.loc[0, "phi"] == pytest.approx(1.0)
+
+
+def test_sessionize_bruteforce(spark):
+    from numalogic_spark.operators.promql import sessionize
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for u in range(5):
+        t = 0
+        eid = 0
+        for _ in range(60):
+            t += int(rng.choice([10, 60, 300, 2500], p=[0.4, 0.3, 0.2, 0.1]))
+            rows.append((u, t, u * 1000 + eid, float(np.round(rng.uniform(0, 9), 2))))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_s", "event_id", "value"])
+    out = (
+        sessionize(spark.createDataFrame(pdf), gap_s=1800)
+        .toPandas()
+        .sort_values(["user_id", "session_idx"], ignore_index=True)
+    )
+    for u, grp in pdf.groupby("user_id"):
+        srt = grp.sort_values(["ts_s", "event_id"])
+        sessions, cur = [], []
+        prev = None
+        for _, r in srt.iterrows():
+            if prev is not None and r["ts_s"] - prev <= 1800:
+                cur.append(r)
+            else:
+                if cur:
+                    sessions.append(cur)
+                cur = [r]
+            prev = r["ts_s"]
+        sessions.append(cur)
+        g = out[out["user_id"] == u].reset_index(drop=True)
+        assert len(g) == len(sessions)
+        for i, sess in enumerate(sessions):
+            assert g.loc[i, "session_idx"] == i + 1
+            assert g.loc[i, "start_s"] == sess[0]["ts_s"]
+            assert g.loc[i, "end_s"] == sess[-1]["ts_s"]
+            assert g.loc[i, "n_events"] == len(sess)
+            assert g.loc[i, "duration_s"] == sess[-1]["ts_s"] - sess[0]["ts_s"]
+            assert g.loc[i, "value_sum"] == pytest.approx(
+                round(sum(r["value"] for r in sess), 6)
+            )
+
+
+def test_sessionize_single_event_sessions(spark):
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts_s": [0, 10_000, 20_000],   # every gap > 1800
+            "event_id": [0, 1, 2],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    from numalogic_spark.operators.promql import sessionize
+
+    out = sessionize(spark.createDataFrame(pdf), gap_s=1800).toPandas()
+    assert len(out) == 3
+    assert (out["n_events"] == 1).all()
+    assert (out["duration_s"] == 0).all()
