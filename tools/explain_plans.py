@@ -161,6 +161,37 @@ def main() -> None:
         grab(bigram_perplexity(docs, vocab_size=50, checkpoint=False)),
     ))
 
+    # round 4 third wave: counter semantics, downsampling, as-of, sketch
+    from numalogic_spark.operators.joins import asof_join_backward
+    from numalogic_spark.operators.promql import (
+        counter_rate,
+        m4_downsample,
+        sessionize,
+    )
+    from numalogic_spark.operators.sketches import hll_distinct
+
+    sections.append((
+        "counter rate/increase/resets (ONE exchange: lag window + reset-adjusted deltas + map-side bucket agg on the same partitioning)",
+        grab(counter_rate(ev)),
+    ))
+    sections.append((
+        "M4 downsample (ONE exchange of partial struct-extremes — 4 points per pixel shuffle, not rows)",
+        grab(m4_downsample(ev)),
+    ))
+    right = hourly.select("source", (F.col("bucket_s") + 3600).alias("rt"), "val")
+    sections.append((
+        "as-of join (union + one sort; running last(struct) carry — no range-join triangle)",
+        grab(asof_join_backward(ev.select("source", "ts_s", "event_id", "value"), right, right_ts="rt")),
+    ))
+    sections.append((
+        "HLL distinct sketch (register groupBy partial-aggregates map-side; dense grid is groups x broadcast literals)",
+        grab(hll_distinct(ev.select("source", "ts_s", (F.col("event_id") % 100).alias("uid")), "uid", ["source"])),
+    ))
+    sections.append((
+        "sessionize (boundary lag + running session ids off one sort; per-session agg map-side combinable)",
+        grab(sessionize(ev.select(F.col("source").alias("user_id"), "ts_s", "event_id", "value"))),
+    ))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (`.explain(\"formatted\")`)\n\n")
         f.write("Generated by tools/explain_plans.py on the synthetic token table.\n")
