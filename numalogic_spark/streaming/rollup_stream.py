@@ -402,3 +402,47 @@ def streaming_counter_deltas(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_m4(
+    stream_df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    source_col: str = "source",
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of operators/promql.m4_downsample: the four struct
+    extremes are plain min/max aggregates — mergeable streaming state,
+    exactly 4 points + a count per (series, pixel) regardless of input
+    rate — under an event-time tumbling window + watermark. Append mode
+    emits each pixel once its watermark passes; batch ≡ stream on the
+    same input (tested)."""
+    v, t, i = F.col(value_col), F.unix_timestamp(F.col(ts_col)), F.col(id_col)
+    by_time = F.struct(t.alias("t"), i.alias("i"), v.alias("v"))
+    by_val = F.struct(v.alias("v"), t.alias("t"), i.alias("i"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(source_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(by_time).alias("first_p"),
+            F.max(by_time).alias("last_p"),
+            F.min(by_val).alias("min_p"),
+            F.max(by_val).alias("max_p"),
+        )
+        .select(
+            source_col,
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            "n",
+            F.col("first_p.t").alias("t_first"),
+            F.col("first_p.v").alias("v_first"),
+            F.col("last_p.t").alias("t_last"),
+            F.col("last_p.v").alias("v_last"),
+            F.col("min_p.t").alias("t_min"),
+            F.col("min_p.v").alias("v_min"),
+            F.col("max_p.t").alias("t_max"),
+            F.col("max_p.v").alias("v_max"),
+        )
+    )

@@ -563,3 +563,63 @@ def test_streaming_counter_deltas_match_batch(spark, tmp_path):
     assert (got["is_reset"].astype(bool) == exp["is_reset"].astype(bool)).all()
     # at least one reset actually exercised
     assert got["is_reset"].astype(bool).sum() > 0
+
+
+def test_streaming_m4_matches_batch(spark, tmp_path):
+    """Streaming M4 pixels ≡ the batch m4_downsample on the same input
+    (mergeable struct-extreme state across micro-batches)."""
+    import datetime as dt
+
+    from numalogic_spark.operators.promql import m4_downsample
+    from numalogic_spark.streaming.rollup_stream import streaming_m4
+
+    rng = np.random.default_rng(37)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for s in range(3):
+        for i in range(300):
+            rows.append(
+                (f"s{s}", t0 + dt.timedelta(seconds=60 * i), s * 1000 + i,
+                 float(np.round(rng.normal(10, 4), 2)))
+            )
+    pdf = pd.DataFrame(rows, columns=["source", "event_ts", "event_id", "value"])
+    schema = "source string, event_ts timestamp, event_id long, value double"
+
+    d = tmp_path / "m4_src"
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 3)):
+        spark.createDataFrame(pdf.iloc[chunk], schema).repartition(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/part*")
+    )
+    q = (
+        streaming_m4(stream, window="1 hour", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("m4q")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM m4q")
+        .toPandas()
+        .sort_values(["source", "bucket_s"], ignore_index=True)
+    )
+    batch_in = spark.createDataFrame(
+        pdf.assign(
+            ts_s=(pdf["event_ts"] - dt.datetime(1970, 1, 1)).dt.total_seconds().astype("int64")
+        )
+    )
+    exp = (
+        m4_downsample(batch_in, bucket_s=3600)
+        .toPandas()
+        .sort_values(["source", "bucket_s"], ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("n", "t_first", "v_first", "t_last", "v_last",
+              "t_min", "v_min", "t_max", "v_max"):
+        assert (got[c] == exp[c]).all(), c
