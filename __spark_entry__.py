@@ -3825,6 +3825,87 @@ JOIN (SELECT source, bucket_s, count(DISTINCT s) AS exact_distinct
 """
 
 
+def _q_hll_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL tier cascade: minute-level register tables merged by MAX up to
+    the hour, then estimated — the lossless sketch re-aggregation that
+    lets distinct counts ride the same retention ladder as the rollups.
+    The oracle computes the DIRECT hourly estimate; equality IS the
+    merge-losslessness proof, cross-engine."""
+    from numalogic_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 60).alias("bucket_1m"),
+        "user_id",
+    )
+    regs_1m = hll_registers(ev, "user_id", ["source", "bucket_1m"], m=256)
+    regs_1h = (
+        regs_1m.withColumn("bucket_s", F.col("bucket_1m") - F.col("bucket_1m") % 3600)
+        .groupBy("source", "bucket_s", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    return hll_estimate(regs_1h, ["source", "bucket_s"], m=256)
+
+
+def _hll_cascade_sql(m: int = 256) -> str:
+    # the direct hourly estimate == the merged-minute estimate iff the
+    # register merge is lossless; reuse the hourly sketch SQL minus the
+    # exact-count join
+    from numalogic_spark.operators.dedup import MERSENNE31
+    from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
+
+    p = MERSENNE31
+
+    def fold(salt: int) -> str:
+        return (
+            f"(({_SAMPLE_A} * list_reduce(list_prepend(CAST({salt} AS BIGINT), "
+            "list_transform(generate_series(1, greatest(length(s), 1)), "
+            f"i -> CAST(ascii(s[i]) AS BIGINT))), "
+            f"(acc, c) -> (acc * {_CHAR_MULT} + c) % {p}) + {_SAMPLE_B}) % {p})"
+        )
+
+    return f"""
+WITH b AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_s,
+         CAST(user_id AS VARCHAR) AS s
+  FROM events
+), hashed AS (
+  SELECT source, bucket_s, {fold(0)} % {m} AS register, {fold(1)} AS h2
+  FROM b
+), regs AS (
+  SELECT source, bucket_s, register,
+         max(CASE WHEN h2 = 0 THEN 32 ELSE 32 - length(bin(CAST(h2 AS BIGINT))) END) AS max_rho
+  FROM hashed GROUP BY 1, 2, 3
+), grid AS (
+  SELECT g.source, g.bucket_s, r.register
+  FROM (SELECT DISTINCT source, bucket_s FROM regs) g
+  CROSS JOIN (SELECT unnest(range(0, {m})) AS register) r
+), dense AS (
+  SELECT g.source, g.bucket_s, coalesce(regs.max_rho, 0) AS max_rho
+  FROM grid g LEFT JOIN regs
+    ON regs.source = g.source AND regs.bucket_s = g.bucket_s
+   AND regs.register = g.register
+), agg AS (
+  SELECT source, bucket_s,
+         sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << max_rho AS DOUBLE)) AS sterm,
+         sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS v
+  FROM dense GROUP BY 1, 2
+), est AS (
+  SELECT source, bucket_s,
+         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST({m} AS DOUBLE)))
+           * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE) / sterm AS raw_e,
+         v
+  FROM agg
+)
+SELECT source, bucket_s,
+       floor((CASE WHEN raw_e <= 2.5 * {m} AND v > 0
+              THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / CAST(v AS DOUBLE))
+              ELSE raw_e END) * 1000000 + 0.5) / 1000000.0 AS hll_estimate
+FROM est
+"""
+
+
 _DSIR_VOCAB = 2000
 
 
@@ -4097,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_documents": _q_dsir,
         "hll_distinct_events": _q_hll,
         "sessionize_events": _q_sessionize,
+        "hll_tier_cascade_events": _q_hll_cascade,
     }
 
 
@@ -4188,6 +4270,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights_documents": _dsir_sql(),
         "hll_distinct_events": _hll_sql(),
         "sessionize_events": _SESSIONIZE_SQL,
+        "hll_tier_cascade_events": _hll_cascade_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —
