@@ -3763,107 +3763,41 @@ def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, ["source", "bucket_s"])
 
 
-def _hll_sql(m: int = 256) -> str:
+def _hll_sql_builder(m: int = 256, include_exact: bool = True) -> str:
+    """ONE builder for both HLL oracles (per-hour sketch ± the exact
+    count join) — the register/estimate SQL must stay byte-identical
+    between the direct query and the tier-cascade query, whose hash gate
+    proves merge-losslessness against exactly this text."""
     from numalogic_spark.operators.dedup import MERSENNE31
     from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
+    from numalogic_spark.operators.sketches import MIX_C1, MIX_C2
 
     p = MERSENNE31
 
     def fold(salt: int) -> str:
-        return (
+        raw = (
             f"(({_SAMPLE_A} * list_reduce(list_prepend(CAST({salt} AS BIGINT), "
             "list_transform(generate_series(1, greatest(length(s), 1)), "
             f"i -> CAST(ascii(s[i]) AS BIGINT))), "
             f"(acc, c) -> (acc * {_CHAR_MULT} + c) % {p}) + {_SAMPLE_B}) % {p})"
         )
+        # two quadratic-map avalanche rounds (sketches._mix)
+        r1 = f"(({raw}) * ({raw}) + {MIX_C1}) % {p}"
+        return f"((({r1}) * ({r1}) + {MIX_C2}) % {p})"
 
-    return f"""
-WITH b AS (
-  SELECT event_type AS source,
-         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_s,
-         CAST(user_id AS VARCHAR) AS s
-  FROM events
-), hashed AS (
-  SELECT source, bucket_s, s,
-         {fold(0)} % {m} AS register,
-         {fold(1)} AS h2
-  FROM b
-), regs AS (
-  SELECT source, bucket_s, register,
-         max(CASE WHEN h2 = 0 THEN 32 ELSE 32 - length(bin(CAST(h2 AS BIGINT))) END) AS max_rho
-  FROM hashed GROUP BY 1, 2, 3
-), grid AS (
-  SELECT g.source, g.bucket_s, r.register
-  FROM (SELECT DISTINCT source, bucket_s FROM regs) g
-  CROSS JOIN (SELECT unnest(range(0, {m})) AS register) r
-), dense AS (
-  SELECT g.source, g.bucket_s, coalesce(regs.max_rho, 0) AS max_rho
-  FROM grid g LEFT JOIN regs
-    ON regs.source = g.source AND regs.bucket_s = g.bucket_s
-   AND regs.register = g.register
-), agg AS (
-  SELECT source, bucket_s,
-         sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << max_rho AS DOUBLE)) AS sterm,
-         sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS v
-  FROM dense GROUP BY 1, 2
-), est AS (
-  SELECT source, bucket_s,
-         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST({m} AS DOUBLE)))
-           * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE) / sterm AS raw_e,
-         v
-  FROM agg
-)
-SELECT e.source, e.bucket_s,
-       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
-       floor((CASE WHEN raw_e <= 2.5 * {m} AND v > 0
-              THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / CAST(v AS DOUBLE))
-              ELSE raw_e END) * 1000000 + 0.5) / 1000000.0 AS hll_estimate
-FROM est e
+    exact_cols = (
+        ",\n       CAST(x.exact_distinct AS BIGINT) AS exact_distinct"
+        if include_exact
+        else ""
+    )
+    exact_join = (
+        """
 JOIN (SELECT source, bucket_s, count(DISTINCT s) AS exact_distinct
       FROM b GROUP BY 1, 2) x
-  ON x.source = e.source AND x.bucket_s = e.bucket_s
-"""
-
-
-def _q_hll_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL tier cascade: minute-level register tables merged by MAX up to
-    the hour, then estimated — the lossless sketch re-aggregation that
-    lets distinct counts ride the same retention ladder as the rollups.
-    The oracle computes the DIRECT hourly estimate; equality IS the
-    merge-losslessness proof, cross-engine."""
-    from numalogic_spark.operators.sketches import hll_estimate, hll_registers
-
-    ev = _events(spark, sf_dir).select(
-        F.col("event_type").alias("source"),
-        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 60).alias("bucket_1m"),
-        "user_id",
+  ON x.source = e.source AND x.bucket_s = e.bucket_s"""
+        if include_exact
+        else ""
     )
-    regs_1m = hll_registers(ev, "user_id", ["source", "bucket_1m"], m=256)
-    regs_1h = (
-        regs_1m.withColumn("bucket_s", F.col("bucket_1m") - F.col("bucket_1m") % 3600)
-        .groupBy("source", "bucket_s", "register")
-        .agg(F.max("max_rho").alias("max_rho"))
-    )
-    return hll_estimate(regs_1h, ["source", "bucket_s"], m=256)
-
-
-def _hll_cascade_sql(m: int = 256) -> str:
-    # the direct hourly estimate == the merged-minute estimate iff the
-    # register merge is lossless; reuse the hourly sketch SQL minus the
-    # exact-count join
-    from numalogic_spark.operators.dedup import MERSENNE31
-    from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
-
-    p = MERSENNE31
-
-    def fold(salt: int) -> str:
-        return (
-            f"(({_SAMPLE_A} * list_reduce(list_prepend(CAST({salt} AS BIGINT), "
-            "list_transform(generate_series(1, greatest(length(s), 1)), "
-            f"i -> CAST(ascii(s[i]) AS BIGINT))), "
-            f"(acc, c) -> (acc * {_CHAR_MULT} + c) % {p}) + {_SAMPLE_B}) % {p})"
-        )
-
     return f"""
 WITH b AS (
   SELECT event_type AS source,
@@ -3898,12 +3832,38 @@ WITH b AS (
          v
   FROM agg
 )
-SELECT source, bucket_s,
+SELECT e.source, e.bucket_s{exact_cols},
        floor((CASE WHEN raw_e <= 2.5 * {m} AND v > 0
               THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / CAST(v AS DOUBLE))
               ELSE raw_e END) * 1000000 + 0.5) / 1000000.0 AS hll_estimate
-FROM est
+FROM est e{exact_join}
 """
+
+
+def _q_hll_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL tier cascade: minute-level register tables merged by MAX up to
+    the hour, then estimated — the lossless sketch re-aggregation that
+    lets distinct counts ride the same retention ladder as the rollups.
+    The oracle computes the DIRECT hourly estimate; equality IS the
+    merge-losslessness proof, cross-engine."""
+    from numalogic_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 60).alias("bucket_1m"),
+        "user_id",
+    )
+    regs_1m = hll_registers(ev, "user_id", ["source", "bucket_1m"], m=256)
+    regs_1h = (
+        regs_1m.withColumn("bucket_s", F.col("bucket_1m") - F.col("bucket_1m") % 3600)
+        .groupBy("source", "bucket_s", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    return hll_estimate(regs_1h, ["source", "bucket_s"], m=256)
+
+
+def _hll_cascade_sql(m: int = 256) -> str:
+    return _hll_sql_builder(m, include_exact=False)
 
 
 _DSIR_VOCAB = 2000
@@ -4268,7 +4228,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantile_events": _hist_quantile_sql(),
         "asof_join_events": _ASOF_SQL,
         "dsir_weights_documents": _dsir_sql(),
-        "hll_distinct_events": _hll_sql(),
+        "hll_distinct_events": _hll_sql_builder(),
         "sessionize_events": _SESSIONIZE_SQL,
         "hll_tier_cascade_events": _hll_cascade_sql(),
     }

@@ -39,3 +39,15 @@ def let_bind(expr: Column, body: Callable[[Column], Column]) -> Column:
     NamedLambdaVariable instead of the expression tree.
     """
     return F.element_at(F.transform(F.array(expr), body), 1)
+
+
+def round6(c: Column) -> Column:
+    """THE cross-engine 6-dp rounding: floor(x·1e6 + 0.5) / 1e6.
+
+    Spark's round() is HALF_UP, DuckDB's is half-to-even — on exact .5
+    ties (common for means of 2-dp values) they disagree; floor has one
+    definition everywhere. Load-bearing for every driver hash gate: use
+    this helper, don't re-derive it (the same expression shape must
+    appear in the oracle SQL as floor(x * 1000000 + 0.5) / 1000000.0).
+    """
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)

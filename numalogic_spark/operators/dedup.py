@@ -1136,40 +1136,58 @@ def duplicate_ngram_spans(
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("_ws")).select(
         "doc_id", grams.alias("_gs")
     )
-    # (gram, doc) with per-doc multiplicity: one shuffle, map-side combined
+    # (gram, doc) with per-doc multiplicity: one shuffle, map-side
+    # combined. gd feeds THREE consumers (flagged, dup, per-doc totals)
+    # — persist it so the tokenize+md5+explode pipeline runs ONCE, not
+    # three times (Spark does not dedup identical subtrees; verified in
+    # the executed plan). Per-doc totals derive from gd (Σ c per doc ==
+    # gram-start count), so the only other input touch is an id-column
+    # scan for the zero-gram docs.
     gd = (
         base.select("doc_id", F.explode("_gs").alias("gram"))
         .groupBy("gram", "doc_id")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
-    flagged = (
-        gd.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("gram")
-    )
-    dup = (
-        gd.join(flagged, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_dup_grams"))
-    )
-    totals = base.select(
-        "doc_id", F.size("_gs").cast("bigint").alias("n_grams")
-    )
-    return totals.join(dup, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("bigint").alias("n_dup_grams"),
-        F.when(
-            F.col("n_grams") > 0,
-            F.floor(
-                F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
-                / F.col("n_grams").cast("double")
-                * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            / F.lit(1e6),
+    ).persist()
+    try:
+        flagged = (
+            gd.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("gram")
         )
-        .otherwise(F.lit(0.0))
-        .alias("dup_frac"),
-    )
+        dup = (
+            gd.join(flagged, "gram", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("n_dup_grams"))
+        )
+        totals = gd.groupBy("doc_id").agg(F.sum("c").alias("n_grams"))
+        ids = df.select(F.col(id_col).alias("doc_id"))
+        out = (
+            ids.join(totals, "doc_id", "left")
+            .join(dup, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_grams"), F.lit(0))
+                .cast("bigint")
+                .alias("n_grams"),
+                F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                .cast("bigint")
+                .alias("n_dup_grams"),
+                F.when(
+                    F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                    F.floor(
+                        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
+                        / F.col("n_grams").cast("double")
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("dup_frac"),
+            )
+        )
+        # doc-count-sized: materialize so the persist can be released
+        return out.localCheckpoint(eager=True)
+    finally:
+        gd.unpersist()

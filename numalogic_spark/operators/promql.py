@@ -135,7 +135,9 @@ def counter_rate(
 
 
 def _r6(c: Column) -> Column:
-    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    from numalogic_spark.functions.exprs import round6
+
+    return round6(c)
 
 
 def m4_downsample(
@@ -257,6 +259,10 @@ def lttb_downsample(
     areas as raw IEEE doubles in one fixed expression shape, ties to
     the first maximal point.
     """
+    if threshold < 3:
+        raise ValueError(
+            f"LTTB needs threshold >= 3 (first + last + >=1 bucket), got {threshold}"
+        )
     import pandas as pd
 
     out_schema = (
@@ -316,6 +322,11 @@ def fixed_histogram(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # raw feeds BOTH the group-distinct grid and the densify join; cut
+    # the diamond (Spark does not dedup identical subtrees — without
+    # this the full-input bucket aggregation runs twice). raw is
+    # (groups × ≤ les+1) rows — model-sized.
+    raw = raw.localCheckpoint(eager=False)
     # densify to the FULL configured bucket grid (a Prometheus histogram
     # always carries every le, counted or not — quantile interpolation
     # depends on the empty buckets being present): observed groups ×
@@ -350,7 +361,13 @@ def histogram_quantile(
 
     Implementation is one lag window + one struct-min aggregation over
     the (tiny) bucket rows — never touches raw samples.
+
+    `q` must lie in (0, 1]: q > 1 would silently drop every group (no
+    bucket reaches rank) and q = 0 hits 0/0 — both rejected here rather
+    than silently diverging from PromQL's ±Inf conventions.
     """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
     w_ord = Window.partitionBy("source", "bucket_s").orderBy("le")
     w_all = Window.partitionBy("source", "bucket_s")
     cum_d = F.col("cum_count").cast("double")

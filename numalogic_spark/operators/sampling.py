@@ -207,7 +207,8 @@ def dsir_importance(
     replays scores bit-exactly); scoring is explode → broadcast join →
     decimal sum, map-side combinable.
     """
-    _q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    from numalogic_spark.functions.exprs import round6 as _q6
+
     words = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     warr = df.select(
         F.col(id_col).alias("doc_id"),

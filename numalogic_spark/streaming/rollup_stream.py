@@ -353,6 +353,7 @@ def streaming_counter_deltas(
     source_col: str = "source",
     ts_col: str = "event_ts",
     value_col: str = "value",
+    order_cols: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Stateful streaming twin of operators/promql.counter_deltas: the
     reset-adjusted counter delta continued across micro-batches with ONE
@@ -361,7 +362,12 @@ def streaming_counter_deltas(
     like the batch lag(); downstream bucket sums then re-aggregate to the
     same increase/rate/resets as the batch path (batch ≡ stream on the
     concatenated input — tested). Event-time-ordered arrival per series
-    assumed (the streaming_ewm contract)."""
+    assumed (the streaming_ewm contract); timestamps must be UNIQUE per
+    series unless `order_cols` supplies a total-order tie-break (e.g.
+    ("event_ts", "event_id") to mirror the batch ordering) — without
+    one, duplicate-ts rows process in shuffle arrival order and the
+    reset/delta output is run-dependent."""
+    sort_cols = list(order_cols) if order_cols else [ts_col]
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (source,) = key
@@ -372,7 +378,7 @@ def streaming_counter_deltas(
                 {c.name: pd.Series([], dtype="object") for c in _CTR_OUT_SCHEMA}
             )
             return
-        whole = whole.sort_values(ts_col, kind="mergesort")
+        whole = whole.sort_values(sort_cols, kind="mergesort")
         adjusted, resets = [], []
         for v in (float(x) for x in whole[value_col]):
             if not has_prev:

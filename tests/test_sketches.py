@@ -74,3 +74,22 @@ def test_hll_partitioning_invariant(spark):
         .sort_values("grp", ignore_index=True)
     )
     assert (e1["hll_estimate"] == e16["hll_estimate"]).all()
+
+
+def test_hll_sequential_ids_within_error(spark):
+    """The regression the quadratic mixer exists for: sequential integer
+    ids (auto-increment shape) must estimate as well as random ids —
+    the raw affine char fold measured −59% here."""
+    rows = []
+    for g, (base, n) in enumerate((( 10_000, 2000), (500_000, 8000))):
+        for i in range(base, base + n):
+            rows.append((f"g{g}", i))
+    pdf = pd.DataFrame(rows, columns=["grp", "uid"])
+    out = (
+        hll_distinct(spark.createDataFrame(pdf), "uid", ["grp"], m=256)
+        .toPandas()
+        .set_index("grp")
+    )
+    for g, exact in (("g0", 2000), ("g1", 8000)):
+        est = out.loc[g, "hll_estimate"]
+        assert abs(est - exact) / exact < 0.26, (g, est, exact)
