@@ -3744,6 +3744,74 @@ FROM s GROUP BY 1, 2
 """
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join of click-sessions against error-sessions
+    per user (grid-bucketed equi-join + dedup + exact verify — never the
+    per-key cartesian; operators/joins.py). Oracle: DuckDB runs the
+    plain range join over the same sessionized CTEs."""
+    from numalogic_spark.operators.joins import interval_overlap_join
+    from numalogic_spark.operators.promql import sessionize
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        "value",
+    )
+
+    def sessions(etype: str) -> DataFrame:
+        # 12 h gap: per-user events sit hours apart at small SF, so a
+        # 30-min gap would yield only single-event, never-overlapping
+        # sessions (a vacuous join); 12 h chains them into multi-day
+        # sessions that genuinely interleave across types
+        return sessionize(
+            ev.filter(F.col("event_type") == etype), gap_s=43200,
+            key_cols=("user_id",), value_col=None,
+        ).select("user_id", "session_idx", "start_s", "end_s")
+
+    return interval_overlap_join(
+        sessions("click"),
+        sessions("error").withColumnRenamed("session_idx", "session_idx_r"),
+        key_cols=("user_id",),
+        l_id="session_idx",
+        r_id="session_idx_r",
+        grid_s=86400,
+    )
+
+
+def _interval_join_sql() -> str:
+    def sess(etype: str) -> str:
+        return f"""
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         min(ts_s) AS start_s, max(ts_s) AS end_s
+  FROM (
+    SELECT user_id, ts_s,
+           sum(bnd) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    FROM (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+             CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 43200
+                  THEN 1 ELSE 0 END AS bnd
+      FROM events WHERE event_type = '{etype}'
+      WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id)
+    )
+  ) GROUP BY 1, 2"""
+
+    return f"""
+WITH l AS ({sess("click")}),
+r AS ({sess("error")})
+SELECT l.user_id, l.session_idx,
+       l.start_s AS l_start_s, l.end_s AS l_end_s,
+       r.session_idx AS session_idx_r,
+       r.start_s AS r_start_s, r.end_s AS r_end_s
+FROM l JOIN r ON l.user_id = r.user_id
+ AND l.start_s <= r.end_s AND r.start_s <= l.end_s
+"""
+
+
 def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HLL distinct-user sketch per (series, hour) next to
     the exact count (operators/sketches.py): portable-hash registers, so
@@ -4139,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_events": _q_hll,
         "sessionize_events": _q_sessionize,
         "hll_tier_cascade_events": _q_hll_cascade,
+        "interval_overlap_join_events": _q_interval_join,
     }
 
 
@@ -4231,6 +4300,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_events": _hll_sql_builder(),
         "sessionize_events": _SESSIONIZE_SQL,
         "hll_tier_cascade_events": _hll_cascade_sql(),
+        "interval_overlap_join_events": _interval_join_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -108,3 +108,72 @@ def asof_join_backward(
         m["ts"].alias("asof_ts"),
         *[m[c].alias(f"asof_{c}") for c in rpay],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    l_id: str = "l_id",
+    r_id: str = "r_id",
+    l_start: str = "start_s",
+    l_end: str = "end_s",
+    r_start: str = "start_s",
+    r_end: str = "end_s",
+    grid_s: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) interval pairs sharing a
+    key whose CLOSED time ranges intersect (l_start <= r_end AND
+    r_start <= l_end).
+
+    The naive formulation is a range join — Spark plans it as a
+    per-key cartesian with a post-filter, quadratic in intervals per
+    key. Here each interval instead explodes onto the fixed grid cells
+    it covers (`sequence(start // grid_s, end // grid_s)`), candidate
+    pairs come from an EQUI-join on (key, cell) — shuffle-partitionable,
+    AQE-skew-splittable — and are deduped on (key, l_id, r_id) before
+    the exact overlap verify. The classic spatial-binning reduction:
+    candidates ∝ true overlaps + grid-alignment noise, never n².
+
+    `grid_s` trades duplication for selectivity: intervals spanning k
+    cells appear k times pre-dedup, so pick a grid near the typical
+    interval length (the same knob as geohash precision). Interval ids
+    (`l_id`/`r_id`) must be unique per side within a key.
+    """
+    keys = list(key_cols)
+
+    def cells(df: DataFrame, sc: str, ec: str) -> Column:
+        return F.explode(
+            F.sequence(
+                (F.col(sc) / F.lit(grid_s)).cast("bigint"),
+                (F.col(ec) / F.lit(grid_s)).cast("bigint"),
+            )
+        )
+
+    la = left.select(
+        *keys,
+        F.col(l_id).alias("_lid"),
+        F.col(l_start).alias("_ls"),
+        F.col(l_end).alias("_le"),
+        cells(left, l_start, l_end).alias("_cell"),
+    )
+    ra = right.select(
+        *keys,
+        F.col(r_id).alias("_rid"),
+        F.col(r_start).alias("_rs"),
+        F.col(r_end).alias("_re"),
+        cells(right, r_start, r_end).alias("_cell"),
+    )
+    cand = la.join(ra, keys + ["_cell"]).dropDuplicates(keys + ["_lid", "_rid"])
+    return (
+        cand.filter((F.col("_ls") <= F.col("_re")) & (F.col("_rs") <= F.col("_le")))
+        .select(
+            *keys,
+            F.col("_lid").alias(l_id),
+            F.col("_ls").alias("l_start_s"),
+            F.col("_le").alias("l_end_s"),
+            F.col("_rid").alias(r_id),
+            F.col("_rs").alias("r_start_s"),
+            F.col("_re").alias("r_end_s"),
+        )
+    )

@@ -102,3 +102,51 @@ def test_asof_collision_guard(spark):
     bad_left = ldf.withColumnRenamed("value", "asof_stat")
     with pytest.raises(ValueError):
         asof_join_backward(bad_left, rdf, right_ts="rt")
+
+
+def test_interval_overlap_join_bruteforce(spark):
+    from numalogic_spark.operators.joins import interval_overlap_join
+
+    rng = np.random.default_rng(29)
+    lrows, rrows = [], []
+    for u in range(4):
+        for i in range(25):
+            s = int(rng.integers(0, 500_000))
+            lrows.append((u, i, s, s + int(rng.integers(10, 20_000))))
+        for j in range(25):
+            s = int(rng.integers(0, 500_000))
+            rrows.append((u, j, s, s + int(rng.integers(10, 20_000))))
+    lpdf = pd.DataFrame(lrows, columns=["user_id", "lid", "start_s", "end_s"])
+    rpdf = pd.DataFrame(rrows, columns=["user_id", "rid", "start_s", "end_s"])
+    got = (
+        interval_overlap_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            l_id="lid",
+            r_id="rid",
+            grid_s=7000,
+        )
+        .toPandas()
+        .sort_values(["user_id", "lid", "rid"], ignore_index=True)
+    )
+    exp = []
+    for u in range(4):
+        for _, l in lpdf[lpdf["user_id"] == u].iterrows():
+            for _, r in rpdf[rpdf["user_id"] == u].iterrows():
+                if l["start_s"] <= r["end_s"] and r["start_s"] <= l["end_s"]:
+                    exp.append((u, l["lid"], r["rid"]))
+    exp = sorted(exp)
+    assert list(map(tuple, got[["user_id", "lid", "rid"]].to_numpy())) == exp
+    assert len(exp) > 50  # fixture actually exercises overlaps
+
+
+def test_interval_overlap_no_cross_key_pairs(spark):
+    from numalogic_spark.operators.joins import interval_overlap_join
+
+    lpdf = pd.DataFrame({"user_id": [1], "lid": [0], "start_s": [0], "end_s": [100]})
+    rpdf = pd.DataFrame({"user_id": [2], "rid": [0], "start_s": [0], "end_s": [100]})
+    out = interval_overlap_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+        l_id="lid", r_id="rid", grid_s=50,
+    )
+    assert out.count() == 0
