@@ -452,3 +452,44 @@ def streaming_m4(
             F.col("max_p.v").alias("v_max"),
         )
     )
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/promql.sessionize, built on Spark's
+    native `session_window` (dynamic-gap event-time windows with
+    watermark-driven state eviction — the engine-managed version of the
+    batch lag+cumsum construction). Emits one row per closed session:
+    (key, start_s, end_s, n_events, duration_s, value_sum).
+
+    Note the session END convention differs from batch: session_window's
+    window end = last event + gap, so `end_s`/`duration_s` here are
+    derived from max(event time) to stay batch-comparable (tested)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_timestamp(F.col(ts_col))).alias("start_s"),
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("end_s"),
+            F.sum(F.col(value_col).cast("decimal(15,6)")).cast("double").alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            key_col,
+            "start_s",
+            "end_s",
+            "n_events",
+            (F.col("end_s") - F.col("start_s")).alias("duration_s"),
+            "value_sum",
+        )
+    )

@@ -623,3 +623,83 @@ def test_streaming_m4_matches_batch(spark, tmp_path):
     for c in ("n", "t_first", "v_first", "t_last", "v_last",
               "t_min", "v_min", "t_max", "v_max"):
         assert (got[c] == exp[c]).all(), c
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Native session_window streaming sessions ≡ the batch lag+cumsum
+    sessionize on the same input. Append mode only emits sessions the
+    watermark has CLOSED, and availableNow does not advance the
+    watermark after the final batch — so a far-future sentinel event per
+    key rides in a last file to flush every real session (its own
+    session is filtered out of the comparison). Gap semantics:
+    session_window splits at delta >= gap; batch splits at delta > gap_s
+    — equivalent at gap_s = gap - 1 on integral-second data."""
+    import datetime as dt
+
+    from numalogic_spark.operators.promql import sessionize
+    from numalogic_spark.streaming.rollup_stream import streaming_sessionize
+
+    rng = np.random.default_rng(43)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for u in range(4):
+        t = 0
+        for i in range(80):
+            t += int(rng.choice([30, 300, 2000], p=[0.5, 0.3, 0.2]))
+            rows.append((u, t0 + dt.timedelta(seconds=t), u * 1000 + i,
+                         float(np.round(rng.uniform(0, 5), 2))))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_ts", "event_id", "value"])
+    schema = "user_id long, event_ts timestamp, event_id long, value double"
+
+    d = tmp_path / "sess_src"
+    # chunk by EVENT TIME, not row index: the fixture lays users out
+    # sequentially, so index chunks would deliver user 1's early events
+    # after user 0's late ones — the watermark would (correctly) drop
+    # them as late data, which is not what this test probes
+    by_time = pdf.sort_values("event_ts", ignore_index=True)
+    for i, chunk in enumerate(np.array_split(np.arange(len(by_time)), 3)):
+        spark.createDataFrame(by_time.iloc[chunk], schema).repartition(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    flush_ts = t0 + dt.timedelta(days=10)
+    sentinel = pd.DataFrame(
+        {"user_id": range(4), "event_ts": [flush_ts] * 4,
+         "event_id": [10**6 + u for u in range(4)], "value": [0.0] * 4}
+    )
+    spark.createDataFrame(sentinel, schema).repartition(1).write.parquet(
+        str(d / "part_flush")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/part*")
+    )
+    q = (
+        streaming_sessionize(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sessq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cutoff = int(flush_ts.timestamp())
+    got = (
+        spark.sql(f"SELECT * FROM sessq WHERE start_s < {cutoff}")
+        .toPandas()
+        .sort_values(["user_id", "start_s"], ignore_index=True)
+    )
+    batch_in = spark.createDataFrame(
+        pdf.assign(
+            ts_s=(pdf["event_ts"] - dt.datetime(1970, 1, 1)).dt.total_seconds().astype("int64")
+        )
+    )
+    exp = (
+        sessionize(batch_in, gap_s=1799, key_cols=("user_id",))
+        .toPandas()
+        .sort_values(["user_id", "start_s"], ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("start_s", "end_s", "n_events", "duration_s"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert np.allclose(got["value_sum"], exp["value_sum"])
