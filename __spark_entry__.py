@@ -970,6 +970,38 @@ FROM s
 """
 
 
+def _q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percent-rank calibration of the quality score
+    (sampling.quantile_transform): raw heuristic scores become
+    cross-domain-comparable quantiles before mixture planning."""
+    from numalogic_spark.operators.sampling import quantile_transform
+    from numalogic_spark.operators.textstats import text_stats
+
+    docs = _docs(spark, sf_dir)
+    qs = text_stats(docs, "text", "doc_id").select(
+        "doc_id", _r6("quality_score").alias("quality_score")
+    )
+    j = qs.join(docs.select("doc_id", "source"), "doc_id")
+    return quantile_transform(j, "quality_score", ("source",))
+
+
+_QUALITY_CALIBRATION_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    floor((least(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) / 100.0, 1.0) * 0.4
+         + least(len(list_filter(list_distinct(string_split_regex(lower(text), '\s+')), x -> x <> '')) * 1.0
+                 / len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')), 1.0) * 0.4
+         + (1.0 - least((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+                        / greatest(length(text), 1), 1.0)) * 0.2) * 1000000 + 0.5) / 1000000.0 AS quality_score,
+    source
+  FROM documents
+)
+SELECT doc_id, quality_score, source,
+  floor(percent_rank() OVER (PARTITION BY source ORDER BY quality_score) * 1000000 + 0.5) / 1000000.0 AS q_unit
+FROM s
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_spark.operators.textstats import lang_id
 
@@ -4208,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "hll_tier_cascade_events": _q_hll_cascade,
         "interval_overlap_join_events": _q_interval_join,
+        "quality_calibration_documents": _q_quality_calibration,
     }
 
 
@@ -4301,6 +4334,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSIONIZE_SQL,
         "hll_tier_cascade_events": _hll_cascade_sql(),
         "interval_overlap_join_events": _interval_join_sql(),
+        "quality_calibration_documents": _QUALITY_CALIBRATION_SQL,
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

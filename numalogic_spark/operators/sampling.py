@@ -278,3 +278,28 @@ def dsir_importance(
         return out.localCheckpoint(eager=True)
     finally:
         warr.unpersist()
+
+
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str] | tuple[str, ...]" = ("source",),
+    out_col: str = "q_unit",
+) -> DataFrame:
+    """Rank-based per-group calibration: map `value_col` to its
+    percent-rank within the group — the quantile transform that makes
+    quality scores COMPARABLE across domains before mixture planning
+    (raw heuristic scores have domain-dependent scales; a 0.6 in one
+    source is a different quantile than in another, so thresholding raw
+    scores skews the mix).
+
+    percent_rank = (rank − 1)/(n − 1): ties share the minimum rank
+    (deterministic, engine-identical), endpoints hit exactly 0 and 1.
+    One exchange + sort per group; at 10^12 rows per-group sort
+    parallelism = group cardinality (the windows.py salted note — or
+    pre-bucket values and rank the histogram instead).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    from numalogic_spark.functions.exprs import round6
+
+    return df.withColumn(out_col, round6(F.percent_rank().over(w)))

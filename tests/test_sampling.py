@@ -231,3 +231,50 @@ def test_dsir_matches_numpy_model(spark):
         ws = pdf.loc[i, "text"].lower().split()
         exp = round(sum(lr(w) for w in ws), 6)
         assert out.loc[i, "log_weight"] == pytest.approx(exp, abs=2e-6)
+
+
+def test_quantile_transform_properties(spark):
+    import pandas as pd
+    from numalogic_spark.operators.sampling import quantile_transform
+
+    rng = np.random.default_rng(19)
+    pdf = pd.DataFrame(
+        {
+            "source": np.repeat(["a", "b"], 50),
+            "doc_id": range(100),
+            # source b has a shifted scale — calibration must erase it
+            "score": np.concatenate(
+                [np.round(rng.uniform(0, 1, 50), 3),
+                 np.round(rng.uniform(10, 11, 50), 3)]
+            ),
+        }
+    )
+    out = (
+        quantile_transform(spark.createDataFrame(pdf), "score", ("source",))
+        .toPandas()
+    )
+    for s, grp in out.groupby("source"):
+        g = grp.sort_values("score")
+        # endpoints exact, monotone in score, uniform coverage
+        assert g["q_unit"].iloc[0] == 0.0
+        assert g["q_unit"].iloc[-1] == 1.0
+        assert (np.diff(g["q_unit"].to_numpy()) >= 0).all()
+    # the two sources' calibrated distributions coincide despite scales
+    qa = np.sort(out[out["source"] == "a"]["q_unit"].to_numpy())
+    qb = np.sort(out[out["source"] == "b"]["q_unit"].to_numpy())
+    assert np.allclose(qa, qb)
+
+
+def test_quantile_transform_ties_share_rank(spark):
+    import pandas as pd
+    from numalogic_spark.operators.sampling import quantile_transform
+
+    pdf = pd.DataFrame(
+        {"source": ["a"] * 5, "doc_id": range(5), "score": [1.0, 2.0, 2.0, 2.0, 3.0]}
+    )
+    out = (
+        quantile_transform(spark.createDataFrame(pdf), "score", ("source",))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert out["q_unit"].tolist() == [0.0, 0.25, 0.25, 0.25, 1.0]
