@@ -243,9 +243,11 @@ def test_quantile_transform_properties(spark):
             "source": np.repeat(["a", "b"], 50),
             "doc_id": range(100),
             # source b has a shifted scale — calibration must erase it
+            # (distinct values per group: ties would legitimately give
+            # the two groups different rank multisets)
             "score": np.concatenate(
-                [np.round(rng.uniform(0, 1, 50), 3),
-                 np.round(rng.uniform(10, 11, 50), 3)]
+                [rng.permutation(np.linspace(0, 1, 50)),
+                 rng.permutation(np.linspace(10, 11, 50))]
             ),
         }
     )
