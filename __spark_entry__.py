@@ -3863,27 +3863,35 @@ def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, ["source", "bucket_s"])
 
 
-def _hll_sql_builder(m: int = 256, include_exact: bool = True) -> str:
-    """ONE builder for both HLL oracles (per-hour sketch ± the exact
-    count join) — the register/estimate SQL must stay byte-identical
-    between the direct query and the tier-cascade query, whose hash gate
-    proves merge-losslessness against exactly this text."""
+def _fold_mix_sql(col: str, salt: int) -> str:
+    """DuckDB replay of sketches: mixed portable hash — the Carter-Wegman
+    char fold (salted init) through two quadratic-map avalanche rounds
+    (sketches._mix). ONE definition feeds every sketch oracle (HLL
+    direct, HLL cascade, CMS) so the hash text can never drift between
+    them."""
     from numalogic_spark.operators.dedup import MERSENNE31
     from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
     from numalogic_spark.operators.sketches import MIX_C1, MIX_C2
 
     p = MERSENNE31
+    raw = (
+        f"(({_SAMPLE_A} * list_reduce(list_prepend(CAST({salt} AS BIGINT), "
+        f"list_transform(generate_series(1, greatest(length({col}), 1)), "
+        f"i -> CAST(ascii({col}[i]) AS BIGINT))), "
+        f"(acc, c) -> (acc * {_CHAR_MULT} + c) % {p}) + {_SAMPLE_B}) % {p})"
+    )
+    r1 = f"(({raw}) * ({raw}) + {MIX_C1}) % {p}"
+    return f"((({r1}) * ({r1}) + {MIX_C2}) % {p})"
+
+
+def _hll_sql_builder(m: int = 256, include_exact: bool = True) -> str:
+    """ONE builder for both HLL oracles (per-hour sketch ± the exact
+    count join) — the register/estimate SQL must stay byte-identical
+    between the direct query and the tier-cascade query, whose hash gate
+    proves merge-losslessness against exactly this text."""
 
     def fold(salt: int) -> str:
-        raw = (
-            f"(({_SAMPLE_A} * list_reduce(list_prepend(CAST({salt} AS BIGINT), "
-            "list_transform(generate_series(1, greatest(length(s), 1)), "
-            f"i -> CAST(ascii(s[i]) AS BIGINT))), "
-            f"(acc, c) -> (acc * {_CHAR_MULT} + c) % {p}) + {_SAMPLE_B}) % {p})"
-        )
-        # two quadratic-map avalanche rounds (sketches._mix)
-        r1 = f"(({raw}) * ({raw}) + {MIX_C1}) % {p}"
-        return f"((({r1}) * ({r1}) + {MIX_C2}) % {p})"
+        return _fold_mix_sql("s", salt)
 
     exact_cols = (
         ",\n       CAST(x.exact_distinct AS BIGINT) AS exact_distinct"
@@ -3964,6 +3972,66 @@ def _q_hll_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hll_cascade_sql(m: int = 256) -> str:
     return _hll_sql_builder(m, include_exact=False)
+
+
+def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over per-source word counts, probed at
+    the exact top-10 heavy hitters (operators/sketches.py): the sketch
+    estimate rides next to the exact count so the gate checks both the
+    cell arithmetic and the min-fold."""
+    from numalogic_spark.operators.sketches import cms_lookup, cms_sketch
+    from numalogic_spark.operators.tokens import heavy_hitters_per_group
+
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "").alias("words"),
+    )
+    counts = (
+        docs.select("source", F.explode("words").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=False)
+    sk = cms_sketch(counts, "token", ["source"], depth=4, width=256, weight_col="c")
+    hh = heavy_hitters_per_group(docs, group_col="source", tokens_col="words", k=10)
+    est = cms_lookup(sk, hh.select("source", "token"), "token", ["source"])
+    return hh.join(est, ["source", "token"]).select(
+        "source", "token", "cnt", "rnk", "cms_estimate"
+    )
+
+
+def _cms_sql(depth: int = 4, width: int = 256) -> str:
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT source, token, c, {d} AS d, {_fold_mix_sql('token', d)} % {width} AS col FROM counts"
+        for d in range(depth)
+    )
+    return rf"""
+WITH t AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT source, token, count(*) AS c FROM t GROUP BY 1, 2
+), cells AS (
+{cell_rows}
+), sketch AS (
+  SELECT source, d, col, CAST(sum(c) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2, 3
+), hh AS (
+  SELECT source, token, cnt, rnk FROM (
+    SELECT source, token, c AS cnt,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rnk
+    FROM counts
+  ) WHERE rnk <= 10
+), probes AS (
+{cell_rows.replace("FROM counts", "FROM counts JOIN (SELECT source AS hs, token AS ht FROM hh) ON hs = source AND ht = token")}
+)
+SELECT h.source, h.token, h.cnt, h.rnk,
+       CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_estimate
+FROM probes p
+JOIN hh h ON h.source = p.source AND h.token = p.token
+LEFT JOIN sketch s ON s.source = p.source AND s.d = p.d AND s.col = p.col
+GROUP BY 1, 2, 3, 4
+"""
 
 
 _DSIR_VOCAB = 2000
@@ -4241,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tier_cascade_events": _q_hll_cascade,
         "interval_overlap_join_events": _q_interval_join,
         "quality_calibration_documents": _q_quality_calibration,
+        "cms_freq_documents": _q_cms,
     }
 
 
@@ -4335,6 +4404,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_tier_cascade_events": _hll_cascade_sql(),
         "interval_overlap_join_events": _interval_join_sql(),
         "quality_calibration_documents": _QUALITY_CALIBRATION_SQL,
+        "cms_freq_documents": _cms_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

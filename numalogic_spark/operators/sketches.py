@@ -1,4 +1,6 @@
-"""Deterministic HyperLogLog distinct-count sketch.
+"""Deterministic mergeable sketches: HyperLogLog (distinct counts) and
+Count-Min (point frequencies), both on the engine's portable hash
+family so the ESTIMATES themselves are oracle-replayable.
 
 Exact COUNT DISTINCT at 10^12 rows means shuffling every distinct key;
 the HLL register table is the mergeable O(m)-per-group state that
@@ -128,3 +130,85 @@ def hll_distinct(
 ) -> DataFrame:
     """Sketch estimate per group in one call (registers → estimate)."""
     return hll_estimate(hll_registers(df, id_col, group_cols, m), group_cols, m)
+
+
+def _hash_d(item: Column, d: int, width: int) -> Column:
+    """Row-d CMS column index: mixed portable hash with salt d."""
+    from numalogic_spark.operators.sampling import portable_hash_long
+
+    return (_mix(portable_hash_long(item, salt=d)) % F.lit(width)).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame,
+    item_col: str,
+    group_cols: Sequence[str],
+    depth: int = 4,
+    width: int = 256,
+    weight_col: "str | None" = None,
+) -> DataFrame:
+    """Count-Min sketch state per group: (group..., d, col, cnt) — the
+    mergeable frequency summary (merge = plain + on matching cells, so
+    it re-aggregates across retention tiers like the HLL registers and
+    the cumulative histograms). Point estimate = min over the depth
+    rows; overestimates by ≤ 2N/width w.p. ≥ 1 − 2^−depth (Cormode &
+    Muthukrishnan 2005).
+
+    One shuffle: each row explodes to `depth` (d, col) cells — map-side
+    partial aggregation collapses them to ≤ depth·width rows per group
+    before the exchange. Same portable-hash + quadratic-mix family as
+    the HLL, so the DuckDB oracle replays cell indices exactly.
+
+    Pass `weight_col` to sketch PRE-AGGREGATED (group, item, weight)
+    counts: the char-fold hashes then run once per distinct item
+    instead of once per occurrence — the right shape when a (group,
+    item) count table already exists upstream."""
+    item = F.col(item_col)
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(d).alias("d"), _hash_d(item, d, width).alias("col"))
+                for d in range(depth)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(*group_cols, w.alias("_w"), cells)
+        .select(
+            *group_cols, "_w", F.col("cell.d").alias("d"), F.col("cell.col").alias("col")
+        )
+        .groupBy(*group_cols, "d", "col")
+        .agg(F.sum("_w").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    group_cols: Sequence[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each (group, item) of `items` against the sketch:
+    recompute the depth cell indices, join the counter cells, take the
+    min. Items absent from the sketch estimate as 0 (empty cells)."""
+    gcols = list(group_cols)
+    item = F.col(item_col)
+    probes = items.select(
+        *gcols,
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _hash_d(item, d, width).alias("col")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(*gcols, item_col, F.col("cell.d").alias("d"), F.col("cell.col").alias("col"))
+    joined = probes.join(sketch, gcols + ["d", "col"], "left").na.fill({"cnt": 0})
+    return joined.groupBy(*gcols, item_col).agg(F.min("cnt").alias("cms_estimate"))

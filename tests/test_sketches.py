@@ -93,3 +93,77 @@ def test_hll_sequential_ids_within_error(spark):
     for g, exact in (("g0", 2000), ("g1", 8000)):
         est = out.loc[g, "hll_estimate"]
         assert abs(est - exact) / exact < 0.26, (g, est, exact)
+
+
+def test_cms_never_underestimates_and_is_tight(spark):
+    from numalogic_spark.operators.sketches import cms_lookup, cms_sketch
+
+    rng = np.random.default_rng(47)
+    # Zipf-ish corpus: token tN appears ~2000/N times
+    rows = []
+    for n in range(1, 200):
+        for _ in range(max(2000 // n, 1)):
+            rows.append(("g0", f"t{n}"))
+    pdf = pd.DataFrame(rows, columns=["grp", "item"])
+    exact = pdf.groupby("item").size()
+    df = spark.createDataFrame(pdf)
+    sk = cms_sketch(df, "item", ["grp"], depth=4, width=256)
+    items = spark.createDataFrame(
+        pd.DataFrame({"grp": "g0", "item": exact.index})
+    )
+    est = (
+        cms_lookup(sk, items, "item", ["grp"], depth=4, width=256)
+        .toPandas()
+        .set_index("item")["cms_estimate"]
+    )
+    n_total = len(pdf)
+    for item, ex in exact.items():
+        e = est[item]
+        assert e >= ex, (item, e, ex)            # CMS never underestimates
+        assert e - ex <= 2 * n_total / 256 * 4, (item, e, ex)  # loose CM bound
+
+
+def test_cms_weighted_equals_unweighted(spark):
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.sketches import cms_sketch
+
+    pdf = pd.DataFrame(
+        {"grp": ["g"] * 6, "item": ["a", "a", "a", "b", "b", "c"]}
+    )
+    df = spark.createDataFrame(pdf)
+    sk_raw = cms_sketch(df, "item", ["grp"]).toPandas()
+    counts = df.groupBy("grp", "item").agg(F.count(F.lit(1)).alias("c"))
+    sk_w = cms_sketch(counts, "item", ["grp"], weight_col="c").toPandas()
+    key = ["grp", "d", "col"]
+    a = sk_raw.sort_values(key, ignore_index=True)
+    b = sk_w.sort_values(key, ignore_index=True)
+    assert a.equals(b)
+
+
+def test_cms_merge_equals_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.sketches import cms_sketch
+
+    rng = np.random.default_rng(53)
+    pdf = pd.DataFrame(
+        {"grp": "g", "item": [f"t{int(i)}" for i in rng.integers(0, 500, 4000)],
+         "half": rng.integers(0, 2, 4000)}
+    )
+    df = spark.createDataFrame(pdf)
+    full = cms_sketch(df, "item", ["grp"]).toPandas()
+    parts = [
+        cms_sketch(df.filter(F.col("half") == h), "item", ["grp"])
+        for h in (0, 1)
+    ]
+    merged = (
+        parts[0].unionByName(parts[1])
+        .groupBy("grp", "d", "col")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .toPandas()
+    )
+    key = ["grp", "d", "col"]
+    assert full.sort_values(key, ignore_index=True).equals(
+        merged.sort_values(key, ignore_index=True)
+    )
