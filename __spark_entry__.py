@@ -4034,6 +4034,42 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over adjacent word pairs (operators/lm.py
+    pmi_collocations) — marginals over the unfiltered joint, min-count 5."""
+    from numalogic_spark.operators.lm import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, top_k=50)
+
+
+_PMI_SQL = r"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), bg AS (
+  SELECT ws[i] AS a, ws[i + 1] AS b
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2)
+), bc AS (
+  SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2
+), ca AS (SELECT a, sum(c_ab) AS c_a FROM bc GROUP BY 1),
+cb AS (SELECT b, sum(c_ab) AS c_b FROM bc GROUP BY 1),
+nt AS (SELECT sum(c_ab) AS n FROM bc)
+SELECT a, b, c_ab, pmi, rnk FROM (
+  SELECT s.*, row_number() OVER (ORDER BY pmi DESC, a, b) AS rnk FROM (
+    SELECT bc.a, bc.b, bc.c_ab,
+           floor(ln(CAST(nt.n AS DOUBLE) * CAST(bc.c_ab AS DOUBLE)
+                    / (CAST(ca.c_a AS DOUBLE) * CAST(cb.c_b AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS pmi
+    FROM bc
+    JOIN ca ON ca.a = bc.a
+    JOIN cb ON cb.b = bc.b
+    CROSS JOIN nt
+    WHERE bc.c_ab >= 5
+  ) s
+) WHERE rnk <= 50
+"""
+
+
 _DSIR_VOCAB = 2000
 
 
@@ -4310,6 +4346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join_events": _q_interval_join,
         "quality_calibration_documents": _q_quality_calibration,
         "cms_freq_documents": _q_cms,
+        "pmi_collocations_documents": _q_pmi,
     }
 
 
@@ -4405,6 +4442,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap_join_events": _interval_join_sql(),
         "quality_calibration_documents": _QUALITY_CALIBRATION_SQL,
         "cms_freq_documents": _cms_sql(),
+        "pmi_collocations_documents": _PMI_SQL,
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

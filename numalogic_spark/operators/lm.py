@@ -185,3 +185,87 @@ def bigram_perplexity(
             docb.unpersist()
         except NameError:
             pass
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-level collocation mining: adjacent word pairs ranked by
+    pointwise mutual information, PMI(a,b) = ln(N·c(a,b) / (c(a)·c(b)))
+    over bigram-position counts — the classic phrase detector (Church &
+    Hanks 1990; the word2phrase preprocessing step of word2vec). Only
+    pairs seen ≥ `min_count` times qualify (raw PMI is dominated by
+    hapax noise); top_k by (PMI desc, pair asc) is deterministic.
+
+    Scale shape: word and bigram counts are two map-side-combinable
+    aggregations over ONE tokenize pass (word arrays persisted across
+    both, the classify.py discipline); unigram counts join the bigram
+    table twice — both sides BROADCAST when the vocabulary is capped by
+    min_count (Zipf: qualifying unigrams ≪ corpus). N (bigram
+    positions) is re-aggregated from the bigram counts, never a second
+    corpus pass. PMI itself is 6-dp-rounded for the cross-engine gate.
+    """
+    from numalogic_spark.functions.exprs import round6
+
+    words = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    warr = df.select(words.alias("ws")).persist()
+    try:
+        # bigram positions: ws[i], ws[i+1] for i in 1..len-1
+        bigrams = warr.select(
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 1),"
+                        " i -> struct(ws[i - 1] AS a, ws[i] AS b))"
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("bg")
+        ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        # full joint counts persist across FOUR consumers (marginals a
+        # and b, total N, the min_count filter) — distinct-bigram-sized,
+        # one tokenize pass total
+        bc_all = (
+            bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+        ).persist()
+        bc_all.count()  # materialize so warr can release now
+    finally:
+        warr.unpersist()
+    try:
+        # marginals over ALL bigram positions — the PMI denominator must
+        # be marginals of the (unfiltered) joint; min_count restricts
+        # only which pairs are REPORTED, or rare-word marginals would be
+        # truncated and every surviving PMI inflated
+        ca = bc_all.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+        cb = bc_all.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+        n_tot = bc_all.agg(F.sum("c_ab").alias("n"))
+        bc = bc_all.filter(F.col("c_ab") >= min_count)
+        scored = (
+            bc.join(F.broadcast(ca), "a")
+            .join(F.broadcast(cb), "b")
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+            "a",
+            "b",
+            "c_ab",
+                round6(
+                    F.log(
+                        F.col("n").cast("double")
+                        * F.col("c_ab").cast("double")
+                        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                    )
+                ).alias("pmi"),
+            )
+        )
+        w = Window.orderBy(F.col("pmi").desc(), F.col("a"), F.col("b"))
+        out = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .select("a", "b", "c_ab", "pmi", "rnk")
+        )
+        return out.localCheckpoint(eager=True)  # top_k rows; frees bc_all
+    finally:
+        bc_all.unpersist()

@@ -119,3 +119,53 @@ def test_vocab_size_validation(spark):
         bigram_perplexity(df, vocab_size=0)
     with pytest.raises(ValueError, match="vocab_size"):
         bigram_perplexity(df, vocab_size=100_000)
+
+
+def test_pmi_collocations_bruteforce(spark):
+    """PMI values and ranking match a pure-python computation over the
+    same bigram-position counts (marginals of the unfiltered joint)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from numalogic_spark.operators.lm import pmi_collocations
+
+    texts = [
+        "new york is a big city",
+        "new york has new parks",
+        "big city big dreams in new york",
+        "the city of new york",
+        "york new is not a phrase anyone says",
+        "a b a b a b a b a b",
+    ] * 3
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        pmi_collocations(spark.createDataFrame(pdf), min_count=3, top_k=25)
+        .toPandas()
+        .sort_values("rnk", ignore_index=True)
+    )
+
+    joint, ca, cb = Counter(), Counter(), Counter()
+    for t in texts:
+        ws = t.lower().split()
+        for x, y in zip(ws, ws[1:]):
+            joint[(x, y)] += 1
+            ca[x] += 1
+            cb[y] += 1
+    n = sum(joint.values())
+    exp = []
+    for (x, y), c in joint.items():
+        if c >= 3:
+            pmi = math.floor(math.log(n * c / (ca[x] * cb[y])) * 1e6 + 0.5) / 1e6
+            exp.append((x, y, c, pmi))
+    exp.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = exp[:25]
+    assert len(got) == len(exp)
+    for i, (x, y, c, pmi) in enumerate(exp):
+        assert got.loc[i, "a"] == x and got.loc[i, "b"] == y
+        assert got.loc[i, "c_ab"] == c
+        assert got.loc[i, "pmi"] == pytest.approx(pmi, abs=2e-6)
+    # "new york" is a real collocation in this corpus: positive PMI
+    ny = got[(got["a"] == "new") & (got["b"] == "york")]
+    assert len(ny) == 1 and ny["pmi"].iloc[0] > 0
