@@ -162,7 +162,10 @@ def main() -> None:
                  "bpe_encode_documents", "nb_classify_documents",
                  "lm_perplexity_documents", "acf_events",
                  "hampel_filter_events", "stl_decompose_events",
-                 "holt_linear_1h_events"):
+                 "holt_linear_1h_events", "counter_rate_events",
+                 "m4_downsample_events", "asof_join_events",
+                 "sessionize_events", "hll_distinct_events",
+                 "histogram_quantile_events", "dup_ngram_spans_documents"):
         fn = E.queries()[name]
         t0 = time.time()
         _noop(fn(spark, SF_DIR))

@@ -421,3 +421,24 @@ def test_sessionize_single_event_sessions(spark):
     assert len(out) == 3
     assert (out["n_events"] == 1).all()
     assert (out["duration_s"] == 0).all()
+
+
+def test_counter_rate_reaggregates_across_tiers(spark):
+    """Minute-level increase/resets sum EXACTLY to the hourly ones —
+    the property that lets counter rollups ride the tier cascade."""
+    df, _ = _counter_frame(spark, n=400, n_src=2)
+    fine = counter_rate(df, bucket_s=60).toPandas()
+    coarse = counter_rate(df, bucket_s=3600).toPandas()
+    fine["h"] = fine["bucket_s"] - fine["bucket_s"] % 3600
+    re_agg = (
+        fine.groupby(["source", "h"])
+        .agg(increase=("increase", "sum"), resets=("resets", "sum"),
+             n_samples=("n_samples", "sum"))
+        .reset_index()
+        .rename(columns={"h": "bucket_s"})
+        .sort_values(["source", "bucket_s"], ignore_index=True)
+    )
+    coarse = coarse.sort_values(["source", "bucket_s"], ignore_index=True)
+    assert (re_agg["resets"].to_numpy() == coarse["resets"].to_numpy()).all()
+    assert (re_agg["n_samples"].to_numpy() == coarse["n_samples"].to_numpy()).all()
+    assert np.allclose(re_agg["increase"], coarse["increase"], atol=1e-6)
