@@ -3863,25 +3863,29 @@ def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, ["source", "bucket_s"])
 
 
-def _fold_mix_sql(col: str, salt: int) -> str:
-    """DuckDB replay of sketches: mixed portable hash — the Carter-Wegman
-    char fold (salted init) through two quadratic-map avalanche rounds
-    (sketches._mix). ONE definition feeds every sketch oracle (HLL
-    direct, HLL cascade, CMS) so the hash text can never drift between
-    them."""
+def _fold_raw_sql(col: str, salt: int) -> str:
+    """DuckDB replay of the salted Carter-Wegman char fold (sketches'
+    portable hash BEFORE mixing) — emitted ONCE per hash site; the
+    quadratic-map avalanche rounds are applied in staged CTE levels via
+    `_mix_step_sql` so the O(len) fold never inlines 4x."""
     from numalogic_spark.operators.dedup import MERSENNE31
     from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
-    from numalogic_spark.operators.sketches import MIX_C1, MIX_C2
 
     p = MERSENNE31
-    raw = (
+    return (
         f"(({_SAMPLE_A} * list_reduce(list_prepend(CAST({salt} AS BIGINT), "
         f"list_transform(generate_series(1, greatest(length({col}), 1)), "
         f"i -> CAST(ascii({col}[i]) AS BIGINT))), "
         f"(acc, c) -> (acc * {_CHAR_MULT} + c) % {p}) + {_SAMPLE_B}) % {p})"
     )
-    r1 = f"(({raw}) * ({raw}) + {MIX_C1}) % {p}"
-    return f"((({r1}) * ({r1}) + {MIX_C2}) % {p})"
+
+
+def _mix_step_sql(x: str, c: int) -> str:
+    """One quadratic-map round (x² + c mod p) over a BOUND column
+    reference — column refs are free, so squaring costs nothing extra."""
+    from numalogic_spark.operators.dedup import MERSENNE31
+
+    return f"((({x}) * ({x}) + {c}) % {MERSENNE31})"
 
 
 def _hll_sql_builder(m: int = 256, include_exact: bool = True) -> str:
@@ -3890,8 +3894,7 @@ def _hll_sql_builder(m: int = 256, include_exact: bool = True) -> str:
     between the direct query and the tier-cascade query, whose hash gate
     proves merge-losslessness against exactly this text."""
 
-    def fold(salt: int) -> str:
-        return _fold_mix_sql("s", salt)
+    from numalogic_spark.operators.sketches import MIX_C1, MIX_C2
 
     exact_cols = (
         ",\n       CAST(x.exact_distinct AS BIGINT) AS exact_distinct"
@@ -3912,9 +3915,17 @@ WITH b AS (
          CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_s,
          CAST(user_id AS VARCHAR) AS s
   FROM events
-), hashed AS (
-  SELECT source, bucket_s, {fold(0)} % {m} AS register, {fold(1)} AS h2
+), hraw AS (
+  SELECT source, bucket_s, {_fold_raw_sql("s", 0)} AS f0, {_fold_raw_sql("s", 1)} AS f1
   FROM b
+), hmid AS (
+  SELECT source, bucket_s, {_mix_step_sql("f0", MIX_C1)} AS g0,
+         {_mix_step_sql("f1", MIX_C1)} AS g1
+  FROM hraw
+), hashed AS (
+  SELECT source, bucket_s, {_mix_step_sql("g0", MIX_C2)} % {m} AS register,
+         {_mix_step_sql("g1", MIX_C2)} AS h2
+  FROM hmid
 ), regs AS (
   SELECT source, bucket_s, register,
          max(CASE WHEN h2 = 0 THEN 32 ELSE 32 - length(bin(CAST(h2 AS BIGINT))) END) AS max_rho
@@ -3980,19 +3991,27 @@ def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate rides next to the exact count so the gate checks both the
     cell arithmetic and the min-fold."""
     from numalogic_spark.operators.sketches import cms_lookup, cms_sketch
-    from numalogic_spark.operators.tokens import heavy_hitters_per_group
 
     docs = _docs(spark, sf_dir).select(
         "source",
         F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "").alias("words"),
     )
+    # ONE tokenize pass: the checkpointed (source, token, c) table feeds
+    # the sketch, the top-10 rank window AND the probe join — ranking
+    # over it is exactly heavy_hitters_per_group's second stage (a
+    # separate call would re-tokenize the whole corpus)
     counts = (
         docs.select("source", F.explode("words").alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     ).localCheckpoint(eager=False)
     sk = cms_sketch(counts, "token", ["source"], depth=4, width=256, weight_col="c")
-    hh = heavy_hitters_per_group(docs, group_col="source", tokens_col="words", k=10)
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("token"))
+    hh = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "token", F.col("c").alias("cnt"), "rnk")
+    )
     est = cms_lookup(sk, hh.select("source", "token"), "token", ["source"])
     return hh.join(est, ["source", "token"]).select(
         "source", "token", "cnt", "rnk", "cms_estimate"
@@ -4000,8 +4019,25 @@ def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_sql(depth: int = 4, width: int = 256) -> str:
-    cell_rows = "\nUNION ALL\n".join(
-        f"SELECT source, token, c, {d} AS d, {_fold_mix_sql('token', d)} % {width} AS col FROM counts"
+    from numalogic_spark.operators.sketches import MIX_C1, MIX_C2
+
+    def cell_select(src_rel: str, d: int) -> str:
+        # staged: fold bound once, then two quadratic rounds on refs
+        return (
+            f"SELECT source, token, c, {d} AS d,"
+            f" {_mix_step_sql('g', MIX_C2)} % {width} AS col FROM ("
+            f"SELECT source, token, c, {_mix_step_sql('f', MIX_C1)} AS g FROM ("
+            f"SELECT source, token, c, {_fold_raw_sql('token', d)} AS f"
+            f" FROM {src_rel}))"
+        )
+
+    cell_rows = "\nUNION ALL\n".join(cell_select("counts", d) for d in range(depth))
+    probe_rows = "\nUNION ALL\n".join(
+        cell_select(
+            "(SELECT c2.source, c2.token, c2.c FROM counts c2"
+            " JOIN hh ON hh.source = c2.source AND hh.token = c2.token)",
+            d,
+        )
         for d in range(depth)
     )
     return rf"""
@@ -4023,7 +4059,7 @@ WITH t AS (
     FROM counts
   ) WHERE rnk <= 10
 ), probes AS (
-{cell_rows.replace("FROM counts", "FROM counts JOIN (SELECT source AS hs, token AS ht FROM hh) ON hs = source AND ht = token")}
+{probe_rows}
 )
 SELECT h.source, h.token, h.cnt, h.rnk,
        CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_estimate

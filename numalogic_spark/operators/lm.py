@@ -201,12 +201,14 @@ def pmi_collocations(
     hapax noise); top_k by (PMI desc, pair asc) is deterministic.
 
     Scale shape: word and bigram counts are two map-side-combinable
-    aggregations over ONE tokenize pass (word arrays persisted across
-    both, the classify.py discipline); unigram counts join the bigram
+    aggregations over ONE tokenize pass; unigram counts join the bigram
     table twice — both sides BROADCAST when the vocabulary is capped by
     min_count (Zipf: qualifying unigrams ≪ corpus). N (bigram
     positions) is re-aggregated from the bigram counts, never a second
-    corpus pass. PMI itself is 6-dp-rounded for the cross-engine gate.
+    corpus pass. The top-k selection is a parallel
+    TakeOrderedAndProject (orderBy + limit), NEVER an unpartitioned
+    rank window — rnk is stamped on the already-tiny top_k frame. PMI
+    itself is 6-dp-rounded for the cross-engine gate.
     """
     from numalogic_spark.functions.exprs import round6
 
@@ -227,45 +229,51 @@ def pmi_collocations(
         ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
         # full joint counts persist across FOUR consumers (marginals a
         # and b, total N, the min_count filter) — distinct-bigram-sized,
-        # one tokenize pass total
+        # one tokenize pass total; the nested finally owns its release
+        # even when the materializing count fails
         bc_all = (
             bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
         ).persist()
-        bc_all.count()  # materialize so warr can release now
+        try:
+            bc_all.count()  # materialize; warr not needed past this point
+            # marginals over ALL bigram positions — the PMI denominator
+            # must be marginals of the (unfiltered) joint; min_count
+            # restricts only which pairs are REPORTED, or rare-word
+            # marginals would be truncated and every surviving PMI
+            # inflated
+            ca = bc_all.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+            cb = bc_all.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+            n_tot = bc_all.agg(F.sum("c_ab").alias("n"))
+            bc = bc_all.filter(F.col("c_ab") >= min_count)
+            scored = (
+                bc.join(F.broadcast(ca), "a")
+                .join(F.broadcast(cb), "b")
+                .crossJoin(F.broadcast(n_tot))
+                .select(
+                    "a",
+                    "b",
+                    "c_ab",
+                    round6(
+                        F.log(
+                            F.col("n").cast("double")
+                            * F.col("c_ab").cast("double")
+                            / (
+                                F.col("c_a").cast("double")
+                                * F.col("c_b").cast("double")
+                            )
+                        )
+                    ).alias("pmi"),
+                )
+            )
+            top = scored.orderBy(
+                F.col("pmi").desc(), F.col("a"), F.col("b")
+            ).limit(top_k)
+            w = Window.orderBy(F.col("pmi").desc(), F.col("a"), F.col("b"))
+            out = top.withColumn("rnk", F.row_number().over(w)).select(
+                "a", "b", "c_ab", "pmi", "rnk"
+            )
+            return out.localCheckpoint(eager=True)  # top_k rows
+        finally:
+            bc_all.unpersist()
     finally:
         warr.unpersist()
-    try:
-        # marginals over ALL bigram positions — the PMI denominator must
-        # be marginals of the (unfiltered) joint; min_count restricts
-        # only which pairs are REPORTED, or rare-word marginals would be
-        # truncated and every surviving PMI inflated
-        ca = bc_all.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
-        cb = bc_all.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
-        n_tot = bc_all.agg(F.sum("c_ab").alias("n"))
-        bc = bc_all.filter(F.col("c_ab") >= min_count)
-        scored = (
-            bc.join(F.broadcast(ca), "a")
-            .join(F.broadcast(cb), "b")
-            .crossJoin(F.broadcast(n_tot))
-            .select(
-            "a",
-            "b",
-            "c_ab",
-                round6(
-                    F.log(
-                        F.col("n").cast("double")
-                        * F.col("c_ab").cast("double")
-                        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
-                    )
-                ).alias("pmi"),
-            )
-        )
-        w = Window.orderBy(F.col("pmi").desc(), F.col("a"), F.col("b"))
-        out = (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= top_k)
-            .select("a", "b", "c_ab", "pmi", "rnk")
-        )
-        return out.localCheckpoint(eager=True)  # top_k rows; frees bc_all
-    finally:
-        bc_all.unpersist()

@@ -49,8 +49,12 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     n_tokens = F.size(F.regexp_extract_all(F.lower(t), F.lit(TOKEN_RE), F.lit(0)))
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     n_space = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
-    ttr = n_distinct / n_words
-    mean_word_len = (n_chars - n_space) / n_words
+    # zero-word guard: Spark 4's default ANSI mode ABORTS on division by
+    # zero while DuckDB yields NULL — NULL-out both ratios explicitly so
+    # an empty/whitespace-only doc produces a row (not a job failure) and
+    # the quality least() skips the NULL term, matching the oracle
+    ttr = F.when(n_words > 0, n_distinct / n_words)
+    mean_word_len = F.when(n_words > 0, (n_chars - n_space) / n_words)
     # quality score: bounded composite (longer docs with diverse vocab and
     # sane punctuation score higher) — a standard heuristic shape
     quality = (

@@ -468,9 +468,16 @@ def streaming_sessionize(
     batch lag+cumsum construction). Emits one row per closed session:
     (key, start_s, end_s, n_events, duration_s, value_sum).
 
-    Note the session END convention differs from batch: session_window's
-    window end = last event + gap, so `end_s`/`duration_s` here are
-    derived from max(event time) to stay batch-comparable (tested)."""
+    TWO conventions differ from the batch operator — account for both
+    when swapping it in:
+    - session END: session_window's window end = last event + gap, so
+      `end_s`/`duration_s` here are derived from max(event time) to
+      stay batch-comparable (tested);
+    - gap BOUNDARY: session_window SPLITS at delta >= gap, the batch
+      operator splits at delta > gap_s — two events exactly `gap` apart
+      are one batch session but two streaming sessions. On
+      integral-second data the batch-equivalent setting is
+      gap_s = gap_seconds - 1 (what the equivalence test uses)."""
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(
