@@ -192,6 +192,33 @@ def main() -> None:
         grab(sessionize(ev.select(F.col("source").alias("user_id"), "ts_s", "event_id", "value"))),
     ))
 
+    # round 4 fourth wave: selection + sketch + interval operators
+    from numalogic_spark.operators.joins import interval_overlap_join
+    from numalogic_spark.operators.lm import pmi_collocations
+    from numalogic_spark.operators.sampling import quantile_transform
+    from numalogic_spark.operators.sketches import cms_sketch
+
+    sections.append((
+        "PMI collocations (one tokenize pass; marginals re-aggregated from persisted joint; top-k = TakeOrderedAndProject, no global rank window)",
+        grab(pmi_collocations(docs.withColumnRenamed("label", "source"), min_count=2, top_k=20)),
+    ))
+    iv_l = ev.select("source", F.col("event_id").alias("lid"),
+                     F.col("ts_s").alias("start_s"), (F.col("ts_s") + 1000).alias("end_s")).limit(500)
+    iv_r = ev.select("source", F.col("event_id").alias("rid"),
+                     (F.col("ts_s") + 500).alias("start_s"), (F.col("ts_s") + 1500).alias("end_s")).limit(500)
+    sections.append((
+        "interval-overlap join (grid-cell explode -> equi-join -> pair dedup -> exact verify; no per-key cartesian)",
+        grab(interval_overlap_join(iv_l, iv_r, key_cols=("source",), l_id="lid", r_id="rid", grid_s=1000)),
+    ))
+    sections.append((
+        "CMS sketch build (depth-cell explode partial-aggregates map-side; weighted input hashes once per distinct item)",
+        grab(cms_sketch(ev.select("source", (F.col("event_id") % 50).cast("string").alias("item")), "item", ["source"])),
+    ))
+    sections.append((
+        "quantile transform (one exchange + sort per group; percent_rank over the same partitioning)",
+        grab(quantile_transform(ev.select("source", "event_id", "value"), "value", ("source",))),
+    ))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (`.explain(\"formatted\")`)\n\n")
         f.write("Generated by tools/explain_plans.py on the synthetic token table.\n")
