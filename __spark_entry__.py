@@ -4106,6 +4106,39 @@ SELECT a, b, c_ab, pmi, rnk FROM (
 """
 
 
+def _q_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series staleness/absence audit vs the data watermark
+    (operators/retention.staleness_report): last-seen age + observed vs
+    missing minute buckets over the trailing day."""
+    from numalogic_spark.operators.retention import staleness_report
+
+    return staleness_report(
+        _evt_series(spark, sf_dir), bucket_s=60, lookback_s=86400
+    )
+
+
+_STALENESS_SQL = """
+WITH b AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 60 AS bucket
+  FROM events
+), wm AS (SELECT max(ts_s) AS w FROM b),
+pb AS (SELECT source, bucket, max(ts_s) AS bmax FROM b GROUP BY 1, 2)
+SELECT source,
+       max(bmax) AS last_seen_s,
+       (SELECT w FROM wm) - max(bmax) AS staleness_s,
+       CAST(sum(CASE WHEN bucket > (SELECT w FROM wm) - 86400
+                      AND bucket <= (SELECT w FROM wm)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS buckets_observed,
+       1440 - CAST(sum(CASE WHEN bucket > (SELECT w FROM wm) - 86400
+                             AND bucket <= (SELECT w FROM wm)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS buckets_missing
+FROM pb GROUP BY 1
+"""
+
+
 _DSIR_VOCAB = 2000
 
 
@@ -4383,6 +4416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration_documents": _q_quality_calibration,
         "cms_freq_documents": _q_cms,
         "pmi_collocations_documents": _q_pmi,
+        "staleness_report_events": _q_staleness,
     }
 
 
@@ -4479,6 +4513,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_calibration_documents": _QUALITY_CALIBRATION_SQL,
         "cms_freq_documents": _cms_sql(),
         "pmi_collocations_documents": _PMI_SQL,
+        "staleness_report_events": _STALENESS_SQL,
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -112,3 +112,59 @@ def retention_summary(
             F.max(F.when(keep, F.col("__bucket_s"))).alias("max_kept_s"),
         )
     )
+
+
+def staleness_report(
+    df: DataFrame,
+    bucket_s: int = 60,
+    lookback_s: int = 3600,
+    source_col: str = "source",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Per-series liveness audit — the PromQL `absent()`/staleness
+    counterpart: (source, last_seen_s, staleness_s, buckets_observed,
+    buckets_missing) where staleness is measured against the DATA
+    watermark (global max timestamp — a 1-row broadcast, deterministic
+    from the frame alone, same discipline as apply_retention) and the
+    bucket counts cover the trailing `lookback_s` window ending at the
+    watermark.
+
+    A series with staleness_s ≫ its scrape interval has stopped
+    reporting; buckets_missing locates intermittent gaps (the thing
+    gap-fill interpolates over — this operator REPORTS them instead).
+
+    One aggregation per series carrying last-seen and a distinct-bucket
+    count (distinct via a pre-grouped two-level aggregate, never a
+    COUNT DISTINCT shuffle of raw rows), plus the broadcast watermark.
+    """
+    n_buckets = lookback_s // bucket_s
+    b = df.select(
+        F.col(source_col).alias("source"),
+        F.col(ts_col).alias("_ts"),
+        (F.col(ts_col) - F.col(ts_col) % F.lit(bucket_s)).alias("_bucket"),
+    )
+    wm = b.agg(F.max("_ts").alias("_wm"))
+    withwm = b.crossJoin(F.broadcast(wm))
+    # two-level: per (source, bucket) first, so the per-series distinct
+    # count is a plain count over pre-deduped rows
+    per_bucket = (
+        withwm.groupBy("source", "_bucket", "_wm")
+        .agg(F.max("_ts").alias("_bmax"))
+        .withColumn(
+            "_in_window",
+            (F.col("_bucket") > F.col("_wm") - F.lit(lookback_s))
+            & (F.col("_bucket") <= F.col("_wm")),
+        )
+    )
+    return (
+        per_bucket.groupBy("source")
+        .agg(
+            F.max("_bmax").alias("last_seen_s"),
+            (F.max("_wm") - F.max("_bmax")).alias("staleness_s"),
+            F.sum(F.col("_in_window").cast("bigint")).alias("buckets_observed"),
+        )
+        .withColumn(
+            "buckets_missing",
+            F.lit(int(n_buckets)) - F.col("buckets_observed"),
+        )
+    )

@@ -442,3 +442,37 @@ def test_counter_rate_reaggregates_across_tiers(spark):
     assert (re_agg["resets"].to_numpy() == coarse["resets"].to_numpy()).all()
     assert (re_agg["n_samples"].to_numpy() == coarse["n_samples"].to_numpy()).all()
     assert np.allclose(re_agg["increase"], coarse["increase"], atol=1e-6)
+
+
+def test_staleness_report_bruteforce(spark):
+    from numalogic_spark.operators.retention import staleness_report
+
+    rows = []
+    # series a reports every 30s up to t=10000; series b stops at t=5000
+    for t in range(0, 10001, 30):
+        rows.append(("a", t, t, 1.0))
+    for t in range(0, 5001, 30):
+        rows.append(("b", t, 100000 + t, 1.0))
+    pdf = pd.DataFrame(rows, columns=["source", "ts_s", "event_id", "value"])
+    out = (
+        staleness_report(
+            spark.createDataFrame(pdf), bucket_s=60, lookback_s=600
+        )
+        .toPandas()
+        .set_index("source")
+    )
+    wm = pdf["ts_s"].max()
+    assert out.loc["a", "last_seen_s"] == wm
+    assert out.loc["a", "staleness_s"] == 0
+    # compute expected per brute force
+    for s in ("a", "b"):
+        grp = pdf[pdf["source"] == s]
+        last = grp["ts_s"].max()
+        assert out.loc[s, "last_seen_s"] == last
+        assert out.loc[s, "staleness_s"] == wm - last
+        buckets = set(t - t % 60 for t in grp["ts_s"])
+        observed = sum(1 for bkt in buckets if wm - 600 < bkt <= wm)
+        assert out.loc[s, "buckets_observed"] == observed
+        assert out.loc[s, "buckets_missing"] == 10 - observed
+    # b stopped reporting: every lookback bucket missing
+    assert out.loc["b", "buckets_observed"] == 0
