@@ -2953,12 +2953,13 @@ def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 24h Pearson correlation for every source pair on the
     hourly grid — the co-movement diagnostic (decimal window moments,
     parallelism = pairs)."""
-    from numalogic_spark.operators.tsfeatures import rolling_corr
+    from numalogic_spark.operators.tsfeatures import (
+        aligned_pair_series, rolling_corr)
 
     h = _hourly_series(spark, sf_dir)
-    a = h.select(F.col("source").alias("src_a"), "bucket_s", F.col("val").alias("x"))
-    b = h.select(F.col("source").alias("src_b"), "bucket_s", F.col("val").alias("y"))
-    pairs = a.join(b, "bucket_s").filter(F.col("src_a") < F.col("src_b"))
+    # all-pairs default is the oracle's shape (5 sources); production
+    # callers bound the grid with pairs= / top_k_by_variance=
+    pairs = aligned_pair_series(h)
     out = rolling_corr(
         pairs, "x", "y", key_cols=("src_a", "src_b"), order_col="bucket_s", window=24
     )
@@ -4320,12 +4321,202 @@ SELECT source, token, cnt, rnk FROM (
 """
 
 
+# --- vanilla-AE forward-pass inference (the reference's actual scoring
+# model family: udfs/inference.py:62-86 over models/autoencoder/variants/
+# vanilla.py). Frozen demo artifact; weights-as-SQL-literals oracle (the
+# IVF/MCD discipline). Windows: stride-4 length-8 trailing windows per
+# source ordered by (ts_s, event_id), per-window z-scored (the reference
+# scales before inference) with 6-dp-snapped z so both engines feed the
+# forward pass identical fixed-point inputs.
+_AE_L, _AE_STRIDE = 8, 4
+
+
+def _ae_weights():
+    from numalogic_spark.functions.ae import make_demo_weights
+
+    return make_demo_weights(seq_len=_AE_L)
+
+
+def _ae_z_exprs() -> tuple[str, str, list[str]]:
+    """Shared m / sd / z0..z{L-1} expression strings — Spark consumes
+    them via F.expr, the oracle embeds the identical text, so the
+    standardization arithmetic cannot drift between engines."""
+    from numalogic_spark.functions.ae import round6_sql
+
+    xs = [f"x{i}" for i in range(_AE_L)]
+    s = xs[0]
+    for c in xs[1:]:
+        s = f"({s} + {c})"
+    m = f"{s} / {float(_AE_L)!r}"
+    d2 = [f"((x{i} - m) * (x{i} - m))" for i in range(_AE_L)]
+    v = d2[0]
+    for t in d2[1:]:
+        v = f"({v} + {t})"
+    sd = f"sqrt({v} / {float(_AE_L)!r})"
+    zs = [round6_sql(f"(x{i} - m) / (sd + 0.000001)") for i in range(_AE_L)]
+    return m, sd, zs
+
+
+def _q_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 model-inference gap-closer: reconstruction-error scoring of
+    per-series windows through the Arrow forward-pass kernel
+    (numalogic_spark/functions/ae.py), per-window z-scored inputs, huber
+    errors aggregated to (err_mean, err_max) per window."""
+    from numalogic_spark.functions.ae import ae_window_scores
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy("ts_s", "event_id")
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    lagged = ev.select(
+        "source", "ts_s", "event_id",
+        F.row_number().over(w).alias("rn"),
+        *[
+            F.lag("value", _AE_L - 1 - i).over(w).alias(f"x{i}")
+            for i in range(_AE_L)
+        ],
+    ).filter(
+        (F.col("rn") >= _AE_L) & ((F.col("rn") - _AE_L) % _AE_STRIDE == 0)
+    )
+    m_e, sd_e, z_es = _ae_z_exprs()
+    std = lagged.withColumn("m", F.expr(m_e)).withColumn("sd", F.expr(sd_e))
+    for i, ze in enumerate(z_es):
+        std = std.withColumn(f"z{i}", F.expr(ze))
+    wins = std.select(
+        "source", "ts_s", "event_id",
+        F.array(*[F.col(f"z{i}") for i in range(_AE_L)]).alias("window"),
+    )
+    scored = ae_window_scores(wins, _ae_weights())
+    return scored.select(
+        "source",
+        F.col("ts_s").alias("end_s"),
+        "event_id",
+        "err_mean",
+        "err_max",
+    )
+
+
+def _ae_sql() -> str:
+    """DuckDB replay: identical window/z construction, then the unrolled
+    weights-as-literals forward pass and huber errors from
+    ae.sql_forward_exprs / sql_error_exprs (the strings pytest proves
+    equal to the kernel under Spark SQL's parser too)."""
+    from numalogic_spark.functions.ae import (
+        round6_sql, sql_error_exprs, sql_forward_exprs)
+
+    wts = _ae_weights()
+    m_e, sd_e, z_es = _ae_z_exprs()
+    lags = ",\n         ".join(
+        f"lag(value, {_AE_L - 1 - i}) OVER w AS x{i}" for i in range(_AE_L)
+    )
+    zcols = ",\n         ".join(
+        f"{ze} AS z{i}" for i, ze in enumerate(z_es)
+    )
+    layers = sql_forward_exprs(wts, [f"z{i}" for i in range(_AE_L)])
+    ctes = ""
+    prev = "zs"
+    for t, exprs in enumerate(layers):
+        ctes += f", c{t} AS (SELECT *, {', '.join(exprs)} FROM {prev})\n"
+        prev = f"c{t}"
+    recon = [f"h{len(layers) - 1}_{j}" for j in range(_AE_L)]
+    errs = sql_error_exprs(wts, [f"z{i}" for i in range(_AE_L)], recon)
+    es = [f"e{k}" for k in range(_AE_L)]
+    s = es[0]
+    for c in es[1:]:
+        s = f"({s} + {c})"
+    mean6 = round6_sql(f"{s} / {float(_AE_L)!r}")
+    return f"""
+WITH r AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER w AS rn,
+         {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id)
+), f AS (
+  SELECT * FROM r WHERE rn >= {_AE_L} AND (rn - {_AE_L}) % {_AE_STRIDE} = 0
+), ms AS (
+  SELECT *, {m_e} AS m FROM f
+), ss AS (
+  SELECT *, {sd_e} AS sd FROM ms
+), zs AS (
+  SELECT source, ts_s, event_id,
+         {zcols}
+  FROM ss
+){ctes}, ee AS (
+  SELECT source, ts_s, event_id, {', '.join(errs)} FROM {prev}
+)
+SELECT source, ts_s AS end_s, event_id,
+       {mean6} AS err_mean,
+       greatest({', '.join(es)}) AS err_max
+FROM ee
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver-gate window: the driver verifies list(queries())[:50].
+        # Rounds 1-4 gated the historical head of this dict, leaving the
+        # later waves (LM, diagnostics, sketches, downsamplers, cleaning)
+        # with pytest/selfcheck evidence only. Round 5 promotes those 45
+        # entries into the gate window; 5 rollup anchors keep continuity.
+        "scrub_pii_documents": _q_scrub_pii,
+        "boilerplate_lines_documents": _q_boilerplate,
+        "normalize_text_documents": _q_normalize,
+        "lm_perplexity_documents": _q_lm_ppl,
+        "lm_ppl_buckets_documents": _q_lm_buckets,
+        "acf_events": _q_acf,
+        "cusum_changepoint_events": _q_cusum,
+        "hampel_filter_events": _q_hampel,
+        "stl_decompose_events": _q_stl,
+        "holt_linear_1h_events": _q_holt,
+        "rolling_corr_pairs_events": _q_rolling_corr,
+        "ccf_pairs_events": _q_ccf,
+        "page_hinkley_1h_events": _q_page_hinkley,
+        "psi_drift_events": _q_psi_drift,
+        "dominant_period_events": _q_dominant_period,
+        "kalman_level_1h_events": _q_kalman,
+        "token_divergence_documents": _q_token_divergence,
+        "pca_project_embeddings": _q_pca_project,
+        "series_summary_events": _q_series_summary,
+        "trend_slope_events": _q_trend_slope,
+        "seasonal_anomalies_events": _q_seasonal_anomalies,
+        "pot_threshold_events": _q_pot_threshold,
+        "counter_rate_events": _q_counter_rate,
+        "m4_downsample_events": _q_m4,
+        "retention_policy_events": _q_retention,
+        "sax_symbols_events": _q_sax,
+        "dup_ngram_spans_documents": _q_dup_ngrams,
+        "heavy_hitter_tokens_documents": _q_heavy_hitters,
+        "lttb_downsample_events": _q_lttb,
+        "histogram_quantile_events": _q_hist_quantile,
+        "asof_join_events": _q_asof,
+        "dsir_weights_documents": _q_dsir,
+        "hll_distinct_events": _q_hll,
+        "sessionize_events": _q_sessionize,
+        "hll_tier_cascade_events": _q_hll_cascade,
+        "interval_overlap_join_events": _q_interval_join,
+        "quality_calibration_documents": _q_quality_calibration,
+        "cms_freq_documents": _q_cms,
+        "pmi_collocations_documents": _q_pmi,
+        "staleness_report_events": _q_staleness,
+        "dedup_clusters_documents": _q_dedup_clusters,
+        "bpe_encode_documents": _q_bpe_encode,
+        "nb_classify_documents": _q_nb_classify,
+        "pack_greedy_documents": _q_pack_greedy,
+        "curriculum_order_documents": _q_curriculum,
+        "ae_inference_events": _q_ae_inference,
         "rollup_1m_events": _q_rollup("1m"),
         "rollup_1h_events": _q_rollup("1h"),
         "rollup_1d_events": _q_rollup("1d"),
         "rollup_tiers_fused_events": _q_rollup_fused,
+        # --- r4-green tail: every entry below holds a green row in
+        # CORRECTNESS_r04.json (and most in r03); rotated out of the
+        # 50-slot window to make room for the never-gated wave above.
         "gapfill_1m_events": _q_gapfill,
         "stateless_transforms": _q_log_transform,
         "score_norms": _q_score_norm,
@@ -4372,56 +4563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_1h_events": _q_seasonal_naive,
         "forecast_metrics_events": _q_forecast_metrics,
         "prometheus_frame_events": _q_prometheus_frame,
-        "dedup_clusters_documents": _q_dedup_clusters,
-        "bpe_encode_documents": _q_bpe_encode,
-        "nb_classify_documents": _q_nb_classify,
-        "pack_greedy_documents": _q_pack_greedy,
-        "curriculum_order_documents": _q_curriculum,
-        "scrub_pii_documents": _q_scrub_pii,
-        "boilerplate_lines_documents": _q_boilerplate,
-        "normalize_text_documents": _q_normalize,
-        "lm_perplexity_documents": _q_lm_ppl,
-        "lm_ppl_buckets_documents": _q_lm_buckets,
-        "acf_events": _q_acf,
-        "cusum_changepoint_events": _q_cusum,
-        "hampel_filter_events": _q_hampel,
-        "stl_decompose_events": _q_stl,
-        "holt_linear_1h_events": _q_holt,
-        "rolling_corr_pairs_events": _q_rolling_corr,
-        "ccf_pairs_events": _q_ccf,
-        "page_hinkley_1h_events": _q_page_hinkley,
-        "psi_drift_events": _q_psi_drift,
-        "dominant_period_events": _q_dominant_period,
-        "kalman_level_1h_events": _q_kalman,
-        "token_divergence_documents": _q_token_divergence,
-        "pca_project_embeddings": _q_pca_project,
-        "series_summary_events": _q_series_summary,
-        "trend_slope_events": _q_trend_slope,
-        "seasonal_anomalies_events": _q_seasonal_anomalies,
-        "pot_threshold_events": _q_pot_threshold,
-        "counter_rate_events": _q_counter_rate,
-        "m4_downsample_events": _q_m4,
-        "retention_policy_events": _q_retention,
-        "sax_symbols_events": _q_sax,
-        "dup_ngram_spans_documents": _q_dup_ngrams,
-        "heavy_hitter_tokens_documents": _q_heavy_hitters,
-        "lttb_downsample_events": _q_lttb,
-        "histogram_quantile_events": _q_hist_quantile,
-        "asof_join_events": _q_asof,
-        "dsir_weights_documents": _q_dsir,
-        "hll_distinct_events": _q_hll,
-        "sessionize_events": _q_sessionize,
-        "hll_tier_cascade_events": _q_hll_cascade,
-        "interval_overlap_join_events": _q_interval_join,
-        "quality_calibration_documents": _q_quality_calibration,
-        "cms_freq_documents": _q_cms,
-        "pmi_collocations_documents": _q_pmi,
-        "staleness_report_events": _q_staleness,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "ae_inference_events": _ae_sql(),
         "rollup_1m_events": _rollup_sql("minute", 60),
         "rollup_1h_events": _rollup_sql("hour", 3600),
         "rollup_1d_events": _rollup_sql("day", 86400),
