@@ -384,6 +384,7 @@ def minhash_lsh_pairs(
     est_margin: float | None = 0.1,
     materialize: bool | str = True,
     use_kernel: bool | None = None,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding proposes candidates, a signature-
     estimated Jaccard prefilter (est ≥ threshold − est_margin) culls them
@@ -480,9 +481,28 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Materialize the deduped candidate pairs: they feed BOTH verify joins
+    # (another diamond), and truncating here keeps the expensive band join
+    # from re-running per consumer.
+    cand = _materialize(cand, materialize)
+    # Verify-join strategy: a checkpointed/persisted frame surfaces NO size
+    # stats to the planner (LogicalRDD defaults to "huge"), so neither the
+    # static planner nor AQE will broadcast the candidate table even when
+    # it is a few MB — both verify joins fall back to shuffling the WIDE
+    # shingle-code arrays (measured 3× slower at sf0.1). Replicate AQE's
+    # decision where AQE is blind: when the pairs are already materialized,
+    # count them (cheap — blocks are cached) and broadcast iff the table is
+    # bounded; a quadratic-blowup corpus exceeds the cap and falls back to
+    # the shuffle join instead of OOMing the driver. Explicit True/False
+    # overrides the heuristic; unmaterialized runs never broadcast blind.
+    if broadcast_verify is None:
+        broadcast_verify = (
+            materialize in (True, "persist") and cand.count() <= 5_000_000
+        )
+    cjoin = F.broadcast(cand) if broadcast_verify else cand
     codes = base
     pairs = (
-        cand.join(
+        cjoin.join(
             codes.withColumnRenamed("id", "id_a").withColumnRenamed("codes", "c_a"), "id_a"
         ).join(
             codes.withColumnRenamed("id", "id_b").withColumnRenamed("codes", "c_b"), "id_b"
