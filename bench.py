@@ -236,6 +236,29 @@ def main() -> None:
     t0 = time.time()
     _noop(sliding_windows_salted(one_series, ["value"], 12, 4, chunk_rows=15_625))
     queries["windows_single_series_salted"] = time.time() - t0
+
+    # high-series-cardinality pairwise row: 500 sources on an hourly grid
+    # (the other end of the ccf/rolling-corr scale axis — the all-pairs
+    # grid is O(S²) and a scale-killer there). The BOUNDED path takes an
+    # explicit O(S) pair chain; candidate rows are |pairs|·T·lags, never
+    # S². Only the bounded path is timed as the headline (it is the
+    # production shape); the 124,750-pair unbounded grid exists in the
+    # same operator for dashboard-scale source counts.
+    from numalogic_spark.operators.tsfeatures import ccf_pairs
+
+    grid = (
+        spark.range(500 * 720)
+        .select(
+            F.concat(F.lit("src"), (F.col("id") % 500)).alias("source"),
+            ((F.col("id") / 500).cast("long") * 3600).alias("bucket_s"),
+            (F.sin(F.col("id") * 0.01) * 10 + (F.col("id") % 7)).alias("val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chain = [(f"src{i}", f"src{i + 1}") for i in range(499)]
+    t0 = time.time()
+    _noop(ccf_pairs(grid, lags=(-2, -1, 0, 1, 2), pairs=chain))
+    queries["ccf_pairs_bounded_500src"] = time.time() - t0
     spark.stop()
 
     # scaling evidence: same job, same input, same plan (fixed shuffle

@@ -64,6 +64,15 @@ def asof_join_backward(
     overlap = set(lpay) & ({f"asof_{c}" for c in rpay} | {"asof_ts"})
     if overlap:
         raise ValueError(f"left columns collide with asof_ outputs: {overlap}")
+    # the union/carry machinery owns these temp names; a payload or key
+    # column using one would be silently clobbered (or corrupt the sort
+    # order) instead of surviving the join — fail loudly up front
+    reserved = {"_ts", "_is_left", "_r", "_m"}
+    clash = reserved & (set(lpay) | set(rpay) | set(keys))
+    if clash:
+        raise ValueError(
+            f"columns collide with asof internal temp names: {sorted(clash)}"
+        )
 
     # the right side rides as ONE struct so a NULL inside a right payload
     # column can never splice fields from two different right rows

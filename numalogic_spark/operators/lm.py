@@ -201,11 +201,18 @@ def pmi_collocations(
     hapax noise); top_k by (PMI desc, pair asc) is deterministic.
 
     Scale shape: word and bigram counts are two map-side-combinable
-    aggregations over ONE tokenize pass; unigram counts join the bigram
-    table twice — both sides BROADCAST when the vocabulary is capped by
-    min_count (Zipf: qualifying unigrams ≪ corpus). N (bigram
-    positions) is re-aggregated from the bigram counts, never a second
-    corpus pass. The top-k selection is a parallel
+    aggregations over ONE tokenize pass. The marginal tables are
+    computed over the UNFILTERED joint (PMI's denominator must not be
+    truncated by min_count) but then left-semi-restricted to the words
+    that actually appear in a min_count-surviving pair before joining —
+    marginal VALUES are final at aggregation time, so dropping rows for
+    never-reported words is lossless and shrinks each marginal from
+    full-vocabulary size to qualifying-pair size. No broadcast hint is
+    forced on the marginal joins: at 10^12 bigrams even the restricted
+    marginals can exceed the broadcast ceiling, so AQE picks broadcast
+    vs shuffle from the runtime size (only the 1-row N total is hinted).
+    N (bigram positions) is re-aggregated from the bigram counts, never
+    a second corpus pass. The top-k selection is a parallel
     TakeOrderedAndProject (orderBy + limit), NEVER an unpartitioned
     rank window — rnk is stamped on the already-tiny top_k frame. PMI
     itself is 6-dp-rounded for the cross-engine gate.
@@ -241,13 +248,24 @@ def pmi_collocations(
             # restricts only which pairs are REPORTED, or rare-word
             # marginals would be truncated and every surviving PMI
             # inflated
-            ca = bc_all.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
-            cb = bc_all.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
-            n_tot = bc_all.agg(F.sum("c_ab").alias("n"))
             bc = bc_all.filter(F.col("c_ab") >= min_count)
+            # restrict marginal ROWS (not values) to words appearing in a
+            # surviving pair — lossless, and bounds the join inputs by the
+            # qualifying-pair count instead of the full vocabulary
+            ca = (
+                bc_all.groupBy("a")
+                .agg(F.sum("c_ab").alias("c_a"))
+                .join(bc.select("a").distinct(), "a", "left_semi")
+            )
+            cb = (
+                bc_all.groupBy("b")
+                .agg(F.sum("c_ab").alias("c_b"))
+                .join(bc.select("b").distinct(), "b", "left_semi")
+            )
+            n_tot = bc_all.agg(F.sum("c_ab").alias("n"))
             scored = (
-                bc.join(F.broadcast(ca), "a")
-                .join(F.broadcast(cb), "b")
+                bc.join(ca, "a")
+                .join(cb, "b")
                 .crossJoin(F.broadcast(n_tot))
                 .select(
                     "a",

@@ -303,7 +303,10 @@ def fixed_histogram(
     CUMULATIVE count of values <= le.
 
     Each input row increments exactly one raw bucket (its smallest
-    containing le — O(log buckets) per row, not a les-sized explode);
+    containing le, found by a nested CASE fold over the literal bounds —
+    up to len(les) comparisons per row, linear but branch-only and
+    codegen'd; fine for the small fixed bucket lists histograms use,
+    and never a les-sized row explode);
     the cumulative view is a running sum over the tiny per-group bucket
     rows. Cumulative fixed buckets are the mergeable quantile state:
     O(buckets) per group, re-aggregable across retention tiers by plain

@@ -31,6 +31,22 @@ Standard error ≈ 1.04/√m (m = 256 → ~6.5%). The 31-bit rho source caps
 usable cardinality around 2^31 per register pattern — far above any
 per-(series, bucket) group this engine rolls up.
 
+VARIANT NOTE (precision): this is NOT the canonical split-word HLL.
+Flajolet's construction takes ONE hash word and splits it — low bits
+pick the register, the remaining bits feed rho — and the α_m constant
+0.7213/(1 + 1.079/m) is derived for that construction. Here the
+register index and rho come from two INDEPENDENT portable hashes
+(h1/h2 salts), and rho's source is 31-bit rather than 32/64-bit, so
+P(rho = k) = 2^(−k) holds only approximately at the tail and a small
+systematic bias rides on top of the documented 1.04/√m error. The
+trade is deliberate: both hashes are replayable in any SQL engine
+(the whole point — estimates are oracle-gateable), the independent-
+hash variant is if anything LESS self-correlated than the split word,
+and the accuracy tests bound the observed error empirically (≤ 2σ on
+the fixtures). Consumers needing canonical-HLL bias behavior (e.g.
+HLL++ bias-correction tables) should treat estimates as ±6.5%-class,
+not as bit-compatible with other HLL implementations.
+
 Scale shape: one map-side-combinable groupBy to (group, register) max —
 the only shuffle, carrying ≤ m rows per group — then a dense
 m-register grid (groups × broadcast literals, the fixed-histogram

@@ -730,6 +730,95 @@ def rolling_corr(
     )
 
 
+def aligned_pair_series(
+    bucketed: DataFrame,
+    value_col: str = "val",
+    source_col: str = "source",
+    bucket_col: str = "bucket_s",
+    pairs: "DataFrame | Sequence[tuple[str, str]] | None" = None,
+    top_k_by_variance: int | None = None,
+) -> DataFrame:
+    """Aligned (src_a, src_b, bucket, x, y) rows for pairwise diagnostics
+    (rolling_corr input): src_a < src_b, one row per bucket where both
+    sides exist. Same candidate limiting as ccf_pairs — `pairs` gives an
+    O(|pairs|·T) broadcast-bounded build, `top_k_by_variance` caps the
+    source set; default (both None) is the all-pairs grid, fine for
+    dashboard-scale source counts only."""
+    if top_k_by_variance is not None and pairs is None:
+        keep = top_variance_sources(
+            bucketed, top_k_by_variance, value_col, source_col
+        )
+        bucketed = bucketed.join(F.broadcast(keep), source_col, "left_semi")
+    a = bucketed.select(
+        F.col(source_col).alias("src_a"),
+        F.col(bucket_col).alias("bucket_s"),
+        F.col(value_col).alias("x"),
+    )
+    b = bucketed.select(
+        F.col(source_col).alias("src_b"),
+        F.col(bucket_col).alias("bucket_s"),
+        F.col(value_col).alias("y"),
+    )
+    if pairs is not None:
+        pair_df = _as_pairs_df(bucketed, pairs)
+        return a.join(F.broadcast(pair_df), "src_a").join(
+            b, ["src_b", "bucket_s"]
+        ).select("src_a", "src_b", "bucket_s", "x", "y")
+    return (
+        a.join(b, "bucket_s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", "bucket_s", "x", "y")
+    )
+
+
+def top_variance_sources(
+    bucketed: DataFrame,
+    k: int,
+    value_col: str = "val",
+    source_col: str = "source",
+) -> DataFrame:
+    """The k sources with the highest series variance — the standard
+    candidate prefilter for pairwise diagnostics (flat series correlate
+    with nothing interesting; the variance rank is one cheap map-side
+    aggregation). Ties break on source name for determinism. Returns a
+    1-column frame (`source_col`) suitable for a broadcast semi-join."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    xd = F.col(value_col).cast(_DEC)
+    stats = bucketed.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xd).cast("double").alias("_sx"),
+        F.sum(xd * xd).cast("double").alias("_sxx"),
+    )
+    nd = F.col("_n").cast("double")
+    var = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd) / nd
+    ranked = stats.select(
+        source_col, F.when(nd > 0, var).otherwise(F.lit(0.0)).alias("_var")
+    ).orderBy(F.col("_var").desc(), F.col(source_col)).limit(k)
+    return ranked.select(source_col)
+
+
+def _as_pairs_df(
+    bucketed: DataFrame, pairs: "DataFrame | Sequence[tuple[str, str]]"
+) -> DataFrame:
+    """Normalize an explicit candidate pair list to a deduped
+    (src_a, src_b) DataFrame with src_a < src_b (the orientation the
+    pairwise operators emit — the mirror is derivable)."""
+    if isinstance(pairs, DataFrame):
+        pdf = pairs.select("src_a", "src_b")
+    else:
+        pdf = bucketed.sparkSession.createDataFrame(
+            [(str(a), str(b)) for a, b in pairs], "src_a string, src_b string"
+        )
+    lo = F.least("src_a", "src_b")
+    hi = F.greatest("src_a", "src_b")
+    return (
+        pdf.filter(F.col("src_a") != F.col("src_b"))
+        .select(lo.alias("src_a"), hi.alias("src_b"))
+        .dropDuplicates(["src_a", "src_b"])
+    )
+
+
 def ccf_pairs(
     bucketed: DataFrame,
     value_col: str = "val",
@@ -737,6 +826,8 @@ def ccf_pairs(
     bucket_col: str = "bucket_s",
     lags: Sequence[int] = (-3, -2, -1, 0, 1, 2, 3),
     bucket_seconds: int = 3600,
+    pairs: "DataFrame | Sequence[tuple[str, str]] | None" = None,
+    top_k_by_variance: int | None = None,
 ) -> DataFrame:
     """Cross-correlation function between every source pair on a regular
     bucket grid: ccf(a, b, k) = corr(a_t, b_{t−k}) over the buckets
@@ -752,9 +843,28 @@ def ccf_pairs(
     Moments are decimal sums (exact); pairs with fewer than 2 aligned
     buckets or a zero-variance side yield NULL.
 
+    CANDIDATE LIMITING (the 100k-series story): the default bucket-only
+    join enumerates every co-bucketed source pair — O(S²·T·lags) rows,
+    fine for dashboards over dozens of series, a scale-killer at 10⁵+.
+    Two bounds, composable with the same downstream math:
+    * `pairs` — an explicit candidate list ((src_a, src_b) tuples or a
+      DataFrame); the a side broadcast-joins the pair list FIRST, so
+      the b join becomes an equi-join on (src_b, bucket) — candidate
+      rows are O(|pairs|·T·lags), never S². The production path (pair
+      lists come from topology, ownership, or a sketch prefilter).
+    * `top_k_by_variance` — keep only the k highest-variance sources
+      (one map-side agg + broadcast semi-join) and enumerate pairs
+      among those: O(k²·T·lags) with k chosen by the caller. Flat
+      series correlate with nothing actionable.
+
     Output: (src_a, src_b, lag, n, ccf)."""
     lags = sorted(set(int(k) for k in lags))
     step = int(bucket_seconds)
+    if top_k_by_variance is not None and pairs is None:
+        keep = top_variance_sources(
+            bucketed, top_k_by_variance, value_col, source_col
+        )
+        bucketed = bucketed.join(F.broadcast(keep), source_col, "left_semi")
     a = bucketed.select(
         F.col(source_col).alias("src_a"),
         F.col(bucket_col).alias("bucket_s"),
@@ -771,7 +881,14 @@ def ccf_pairs(
         (F.col("_bs") + F.col("lag").cast("long") * F.lit(step)).alias("bucket_s"),
         "yd",
     )
-    j = a.join(b, "bucket_s").filter(F.col("src_a") < F.col("src_b"))
+    if pairs is not None:
+        pair_df = _as_pairs_df(bucketed, pairs)
+        # stamp each a row with its candidate partners, then join b on
+        # BOTH (src_b, bucket_s) — the S² bucket grid never materializes
+        a = a.join(F.broadcast(pair_df), "src_a")
+        j = a.join(b, ["src_b", "bucket_s"])
+    else:
+        j = a.join(b, "bucket_s").filter(F.col("src_a") < F.col("src_b"))
     m = j.groupBy("src_a", "src_b", "lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("xd").cast("double").alias("sx"),

@@ -514,3 +514,93 @@ def test_dominant_period_recovers_injected_cycle(spark):
         .collect()
     }
     assert best == {"daily": 24, "halfday": 12}
+
+
+def _pairgrid_fixture(n_sources=12, n_buckets=60, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(n_sources):
+        vals = np.cumsum(rng.normal(0, 1 + s * 0.3, n_buckets))
+        for i in range(n_buckets):
+            rows.append((f"s{s:03d}", i * 3600, float(round(vals[i], 2))))
+    return pd.DataFrame(rows, columns=["source", "bucket_s", "val"])
+
+
+def test_ccf_explicit_pairs_matches_allpairs_subset(spark):
+    """The pairs-limited path must return exactly the all-pairs rows for
+    the requested pairs — same math, bounded candidate generation."""
+    from numalogic_spark.operators.tsfeatures import ccf_pairs
+
+    pdf = _pairgrid_fixture()
+    df = spark.createDataFrame(pdf)
+    want_pairs = [("s000", "s001"), ("s003", "s002"), ("s010", "s011")]
+    full = ccf_pairs(df, lags=(-1, 0, 1)).toPandas()
+    got = ccf_pairs(df, lags=(-1, 0, 1), pairs=want_pairs).toPandas()
+    norm = {(min(a, b), max(a, b)) for a, b in want_pairs}
+    sub = full[
+        full.apply(lambda r: (r.src_a, r.src_b) in norm, axis=1)
+    ].sort_values(["src_a", "src_b", "lag"], ignore_index=True)
+    got = got.sort_values(["src_a", "src_b", "lag"], ignore_index=True)
+    assert len(got) == len(norm) * 3
+    pd.testing.assert_frame_equal(got, sub, check_like=True)
+
+
+def test_ccf_pairs_plan_has_no_bucket_only_join(spark):
+    """Plan assert (the scale guarantee): with an explicit pair list the
+    b-side join keys include src_b — the S² bucket-only theta grid never
+    appears in the physical plan."""
+    from numalogic_spark.operators.tsfeatures import ccf_pairs
+
+    df = spark.createDataFrame(_pairgrid_fixture(n_sources=6, n_buckets=10))
+    bounded = ccf_pairs(df, lags=(0,), pairs=[("s000", "s001")])
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every equi-join on bucket_s must also key on src_b; the unbounded
+    # path (control) shows a bucket-only join
+    for line in plan.splitlines():
+        if "Join" in line and "bucket_s" in line:
+            assert "src_b" in line, line
+
+
+def test_ccf_top_k_by_variance_limits_sources(spark):
+    from numalogic_spark.operators.tsfeatures import (
+        ccf_pairs,
+        top_variance_sources,
+    )
+
+    pdf = _pairgrid_fixture()
+    df = spark.createDataFrame(pdf)
+    keep = {
+        r["source"] for r in top_variance_sources(df, 4).collect()
+    }
+    assert len(keep) == 4
+    # matches the pandas population-variance ranking of the fixture
+    want = set(
+        pdf.groupby("source")["val"]
+        .var(ddof=0)
+        .sort_values(ascending=False)
+        .head(4)
+        .index
+    )
+    assert keep == want
+    out = ccf_pairs(df, lags=(0,), top_k_by_variance=4).toPandas()
+    assert set(out.src_a) | set(out.src_b) <= keep
+    assert len(out) == 6  # C(4,2) pairs at lag 0
+
+
+def test_aligned_pair_series_bounded_matches_manual(spark):
+    from numalogic_spark.operators.tsfeatures import aligned_pair_series
+
+    pdf = _pairgrid_fixture(n_sources=5, n_buckets=20)
+    df = spark.createDataFrame(pdf)
+    got = (
+        aligned_pair_series(df, pairs=[("s001", "s000")])
+        .toPandas()
+        .sort_values("bucket_s", ignore_index=True)
+    )
+    a = pdf[pdf.source == "s000"].set_index("bucket_s")["val"]
+    b = pdf[pdf.source == "s001"].set_index("bucket_s")["val"]
+    assert (got.src_a == "s000").all() and (got.src_b == "s001").all()
+    np.testing.assert_allclose(got.x.to_numpy(), a[got.bucket_s].to_numpy())
+    np.testing.assert_allclose(got.y.to_numpy(), b[got.bucket_s].to_numpy())
