@@ -171,6 +171,18 @@ def main() -> None:
         _noop(fn(spark, SF_DIR))
         queries[name] = time.time() - t0
 
+    # dup-ngram-span PRODUCTION hash mode: the gated query keeps md5 (the
+    # one digest the DuckDB oracle replays); jobs default to engine-side
+    # xxhash64 — an 8-byte long per gram instead of a 32-char hex string.
+    from numalogic_spark.operators.dedup import duplicate_ngram_spans
+
+    t0 = time.time()
+    _noop(duplicate_ngram_spans(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")),
+        n=8, min_docs=2,
+    ))
+    queries["dup_ngram_spans_xxh64"] = time.time() - t0
+
     # The dedup pipeline is benched STAGED, the way jobs/dedup_job.py (and
     # any production pipeline) runs it: the MinHash-LSH pair table is
     # computed once and persisted; connected-component clustering is the

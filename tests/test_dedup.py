@@ -427,7 +427,7 @@ def test_materialize_persist_mode(spark, corpus):
     assert key(got) == key(eager)
     from numalogic_spark.operators.dedup import release_persisted
 
-    assert release_persisted() == 2  # base + slim signature frames
+    assert release_persisted() == 3  # base + slim + candidate-pair frames
     assert release_persisted() == 0  # idempotent
     with pytest.raises(ValueError, match="materialize"):
         minhash_lsh_pairs(df, materialize="Persist")

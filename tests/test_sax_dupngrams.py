@@ -165,3 +165,35 @@ def test_heavy_hitters_exact(spark):
     assert out["token"].tolist() == ["apple", "banana"]
     assert out["cnt"].tolist() == [3, 3]  # tie broken by token asc
     assert out["rnk"].tolist() == [1, 2]
+
+
+def test_dup_ngram_hash_modes_agree(spark):
+    """Production xxhash64 digests and oracle md5 digests must yield the
+    same span counts (collisions aside, which are ~n²/2⁶⁵)."""
+    shared = "one two three four five six seven eight"
+    texts = [
+        shared + " alpha beta",
+        "zzz " + shared,
+        "totally different words here nothing repeats at all ok",
+        "short doc",
+    ]
+    md5 = (
+        duplicate_ngram_spans(
+            _doc_frame(spark, texts), n=8, min_docs=2, hash_mode="md5"
+        )
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    xxh = (
+        duplicate_ngram_spans(_doc_frame(spark, texts), n=8, min_docs=2)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(md5, xxh)
+
+
+def test_dup_ngram_bad_hash_mode_raises(spark):
+    with pytest.raises(ValueError):
+        duplicate_ngram_spans(
+            _doc_frame(spark, ["a b c"]), hash_mode="sha1"
+        )
