@@ -1,0 +1,176 @@
+"""Trainer-message dedup gate (streaming/trainer_gate.py) — protocol
+parity with the reference TrainMsgDeduplicator
+(/root/reference/numalogic/udfs/tools.py:220-370) replayed over
+event-time, plus batch ≡ stream equivalence across micro-batches."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.streaming.trainer_gate import (
+    _fold_events,
+    batch_trainer_gate,
+)
+
+PARAMS = dict(
+    retrain_freq_h=24, retry_s=600, min_train_records=180, data_freq_s=60
+)
+
+
+def _ev(ts, kind, recs=None):
+    return {"ts_s": ts, "kind": kind, "train_records": recs}
+
+
+def _fold(rows, state=(None, None, None)):
+    pdf = pd.DataFrame(rows)
+    pdf["train_records"] = pdf["train_records"].astype("object")
+    return _fold_events(pdf, state, **PARAMS)
+
+
+def test_first_read_admitted_then_in_flight():
+    dec, st = _fold([_ev(1000, "read"), _ev(1100, "read")])
+    assert list(dec.do_train) == [True, False]
+    assert list(dec.reason) == ["admitted", "in_flight"]
+    assert st[0] == 1000  # read_ts stamped by the ADMITTED read only
+
+
+def test_read_after_retry_window_admitted():
+    dec, _ = _fold([_ev(1000, "read"), _ev(1000 + 600, "read")])
+    assert list(dec.do_train) == [True, True]
+
+
+def test_retrain_freq_blocks_after_train_done():
+    # tools.py:337-343 — a model saved < retrain_freq hours ago skips
+    dec, _ = _fold(
+        [
+            _ev(1000, "read"),
+            _ev(2000, "train_done"),
+            _ev(2000 + 3600, "read"),           # 1h later: blocked
+            _ev(2000 + 24 * 3600, "read"),      # exactly 24h: admitted
+        ]
+    )
+    assert list(dec.do_train) == [True, False, True]
+    assert list(dec.reason)[1] == "retrain_freq"
+
+
+def test_insufficient_backoff_defers_retry():
+    # tools.py:312-330 — found 60 of 180 records → retries deferred by
+    # (180 − 60)·60 s = 7200 s from the last admitted read
+    rows = [
+        _ev(1000, "read"),
+        _ev(1010, "insufficient", 60),
+        _ev(1000 + 7199, "read"),
+        _ev(1000 + 7200, "read"),
+    ]
+    dec, _ = _fold(rows)
+    assert list(dec.do_train) == [True, False, True]
+    assert list(dec.reason)[1] == "insufficient_backoff"
+
+
+def test_backoff_checked_before_in_flight():
+    # reference check order: backoff first (its reason string wins even
+    # when the in-flight window would also deny)
+    rows = [_ev(1000, "read"), _ev(1010, "insufficient", 179), _ev(1030, "read")]
+    dec, _ = _fold(rows)
+    assert list(dec.reason) == ["admitted", "insufficient_backoff"]
+
+
+def test_train_records_never_cleared():
+    # ack_train does not clear _msg_train_records in the reference; the
+    # backoff window re-applies after the NEXT admitted read
+    rows = [
+        _ev(1000, "read"),
+        _ev(1010, "insufficient", 120),
+        _ev(1000 + 3600, "read"),  # past the 3600s backoff: admitted
+        _ev(1000 + 3600 + 3599, "read"),  # new backoff from new read_ts
+    ]
+    dec, st = _fold(rows)
+    assert list(dec.do_train) == [True, True, False]
+    assert st[2] == 120
+
+
+def test_batch_gate_sparkside(spark):
+    rows = []
+    for s in ("a", "b"):
+        base = 10_000
+        rows += [
+            (s, base, "read", None),
+            (s, base + 100, "read", None),
+            (s, base + 700, "read", None),
+            (s, base + 800, "train_done", None),
+            (s, base + 4000, "read", None),
+        ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts_s", "kind", "train_records"])
+    )
+    got = (
+        batch_trainer_gate(df, **PARAMS)
+        .toPandas()
+        .sort_values(["source", "ts_s"], ignore_index=True)
+    )
+    assert len(got) == 8  # 4 reads × 2 sources
+    for s in ("a", "b"):
+        g = got[got.source == s]
+        assert list(g.do_train) == [True, False, True, False]
+        assert list(g.reason) == [
+            "admitted", "in_flight", "admitted", "retrain_freq",
+        ]
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    """The gate's decisions must be identical whether the log is replayed
+    in one batch or split across micro-batches (state carries the three
+    scalars)."""
+    from numalogic_spark.streaming.trainer_gate import streaming_trainer_gate
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for s in ("s1", "s2", "s3"):
+        t = 50_000
+        for i in range(30):
+            t += int(rng.integers(30, 2000))
+            kind = ("read", "train_done", "insufficient")[
+                int(rng.integers(0, 3)) if i % 3 == 0 else 0
+            ]
+            recs = int(rng.integers(10, 179)) if kind == "insufficient" else None
+            rows.append((s, t, kind, recs))
+    pdf = pd.DataFrame(rows, columns=["source", "ts_s", "kind", "train_records"])
+    schema = "source string, ts_s long, kind string, train_records long"
+
+    want = (
+        batch_trainer_gate(spark.createDataFrame(pdf, schema), **PARAMS)
+        .toPandas()
+        .sort_values(["source", "ts_s"], ignore_index=True)
+    )
+
+    d = tmp_path / "gate_src"
+    # split in TIME order so micro-batches respect per-key event order
+    # (the protocol's stream contract; see module docstring)
+    pdf_sorted = pdf.sort_values("ts_s", ignore_index=True)
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf_sorted)), 4)):
+        spark.createDataFrame(pdf_sorted.iloc[chunk], schema).repartition(
+            1
+        ).write.parquet(str(d / f"part{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/part*")
+    )
+    q = (
+        streaming_trainer_gate(stream, **PARAMS)
+        .writeStream.format("memory")
+        .queryName("gate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from gate_stream")
+        .toPandas()
+        .sort_values(["source", "ts_s"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
