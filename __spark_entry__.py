@@ -4357,12 +4357,10 @@ def _ae_z_exprs() -> tuple[str, str, list[str]]:
     return m, sd, zs
 
 
-def _q_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 model-inference gap-closer: reconstruction-error scoring of
-    per-series windows through the Arrow forward-pass kernel
-    (numalogic_spark/functions/ae.py), per-window z-scored inputs, huber
-    errors aggregated to (err_mean, err_max) per window."""
-    from numalogic_spark.functions.ae import ae_window_scores
+def _ae_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input builder for both AE families: stride-{_AE_STRIDE}
+    length-{_AE_L} trailing windows per source, per-window z-scored with
+    the engine-shared 6-dp expressions from _ae_z_exprs."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("source").orderBy("ts_s", "event_id")
@@ -4386,11 +4384,43 @@ def _q_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     std = lagged.withColumn("m", F.expr(m_e)).withColumn("sd", F.expr(sd_e))
     for i, ze in enumerate(z_es):
         std = std.withColumn(f"z{i}", F.expr(ze))
-    wins = std.select(
+    return std.select(
         "source", "ts_s", "event_id",
         F.array(*[F.col(f"z{i}") for i in range(_AE_L)]).alias("window"),
     )
-    scored = ae_window_scores(wins, _ae_weights())
+
+
+def _q_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 model-inference gap-closer: reconstruction-error scoring of
+    per-series windows through the Arrow forward-pass kernel
+    (numalogic_spark/functions/ae.py), per-window z-scored inputs, huber
+    errors aggregated to (err_mean, err_max) per window."""
+    from numalogic_spark.functions.ae import ae_window_scores
+
+    scored = ae_window_scores(_ae_wins(spark, sf_dir), _ae_weights())
+    return scored.select(
+        "source",
+        F.col("ts_s").alias("end_s"),
+        "event_id",
+        "err_mean",
+        "err_max",
+    )
+
+
+def _conv_ae_weights():
+    from numalogic_spark.functions.conv_ae import make_demo_conv_weights
+
+    return make_demo_conv_weights(seq_len=_AE_L)
+
+
+def _q_conv_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND autoencoder family (Conv1dAE, models/
+    autoencoder/variants/conv.py): conv/BN/ReLU/pool encoder + convT/BN/
+    ReLU/upsample decoder over the same z-scored windows, scored by the
+    Arrow kernel in numalogic_spark/functions/conv_ae.py."""
+    from numalogic_spark.functions.conv_ae import conv_ae_window_scores
+
+    scored = conv_ae_window_scores(_ae_wins(spark, sf_dir), _conv_ae_weights())
     return scored.select(
         "source",
         F.col("ts_s").alias("end_s"),
@@ -4423,6 +4453,61 @@ def _ae_sql() -> str:
         ctes += f", c{t} AS (SELECT *, {', '.join(exprs)} FROM {prev})\n"
         prev = f"c{t}"
     recon = [f"h{len(layers) - 1}_{j}" for j in range(_AE_L)]
+    errs = sql_error_exprs(wts, [f"z{i}" for i in range(_AE_L)], recon)
+    es = [f"e{k}" for k in range(_AE_L)]
+    s = es[0]
+    for c in es[1:]:
+        s = f"({s} + {c})"
+    mean6 = round6_sql(f"{s} / {float(_AE_L)!r}")
+    return f"""
+WITH r AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER w AS rn,
+         {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id)
+), f AS (
+  SELECT * FROM r WHERE rn >= {_AE_L} AND (rn - {_AE_L}) % {_AE_STRIDE} = 0
+), ms AS (
+  SELECT *, {m_e} AS m FROM f
+), ss AS (
+  SELECT *, {sd_e} AS sd FROM ms
+), zs AS (
+  SELECT source, ts_s, event_id,
+         {zcols}
+  FROM ss
+){ctes}, ee AS (
+  SELECT source, ts_s, event_id, {', '.join(errs)} FROM {prev}
+)
+SELECT source, ts_s AS end_s, event_id,
+       {mean6} AS err_mean,
+       greatest({', '.join(es)}) AS err_max
+FROM ee
+"""
+
+
+def _conv_ae_sql() -> str:
+    """DuckDB replay of the Conv1dAE kernel: identical window/z
+    construction as _ae_sql, then the unrolled conv/affine/relu/pool/
+    upsample column grid from conv_ae.sql_forward_exprs."""
+    from numalogic_spark.functions.ae import round6_sql, sql_error_exprs
+    from numalogic_spark.functions.conv_ae import sql_forward_exprs
+
+    wts = _conv_ae_weights()
+    m_e, sd_e, z_es = _ae_z_exprs()
+    lags = ",\n         ".join(
+        f"lag(value, {_AE_L - 1 - i}) OVER w AS x{i}" for i in range(_AE_L)
+    )
+    zcols = ",\n         ".join(
+        f"{ze} AS z{i}" for i, ze in enumerate(z_es)
+    )
+    layers, recon = sql_forward_exprs(wts, [f"z{i}" for i in range(_AE_L)])
+    ctes = ""
+    prev = "zs"
+    for t, exprs in enumerate(layers):
+        ctes += f", c{t} AS (SELECT *, {', '.join(exprs)} FROM {prev})\n"
+        prev = f"c{t}"
     errs = sql_error_exprs(wts, [f"z{i}" for i in range(_AE_L)], recon)
     es = [f"e{k}" for k in range(_AE_L)]
     s = es[0]
@@ -4563,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_1h_events": _q_seasonal_naive,
         "forecast_metrics_events": _q_forecast_metrics,
         "prometheus_frame_events": _q_prometheus_frame,
+        "conv_ae_inference_events": _q_conv_ae_inference,
     }
 
 
@@ -4661,6 +4747,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_freq_documents": _cms_sql(),
         "pmi_collocations_documents": _PMI_SQL,
         "staleness_report_events": _STALENESS_SQL,
+        "conv_ae_inference_events": _conv_ae_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —
