@@ -4595,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy_documents": _q_pack_greedy,
         "curriculum_order_documents": _q_curriculum,
         "ae_inference_events": _q_ae_inference,
+        "conv_ae_inference_events": _q_conv_ae_inference,
         "rollup_1m_events": _q_rollup("1m"),
         "rollup_1h_events": _q_rollup("1h"),
         "rollup_1d_events": _q_rollup("1d"),
@@ -4648,7 +4649,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_1h_events": _q_seasonal_naive,
         "forecast_metrics_events": _q_forecast_metrics,
         "prometheus_frame_events": _q_prometheus_frame,
-        "conv_ae_inference_events": _q_conv_ae_inference,
     }
 
 
