@@ -4430,6 +4430,31 @@ def _q_conv_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lstm_ae_weights():
+    from numalogic_spark.functions.lstm_ae import make_demo_lstm_weights
+
+    return make_demo_lstm_weights(seq_len=_AE_L)
+
+
+def _q_lstm_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's THIRD autoencoder family (LSTMAE, models/
+    autoencoder/variants/lstm.py:89-152): LSTM encoder final hidden
+    state -> repeat -> LSTM decoder -> per-step Linear over the same
+    z-scored windows, scored by the Arrow recurrence kernel in
+    numalogic_spark/functions/lstm_ae.py (SparseLSTMAE shares this
+    forward pass)."""
+    from numalogic_spark.functions.lstm_ae import lstm_ae_window_scores
+
+    scored = lstm_ae_window_scores(_ae_wins(spark, sf_dir), _lstm_ae_weights())
+    return scored.select(
+        "source",
+        F.col("ts_s").alias("end_s"),
+        "event_id",
+        "err_mean",
+        "err_max",
+    )
+
+
 def _ae_sql() -> str:
     """DuckDB replay: identical window/z construction, then the unrolled
     weights-as-literals forward pass and huber errors from
@@ -4542,6 +4567,61 @@ FROM ee
 """
 
 
+def _lstm_ae_sql() -> str:
+    """DuckDB replay of the LSTMAE kernel: identical window/z
+    construction as _ae_sql, then the unrolled gate/cell/hidden level
+    grid from lstm_ae.sql_forward_exprs (one CTE per dependency level)."""
+    from numalogic_spark.functions.ae import round6_sql, sql_error_exprs
+    from numalogic_spark.functions.lstm_ae import sql_forward_exprs
+
+    wts = _lstm_ae_weights()
+    m_e, sd_e, z_es = _ae_z_exprs()
+    lags = ",\n         ".join(
+        f"lag(value, {_AE_L - 1 - i}) OVER w AS x{i}" for i in range(_AE_L)
+    )
+    zcols = ",\n         ".join(
+        f"{ze} AS z{i}" for i, ze in enumerate(z_es)
+    )
+    levels, recon = sql_forward_exprs(wts, [f"z{i}" for i in range(_AE_L)])
+    ctes = ""
+    prev = "zs"
+    for t, exprs in enumerate(levels):
+        ctes += f", c{t} AS (SELECT *, {', '.join(exprs)} FROM {prev})\n"
+        prev = f"c{t}"
+    errs = sql_error_exprs(wts, [f"z{i}" for i in range(_AE_L)], recon)
+    es = [f"e{k}" for k in range(_AE_L)]
+    s = es[0]
+    for c in es[1:]:
+        s = f"({s} + {c})"
+    mean6 = round6_sql(f"{s} / {float(_AE_L)!r}")
+    return f"""
+WITH r AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER w AS rn,
+         {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id)
+), f AS (
+  SELECT * FROM r WHERE rn >= {_AE_L} AND (rn - {_AE_L}) % {_AE_STRIDE} = 0
+), ms AS (
+  SELECT *, {m_e} AS m FROM f
+), ss AS (
+  SELECT *, {sd_e} AS sd FROM ms
+), zs AS (
+  SELECT source, ts_s, event_id,
+         {zcols}
+  FROM ss
+){ctes}, ee AS (
+  SELECT source, ts_s, event_id, {', '.join(errs)} FROM {prev}
+)
+SELECT source, ts_s AS end_s, event_id,
+       {mean6} AS err_mean,
+       greatest({', '.join(es)}) AS err_max
+FROM ee
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver-gate window: the driver verifies list(queries())[:50].
@@ -4596,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order_documents": _q_curriculum,
         "ae_inference_events": _q_ae_inference,
         "conv_ae_inference_events": _q_conv_ae_inference,
+        "lstm_ae_inference_events": _q_lstm_ae_inference,
         "rollup_1m_events": _q_rollup("1m"),
         "rollup_1h_events": _q_rollup("1h"),
         "rollup_1d_events": _q_rollup("1d"),
@@ -4748,6 +4829,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations_documents": _PMI_SQL,
         "staleness_report_events": _STALENESS_SQL,
         "conv_ae_inference_events": _conv_ae_sql(),
+        "lstm_ae_inference_events": _lstm_ae_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —
