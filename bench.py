@@ -165,7 +165,9 @@ def main() -> None:
                  "holt_linear_1h_events", "counter_rate_events",
                  "m4_downsample_events", "asof_join_events",
                  "sessionize_events", "hll_distinct_events",
-                 "histogram_quantile_events", "dup_ngram_spans_documents"):
+                 "histogram_quantile_events", "dup_ngram_spans_documents",
+                 "ae_inference_events", "conv_ae_inference_events",
+                 "lstm_ae_inference_events"):
         fn = E.queries()[name]
         t0 = time.time()
         _noop(fn(spark, SF_DIR))
