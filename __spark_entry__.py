@@ -4337,6 +4337,12 @@ def _ae_weights():
     return make_demo_weights(seq_len=_AE_L)
 
 
+def _sparse_ae_weights():
+    from numalogic_spark.functions.ae import make_sparse_demo_weights
+
+    return make_sparse_demo_weights(seq_len=_AE_L)
+
+
 def _ae_z_exprs() -> tuple[str, str, list[str]]:
     """Shared m / sd / z0..z{L-1} expression strings — Spark consumes
     them via F.expr, the oracle embeds the identical text, so the
@@ -4407,6 +4413,23 @@ def _q_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sparse_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SparseVanillaAE inference (vanilla.py:305-380): the VanillaAE
+    dense stack with the encoder's final activation swapped Tanh→ReLU —
+    the sparsity KL penalty is train-time only, so eval-mode scoring is
+    the same Arrow kernel with a relu layer in the grid."""
+    from numalogic_spark.functions.ae import ae_window_scores
+
+    scored = ae_window_scores(_ae_wins(spark, sf_dir), _sparse_ae_weights())
+    return scored.select(
+        "source",
+        F.col("ts_s").alias("end_s"),
+        "event_id",
+        "err_mean",
+        "err_max",
+    )
+
+
 def _conv_ae_weights():
     from numalogic_spark.functions.conv_ae import make_demo_conv_weights
 
@@ -4455,15 +4478,107 @@ def _q_lstm_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ae_sql() -> str:
+def _transformer_ae_weights():
+    from numalogic_spark.functions.transformer_ae import (
+        make_demo_transformer_weights,
+    )
+
+    return make_demo_transformer_weights(seq_len=_AE_L)
+
+
+def _q_transformer_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FOURTH autoencoder family (TransformerAE, models/
+    autoencoder/variants/transformer.py:289-361): stacked residual
+    attention/feed-forward blocks with LayerNorm + final softmax over
+    the same z-scored windows, scored by the Arrow kernel in
+    numalogic_spark/functions/transformer_ae.py. At the engine's
+    univariate windows every attention softmax runs over a single key
+    and collapses EXACTLY to the value projections (see the module
+    docstring), which is what makes the stack oracle-replayable.
+    SparseTransformerAE shares this forward pass."""
+    from numalogic_spark.functions.transformer_ae import (
+        transformer_ae_window_scores,
+    )
+
+    scored = transformer_ae_window_scores(
+        _ae_wins(spark, sf_dir), _transformer_ae_weights()
+    )
+    return scored.select(
+        "source",
+        F.col("ts_s").alias("end_s"),
+        "event_id",
+        "err_mean",
+        "err_max",
+    )
+
+
+def _transformer_ae_sql() -> str:
+    """DuckDB replay of the TransformerAE kernel: identical window/z
+    construction as _ae_sql, then the unrolled attention/norm/FF level
+    grid from transformer_ae.sql_forward_exprs (one CTE per dependency
+    level)."""
+    from numalogic_spark.functions.ae import round6_sql, sql_error_exprs
+    from numalogic_spark.functions.transformer_ae import sql_forward_exprs
+
+    wts = _transformer_ae_weights()
+    m_e, sd_e, z_es = _ae_z_exprs()
+    lags = ",\n         ".join(
+        f"lag(value, {_AE_L - 1 - i}) OVER w AS x{i}" for i in range(_AE_L)
+    )
+    zcols = ",\n         ".join(
+        f"{ze} AS z{i}" for i, ze in enumerate(z_es)
+    )
+    levels, recon = sql_forward_exprs(wts, [f"z{i}" for i in range(_AE_L)])
+    ctes = ""
+    prev = "zs"
+    for t, exprs in enumerate(levels):
+        ctes += f", c{t} AS (SELECT *, {', '.join(exprs)} FROM {prev})\n"
+        prev = f"c{t}"
+    errs = sql_error_exprs(wts, [f"z{i}" for i in range(_AE_L)], recon)
+    es = [f"e{k}" for k in range(_AE_L)]
+    s = es[0]
+    for c in es[1:]:
+        s = f"({s} + {c})"
+    mean6 = round6_sql(f"{s} / {float(_AE_L)!r}")
+    return f"""
+WITH r AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER w AS rn,
+         {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id)
+), f AS (
+  SELECT * FROM r WHERE rn >= {_AE_L} AND (rn - {_AE_L}) % {_AE_STRIDE} = 0
+), ms AS (
+  SELECT *, {m_e} AS m FROM f
+), ss AS (
+  SELECT *, {sd_e} AS sd FROM ms
+), zs AS (
+  SELECT source, ts_s, event_id,
+         {zcols}
+  FROM ss
+){ctes}, ee AS (
+  SELECT source, ts_s, event_id, {', '.join(errs)} FROM {prev}
+)
+SELECT source, ts_s AS end_s, event_id,
+       {mean6} AS err_mean,
+       greatest({', '.join(es)}) AS err_max
+FROM ee
+"""
+
+
+def _ae_sql(wts=None) -> str:
     """DuckDB replay: identical window/z construction, then the unrolled
     weights-as-literals forward pass and huber errors from
     ae.sql_forward_exprs / sql_error_exprs (the strings pytest proves
-    equal to the kernel under Spark SQL's parser too)."""
+    equal to the kernel under Spark SQL's parser too). Pass the sparse
+    artifact for the SparseVanillaAE query — same grid, one relu act."""
     from numalogic_spark.functions.ae import (
         round6_sql, sql_error_exprs, sql_forward_exprs)
 
-    wts = _ae_weights()
+    if wts is None:
+        wts = _ae_weights()
     m_e, sd_e, z_es = _ae_z_exprs()
     lags = ",\n         ".join(
         f"lag(value, {_AE_L - 1 - i}) OVER w AS x{i}" for i in range(_AE_L)
@@ -4677,13 +4792,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ae_inference_events": _q_ae_inference,
         "conv_ae_inference_events": _q_conv_ae_inference,
         "lstm_ae_inference_events": _q_lstm_ae_inference,
+        "sparse_ae_inference_events": _q_sparse_ae_inference,
+        "transformer_ae_inference_events": _q_transformer_ae_inference,
+        # --- r4-green tail: every entry below holds a green row in
+        # CORRECTNESS_r04.json (and most in r03); rotated out of the
+        # 50-slot window to make room for the never-gated wave above
+        # (the five AE kernels fill slots 46-50).
         "rollup_1m_events": _q_rollup("1m"),
         "rollup_1h_events": _q_rollup("1h"),
         "rollup_1d_events": _q_rollup("1d"),
         "rollup_tiers_fused_events": _q_rollup_fused,
-        # --- r4-green tail: every entry below holds a green row in
-        # CORRECTNESS_r04.json (and most in r03); rotated out of the
-        # 50-slot window to make room for the never-gated wave above.
         "gapfill_1m_events": _q_gapfill,
         "stateless_transforms": _q_log_transform,
         "score_norms": _q_score_norm,
@@ -4830,6 +4948,8 @@ def oracle_sql() -> dict[str, str]:
         "staleness_report_events": _STALENESS_SQL,
         "conv_ae_inference_events": _conv_ae_sql(),
         "lstm_ae_inference_events": _lstm_ae_sql(),
+        "sparse_ae_inference_events": _ae_sql(_sparse_ae_weights()),
+        "transformer_ae_inference_events": _transformer_ae_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -20,8 +20,13 @@ window — so the forward pass is exactly
 
     h = x
     for (W, b, act) in layers:            # encoder then decoder
-        h = act(W @ h + b)                # act = tanh, last layer linear
+        h = act(W @ h + b)                # tanh hidden, last layer linear
     err_k = huber(x_k - h_k)              # 0.5·d² if |d|≤1 else |d|−0.5
+
+The same layer grid with the encoder's FINAL act swapped to relu is
+SparseVanillaAE (vanilla.py:305-380 — its sparsity penalty is
+train-time only), so one kernel covers both factory names;
+`make_sparse_demo_weights` freezes that topology.
 
 CROSS-ENGINE REPLAY DISCIPLINE (the IVF/MCD weights-as-literals rule):
 the driver gate re-computes this forward pass in DuckDB from the same
@@ -74,7 +79,7 @@ TANH_CLAMP = 20.0
 class AELayer:
     w: np.ndarray  # (out, in)
     b: np.ndarray  # (out,)
-    act: str  # "tanh" | "linear"
+    act: str  # "tanh" | "relu" | "linear"
 
 
 @dataclass(frozen=True)
@@ -94,7 +99,7 @@ class AEWeights:
                 )
             if ly.b.shape != (ly.w.shape[0],):
                 raise ValueError(f"layer {i}: bias shape {ly.b.shape}")
-            if ly.act not in ("tanh", "linear"):
+            if ly.act not in ("tanh", "relu", "linear"):
                 raise ValueError(f"layer {i}: unknown act {ly.act!r}")
             prev = ly.w.shape[0]
         if prev != self.seq_len:
@@ -160,6 +165,41 @@ def make_demo_weights(
     return out
 
 
+def make_sparse_demo_weights(
+    seq_len: int = 8,
+    encoder_layersizes: Sequence[int] = (16, 8),
+    decoder_layersizes: Sequence[int] = (8, 16),
+    seed: int = 2406,
+) -> AEWeights:
+    """Deterministic frozen SparseVanillaAE artifact. The sparse variant
+    differs from VanillaAE ONLY in the encoder's final activation —
+    ReLU instead of Tanh (`_SparseVanillaEncoder._construct_layers`,
+    vanilla.py:305-331; the sparsity KL penalty exists only in the
+    training loss, vanilla.py:335-380) — so the artifact is the vanilla
+    layer grid with one act swapped. Same decoder: Tanh hidden layers,
+    linear output (vanilla.py:84-135)."""
+    if encoder_layersizes[-1] != decoder_layersizes[0]:
+        raise ValueError("encoder tail must match decoder head")
+    rng = np.random.RandomState(seed)
+    sizes = [seq_len, *encoder_layersizes, *decoder_layersizes[1:], seq_len]
+    enc_final = len(encoder_layersizes) - 1
+    layers = []
+    for i in range(len(sizes) - 1):
+        fan_in, fan_out = sizes[i], sizes[i + 1]
+        w = np.round(rng.uniform(-0.5, 0.5, size=(fan_out, fan_in)), 4)
+        b = np.round(rng.uniform(-0.1, 0.1, size=fan_out), 4)
+        if i == enc_final:
+            act = "relu"
+        elif i == len(sizes) - 2:
+            act = "linear"
+        else:
+            act = "tanh"
+        layers.append(AELayer(w=w, b=b, act=act))
+    out = AEWeights(seq_len=seq_len, layers=tuple(layers))
+    out.validate()
+    return out
+
+
 # ---------------------------------------------------------------------
 # numpy forward pass (the kernel body; also the pytest oracle)
 # ---------------------------------------------------------------------
@@ -191,6 +231,8 @@ def forward_np(weights: AEWeights, x: np.ndarray) -> np.ndarray:
         h = np.stack(cols, axis=1)
         if ly.act == "tanh":
             h = _tanh_np(h)
+        elif ly.act == "relu":
+            h = np.maximum(h, 0.0)
         h = _round6_np(h)
     return h
 
@@ -262,6 +304,10 @@ def _tanh_sql(a: str) -> str:
     )
 
 
+def _relu_sql(a: str) -> str:
+    return f"(CASE WHEN ({a}) > 0.0 THEN ({a}) ELSE 0.0 END)"
+
+
 def round6_sql(x: str) -> str:
     # CAST after floor: Spark's floor(DOUBLE) returns BIGINT and a
     # BIGINT / decimal-literal division stays DECIMAL (quantized at
@@ -293,6 +339,8 @@ def sql_forward_exprs(
             body = " + ".join(terms)
             if ly.act == "tanh":
                 body = _tanh_sql(body)
+            elif ly.act == "relu":
+                body = _relu_sql(body)
             name = f"{prefix}{t}_{j}"
             exprs.append(f"{round6_sql(body)} AS {name}")
             nxt.append(name)

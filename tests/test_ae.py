@@ -20,11 +20,13 @@ import pandas as pd
 import pytest
 
 from numalogic_spark.functions.ae import (
+    AELayer,
     AEWeights,
     ae_reconstruction_error,
     ae_window_scores,
     forward_np,
     make_demo_weights,
+    make_sparse_demo_weights,
     reconstruction_errors_np,
     sql_error_exprs,
     sql_forward_exprs,
@@ -39,6 +41,8 @@ def _reference_forward(weights: AEWeights, x: np.ndarray) -> np.ndarray:
         h = h @ ly.w.T + ly.b
         if ly.act == "tanh":
             h = np.tanh(h)
+        elif ly.act == "relu":
+            h = np.maximum(h, 0.0)
     return h
 
 
@@ -132,6 +136,75 @@ def test_spark_sql_replay_exact(spark, weights, batch):
     np.testing.assert_array_equal(
         got, reconstruction_errors_np(weights, batch)
     )
+
+
+# ---------------------------------------------------------------------
+# SparseVanillaAE: the vanilla grid with the encoder's final act = relu
+# (_SparseVanillaEncoder, vanilla.py:305-331; the KL sparsity penalty is
+# train-time only, so eval-mode inference is the same kernel)
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sparse_weights() -> AEWeights:
+    return make_sparse_demo_weights()
+
+
+def test_sparse_topology_matches_reference(sparse_weights):
+    # encoder (16, 8): hidden tanh, final relu; decoder (8, 16): hidden
+    # tanh, output linear — vanilla.py:305-331 / 84-135
+    assert [ly.act for ly in sparse_weights.layers] == [
+        "tanh", "relu", "tanh", "linear",
+    ]
+
+
+def test_sparse_kernel_matches_reference_semantics(sparse_weights, batch):
+    got = reconstruction_errors_np(sparse_weights, batch)
+    ref = _reference_errors(sparse_weights, batch)
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=0)
+
+
+def test_sparse_differs_from_vanilla_seeded_alike(batch):
+    # same seed → identical weights, so any output difference is the
+    # relu act alone; it must actually bite on this batch
+    v = make_demo_weights(seed=77)
+    s = make_sparse_demo_weights(seed=77)
+    assert not np.array_equal(
+        reconstruction_errors_np(v, batch),
+        reconstruction_errors_np(s, batch),
+    )
+
+
+def test_sparse_spark_sql_replay_exact(spark, sparse_weights, batch):
+    xcols = [f"x{i}" for i in range(8)]
+    pdf = pd.DataFrame(batch, columns=xcols)
+    pdf["rid"] = np.arange(len(pdf))
+    spark.createDataFrame(pdf).createOrReplaceTempView("sae_xs")
+    layers = sql_forward_exprs(sparse_weights, xcols)
+    sql = "WITH c0 AS (SELECT * FROM sae_xs)"
+    prev = "c0"
+    for t, exprs in enumerate(layers):
+        sql += f", c{t + 1} AS (SELECT *, {', '.join(exprs)} FROM {prev})"
+        prev = f"c{t + 1}"
+    recon = [f"h{len(layers) - 1}_{j}" for j in range(8)]
+    sql += (
+        f" SELECT rid, {', '.join(sql_error_exprs(sparse_weights, xcols, recon))}"
+        f" FROM {prev}"
+    )
+    got = spark.sql(sql).toPandas().sort_values("rid", ignore_index=True)
+    got = got[[f"e{k}" for k in range(8)]].to_numpy()
+    np.testing.assert_array_equal(
+        got, reconstruction_errors_np(sparse_weights, batch)
+    )
+
+
+def test_unknown_act_rejected(weights):
+    ly0 = weights.layers[0]
+    bad = AEWeights(
+        seq_len=weights.seq_len,
+        layers=(AELayer(w=ly0.w, b=ly0.b, act="gelu"), *weights.layers[1:]),
+    )
+    with pytest.raises(ValueError, match="unknown act"):
+        bad.validate()
 
 
 def test_window_scores_columns(spark, weights, batch):
