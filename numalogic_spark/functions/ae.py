@@ -237,6 +237,37 @@ def forward_np(weights: AEWeights, x: np.ndarray) -> np.ndarray:
     return h
 
 
+def zscore_windows_np(x: np.ndarray) -> np.ndarray:
+    """Per-window z-scoring of an (n, L) batch with the engine's exact
+    discipline (__spark_entry__._ae_z_exprs, shared by every gated AE
+    query): left-to-right mean/variance folds, biased variance,
+    z = round6((x − m) / (sd + 1e-6)). The streaming AE twin uses this
+    so its windows carry bit-identical inputs to the batch plan."""
+    x = np.asarray(x, dtype=np.float64)
+    L = x.shape[1]
+    m = x[:, 0].copy()
+    for i in range(1, L):
+        m = m + x[:, i]
+    m = m / float(L)
+    v = (x[:, 0] - m) * (x[:, 0] - m)
+    for i in range(1, L):
+        v = v + (x[:, i] - m) * (x[:, i] - m)
+    sd = np.sqrt(v / float(L))
+    return _round6_np((x - m[:, None]) / (sd[:, None] + 0.000001))
+
+
+def window_scores_np(weights: AEWeights, z: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(err_mean, err_max) per z-scored window — the scalar shape the
+    gated queries emit, with the same left-to-right snapped mean."""
+    errs = reconstruction_errors_np(weights, z)
+    L = errs.shape[1]
+    s = errs[:, 0].copy()
+    for k in range(1, L):
+        s = s + errs[:, k]
+    mean6 = np.floor(s / float(L) * 1e6 + 0.5) / 1e6
+    return mean6, errs.max(axis=1)
+
+
 def reconstruction_errors_np(weights: AEWeights, x: np.ndarray) -> np.ndarray:
     """Elementwise Huber(delta=1) reconstruction error, 6-dp snapped —
     `get_reconstruction_loss(x, reduction="none")` of the reference."""

@@ -1,0 +1,150 @@
+"""Streaming AE scoring ≡ the batch kernel across micro-batch splits
+(streaming/ae_stream.py).
+
+The stream twin's novel logic is the per-series state carry: the last
+seq_len − 1 values + absolute position must thread window construction
+seamlessly across arbitrary micro-batch boundaries. The test forces one
+file per micro-batch and asserts the streamed (err_mean, err_max) rows
+are BIT-IDENTICAL to the batch kernel run on each concatenated series
+(shared arithmetic: functions.ae.zscore_windows_np / window_scores_np),
+and independently sanity-checks the z/score arithmetic against a
+from-scratch vectorized implementation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from numalogic_spark.datagen import TOKEN_SCHEMA, gen_tokens_pandas
+from numalogic_spark.functions.ae import (
+    make_demo_weights,
+    reconstruction_errors_np,
+    window_scores_np,
+    zscore_windows_np,
+)
+from numalogic_spark.streaming.ae_stream import streaming_ae_scores
+
+L, STRIDE = 8, 4
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ae_stream_src")
+    pdf = gen_tokens_pandas(3_000, n_sources=4)
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        spark.createDataFrame(pdf.iloc[chunk], TOKEN_SCHEMA).repartition(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    return str(d), pdf
+
+
+def _expected(pdf: pd.DataFrame, weights) -> pd.DataFrame:
+    rows = []
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values("event_ts")
+        vals = g["n_tok"].astype(float).to_numpy()
+        ts = g["event_ts"].to_numpy()
+        wins, ends = [], []
+        for p in range(1, len(vals) + 1):
+            if p >= L and (p - L) % STRIDE == 0:
+                wins.append(vals[p - L : p])
+                ends.append(p - 1)
+        if not wins:
+            continue
+        mean6, emax = window_scores_np(weights, zscore_windows_np(np.asarray(wins)))
+        rows.append(
+            pd.DataFrame(
+                {
+                    "source": src,
+                    "event_ts": ts[ends],
+                    "err_mean": mean6,
+                    "err_max": emax,
+                }
+            )
+        )
+    return pd.concat(rows).sort_values(["source", "event_ts"], ignore_index=True)
+
+
+def test_streaming_ae_matches_batch_kernel(spark, stream_dir):
+    d, pdf = stream_dir
+    weights = make_demo_weights(seq_len=L)
+    stream = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(d + "/part*")
+        .selectExpr("source", "event_ts", "cast(n_tok as double) as value")
+    )
+    out = streaming_ae_scores(stream, weights, stride=STRIDE)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("aestream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from aestream")
+        .toPandas()
+        .sort_values(["source", "event_ts"], ignore_index=True)
+    )
+    exp = _expected(pdf, weights)
+    assert len(got) == len(exp)
+    # bit-identical: batch and stream share one arithmetic code path,
+    # so any difference is a state-carry bug, not float noise
+    np.testing.assert_array_equal(got["err_mean"].to_numpy(), exp["err_mean"].to_numpy())
+    np.testing.assert_array_equal(got["err_max"].to_numpy(), exp["err_max"].to_numpy())
+    # every series emits ((n - L) // stride) + 1 windows
+    counts = got.groupby("source").size()
+    for src, g in pdf.groupby("source"):
+        assert counts[src] == (len(g) - L) // STRIDE + 1
+
+
+def test_zscore_matches_independent_vectorized():
+    """zscore_windows_np's explicit folds vs plain vectorized numpy —
+    same arithmetic up to fold-order ULPs, crushed by the 6-dp snap."""
+    rng = np.random.RandomState(5)
+    x = rng.normal(0, 3.0, size=(500, L))
+    got = zscore_windows_np(x)
+    m = x.mean(axis=1, keepdims=True)
+    sd = np.sqrt(((x - m) ** 2).mean(axis=1, keepdims=True))
+    want = (x - m) / (sd + 1e-6)
+    np.testing.assert_allclose(got, want, atol=1.1e-6, rtol=0)
+
+
+def test_window_scores_match_errors():
+    rng = np.random.RandomState(6)
+    w = make_demo_weights(seq_len=L)
+    z = zscore_windows_np(rng.normal(0, 2.0, size=(100, L)))
+    mean6, emax = window_scores_np(w, z)
+    errs = reconstruction_errors_np(w, z)
+    np.testing.assert_array_equal(emax, errs.max(axis=1))
+    np.testing.assert_allclose(mean6, errs.mean(axis=1), atol=1e-6)
+
+
+def test_stride_one_emits_every_position(spark, stream_dir):
+    d, pdf = stream_dir
+    weights = make_demo_weights(seq_len=L)
+    stream = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/part*")
+        .selectExpr("source", "event_ts", "cast(n_tok as double) as value")
+    )
+    out = streaming_ae_scores(stream, weights, stride=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("aestream1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from aestream1").toPandas()
+    counts = got.groupby("source").size()
+    for src, g in pdf.groupby("source"):
+        assert counts[src] == len(g) - L + 1
+
+
+def test_bad_stride_rejected():
+    with pytest.raises(ValueError, match="stride"):
+        streaming_ae_scores(None, make_demo_weights(), stride=0)
