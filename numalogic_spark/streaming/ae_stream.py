@@ -11,7 +11,7 @@ This module is the streaming twin: per-series state carries the last
 seq_len − 1 values and the absolute row position, so every stride-th
 arriving event closes a window and scores it — across arbitrary
 micro-batch boundaries, with output bit-identical to the batch kernel
-on the concatenated stream (tests/test_streaming.py).
+on the concatenated stream (tests/test_ae_stream.py).
 
 Window/z arithmetic is shared with the batch path via
 `functions.ae.zscore_windows_np` / `window_scores_np` (the exact
@@ -65,19 +65,33 @@ def streaming_ae_scores(
     source_col: str = "source",
     ts_col: str = "event_ts",
     value_col: str = "value",
+    id_col: str | None = None,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Per-series stateful AE scoring: emit (err_mean, err_max) at every
     window close — absolute position p (1-based) with p ≥ seq_len and
     (p − seq_len) % stride == 0, the exact window grid of the batch
     queries. Values are assumed non-null (impute upstream, like the
-    reference's fillna at udfs/tools.py:52)."""
+    reference's fillna at udfs/tools.py:52).
+
+    ``id_col``: optional tie-break column for equal timestamps — the
+    batch plan orders by (ts_s, event_id), so pass the same key when
+    timestamps can tie (e.g. second-granular ts); without it, tied rows
+    enter windows in arrival order. ``state_ttl``: e.g. ``"30 minutes"``
+    — expire a series' state after that much processing-time silence
+    (bounds total state under series churn; an expired series restarts
+    its window grid from position 0 on its next event)."""
     weights.validate()
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
     L = weights.seq_len
+    sort_cols = [ts_col] if id_col is None else [ts_col, id_col]
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (source,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             tail_list, pos = state.get
             tail = np.asarray(tail_list, dtype=np.float64)
@@ -86,7 +100,7 @@ def streaming_ae_scores(
         whole = pd.concat(list(pdfs), ignore_index=True)
         out_ts, out_mean, out_max = [], [], []
         if len(whole):
-            whole = whole.sort_values(ts_col, kind="mergesort")
+            whole = whole.sort_values(sort_cols, kind="mergesort")
             vals = whole[value_col].astype(float).to_numpy()
             ts = whole[ts_col].to_numpy()
             combined = np.concatenate([tail, vals])
@@ -109,6 +123,8 @@ def streaming_ae_scores(
             pos += len(vals)
             tail = combined[len(combined) - min(L - 1, len(combined)):]
         state.update(([float(v) for v in tail], int(pos)))
+        if state_ttl is not None:
+            state.setTimeoutDuration(state_ttl)
         yield pd.DataFrame(
             {
                 "source": source,
@@ -123,5 +139,9 @@ def streaming_ae_scores(
         outputStructType=_AE_OUT_SCHEMA,
         stateStructType=_AE_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -99,6 +99,110 @@ def test_streaming_ae_matches_batch_kernel(spark, stream_dir):
         assert counts[src] == (len(g) - L) // STRIDE + 1
 
 
+def test_streaming_ae_matches_real_batch_plan(spark, stream_dir, tmp_path):
+    """Non-circular batch ≡ stream: run the ACTUAL gated batch pipeline
+    (__spark_entry__._ae_wins window/z plan + ae_window_scores kernel)
+    on the same rows written as an events table, and assert the streamed
+    scores equal it exactly. This pins the stream twin to the driver-
+    gated plan itself, not to the shared numpy helpers."""
+    import __spark_entry__ as E
+    from numalogic_spark.functions.ae import ae_window_scores
+
+    d, pdf = stream_dir
+    weights = make_demo_weights(seq_len=L)
+    ev = pdf.sort_values(["source", "event_ts"], ignore_index=True)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(len(ev), dtype=np.int64),
+            "ts": ev["event_ts"],
+            "event_type": ev["source"],
+            "value": ev["n_tok"].astype(float),
+        }
+    )
+    spark.createDataFrame(ev).write.parquet(str(tmp_path / "events.parquet"))
+    # _ae_wins is stride-_AE_STRIDE; only comparable when they match
+    assert E._AE_STRIDE == STRIDE and E._AE_L == L
+    batch = (
+        ae_window_scores(E._ae_wins(spark, str(tmp_path)), weights)
+        .selectExpr("source", "ts_s", "err_mean", "err_max")
+        .toPandas()
+        .sort_values(["source", "ts_s"], ignore_index=True)
+    )
+
+    stream = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/part*")
+        .selectExpr("source", "event_ts", "cast(n_tok as double) as value")
+    )
+    out = streaming_ae_scores(stream, weights, stride=STRIDE)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("aestream_vs_batch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from aestream_vs_batch").toPandas()
+    got["ts_s"] = (got["event_ts"].astype("datetime64[ns]").astype("int64") // 10**9)
+    got = got.sort_values(["source", "ts_s"], ignore_index=True)
+    assert len(got) == len(batch)
+    np.testing.assert_array_equal(got["source"].to_numpy(), batch["source"].to_numpy())
+    np.testing.assert_array_equal(got["ts_s"].to_numpy(), batch["ts_s"].to_numpy())
+    np.testing.assert_array_equal(got["err_mean"].to_numpy(), batch["err_mean"].to_numpy())
+    np.testing.assert_array_equal(got["err_max"].to_numpy(), batch["err_max"].to_numpy())
+
+
+def test_tied_timestamps_follow_id_tiebreak(spark, tmp_path):
+    """With second-granular duplicate timestamps, id_col must define the
+    window order (the batch plan's (ts_s, event_id) contract)."""
+    weights = make_demo_weights(seq_len=L)
+    n = 40
+    ts0 = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "source": "s0",
+            # pairs of rows share a timestamp: ties at every other row
+            "event_ts": [ts0 + pd.Timedelta(seconds=i // 2) for i in range(n)],
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": np.linspace(0.0, 20.0, n),
+        }
+    )
+    d = tmp_path / "tied"
+    for i, chunk in enumerate(np.array_split(np.arange(n), 3)):
+        spark.createDataFrame(pdf.iloc[chunk]).repartition(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    schema = spark.createDataFrame(pdf).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/part*")
+    )
+    out = streaming_ae_scores(stream, weights, stride=STRIDE, id_col="event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("aestream_tied")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from aestream_tied")
+        .toPandas()
+        .sort_values("event_ts", ignore_index=True)
+    )
+    # expected: windows over the event_id order (== value order here)
+    vals = pdf["value"].to_numpy()
+    wins = [vals[p - L : p] for p in range(1, n + 1) if p >= L and (p - L) % STRIDE == 0]
+    mean6, emax = window_scores_np(weights, zscore_windows_np(np.asarray(wins)))
+    assert len(got) == len(wins)
+    np.testing.assert_array_equal(got["err_mean"].to_numpy(), mean6)
+    np.testing.assert_array_equal(got["err_max"].to_numpy(), emax)
+
+
 def test_zscore_matches_independent_vectorized():
     """zscore_windows_np's explicit folds vs plain vectorized numpy —
     same arithmetic up to fold-order ULPs, crushed by the 6-dp snap."""
