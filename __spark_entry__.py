@@ -4346,54 +4346,26 @@ def _sparse_ae_weights():
 def _ae_z_exprs() -> tuple[str, str, list[str]]:
     """Shared m / sd / z0..z{L-1} expression strings — Spark consumes
     them via F.expr, the oracle embeds the identical text, so the
-    standardization arithmetic cannot drift between engines."""
-    from numalogic_spark.functions.ae import round6_sql
+    standardization arithmetic cannot drift between engines. Lives in
+    operators/score.py (jobs/score_job.py runs the same pipeline)."""
+    from numalogic_spark.operators.score import z_window_exprs
 
-    xs = [f"x{i}" for i in range(_AE_L)]
-    s = xs[0]
-    for c in xs[1:]:
-        s = f"({s} + {c})"
-    m = f"{s} / {float(_AE_L)!r}"
-    d2 = [f"((x{i} - m) * (x{i} - m))" for i in range(_AE_L)]
-    v = d2[0]
-    for t in d2[1:]:
-        v = f"({v} + {t})"
-    sd = f"sqrt({v} / {float(_AE_L)!r})"
-    zs = [round6_sql(f"(x{i} - m) / (sd + 0.000001)") for i in range(_AE_L)]
-    return m, sd, zs
+    return z_window_exprs(_AE_L)
 
 
 def _ae_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared input builder for both AE families: stride-{_AE_STRIDE}
+    """Shared input builder for the AE families: stride-{_AE_STRIDE}
     length-{_AE_L} trailing windows per source, per-window z-scored with
-    the engine-shared 6-dp expressions from _ae_z_exprs."""
-    from pyspark.sql import Window as W
+    the engine-shared 6-dp expressions (operators/score.py)."""
+    from numalogic_spark.operators.score import strided_z_windows
 
-    w = W.partitionBy("source").orderBy("ts_s", "event_id")
     ev = _events(spark, sf_dir).select(
         F.col("event_type").alias("source"),
         F.unix_timestamp("ts").alias("ts_s"),
         "event_id",
         F.col("value").cast("double").alias("value"),
     )
-    lagged = ev.select(
-        "source", "ts_s", "event_id",
-        F.row_number().over(w).alias("rn"),
-        *[
-            F.lag("value", _AE_L - 1 - i).over(w).alias(f"x{i}")
-            for i in range(_AE_L)
-        ],
-    ).filter(
-        (F.col("rn") >= _AE_L) & ((F.col("rn") - _AE_L) % _AE_STRIDE == 0)
-    )
-    m_e, sd_e, z_es = _ae_z_exprs()
-    std = lagged.withColumn("m", F.expr(m_e)).withColumn("sd", F.expr(sd_e))
-    for i, ze in enumerate(z_es):
-        std = std.withColumn(f"z{i}", F.expr(ze))
-    return std.select(
-        "source", "ts_s", "event_id",
-        F.array(*[F.col(f"z{i}") for i in range(_AE_L)]).alias("window"),
-    )
+    return strided_z_windows(ev, _AE_L, _AE_STRIDE)
 
 
 def _q_ae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
