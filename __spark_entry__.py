@@ -4540,6 +4540,89 @@ FROM ee
 """
 
 
+def _vae_weights():
+    from numalogic_spark.functions.vae import make_demo_vae_weights
+
+    return make_demo_vae_weights(seq_len=_AE_L)
+
+
+def _q_vae_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FIFTH model family (Conv1dVAE, models/vae/
+    variants/conv.py:139-231) in its deterministic mean-latent eval
+    form (z = mu; the reference samples even at predict time, so the
+    stochastic path is unreplayable by design — see
+    numalogic_spark/functions/vae.py): causal dilated conv encoder +
+    dense mu head + convT decoder over the same z-scored windows,
+    scored with SQUARED error (BaseVAE's mse default, base.py:33-40)
+    by the Arrow kernel in numalogic_spark/functions/vae.py."""
+    from numalogic_spark.functions.vae import vae_window_scores
+
+    scored = vae_window_scores(_ae_wins(spark, sf_dir), _vae_weights())
+    return scored.select(
+        "source",
+        F.col("ts_s").alias("end_s"),
+        "event_id",
+        "err_mean",
+        "err_max",
+    )
+
+
+def _vae_sql() -> str:
+    """DuckDB replay of the mean-latent Conv1dVAE kernel: identical
+    window/z construction as _ae_sql, then the unrolled causal-conv/
+    dense/affine/relu/convT column grid from vae.sql_forward_exprs and
+    the squared-error grid from vae.sql_error_exprs (mse, not huber)."""
+    from numalogic_spark.functions.ae import round6_sql
+    from numalogic_spark.functions.vae import sql_error_exprs, sql_forward_exprs
+
+    wts = _vae_weights()
+    m_e, sd_e, z_es = _ae_z_exprs()
+    lags = ",\n         ".join(
+        f"lag(value, {_AE_L - 1 - i}) OVER w AS x{i}" for i in range(_AE_L)
+    )
+    zcols = ",\n         ".join(
+        f"{ze} AS z{i}" for i, ze in enumerate(z_es)
+    )
+    layers, recon = sql_forward_exprs(wts, [f"z{i}" for i in range(_AE_L)])
+    ctes = ""
+    prev = "zs"
+    for t, exprs in enumerate(layers):
+        ctes += f", c{t} AS (SELECT *, {', '.join(exprs)} FROM {prev})\n"
+        prev = f"c{t}"
+    errs = sql_error_exprs(wts, [f"z{i}" for i in range(_AE_L)], recon)
+    es = [f"e{k}" for k in range(_AE_L)]
+    s = es[0]
+    for c in es[1:]:
+        s = f"({s} + {c})"
+    mean6 = round6_sql(f"{s} / {float(_AE_L)!r}")
+    return f"""
+WITH r AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER w AS rn,
+         {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id)
+), f AS (
+  SELECT * FROM r WHERE rn >= {_AE_L} AND (rn - {_AE_L}) % {_AE_STRIDE} = 0
+), ms AS (
+  SELECT *, {m_e} AS m FROM f
+), ss AS (
+  SELECT *, {sd_e} AS sd FROM ms
+), zs AS (
+  SELECT source, ts_s, event_id,
+         {zcols}
+  FROM ss
+){ctes}, ee AS (
+  SELECT source, ts_s, event_id, {', '.join(errs)} FROM {prev}
+)
+SELECT source, ts_s AS end_s, event_id,
+       {mean6} AS err_mean,
+       greatest({', '.join(es)}) AS err_max
+FROM ee
+"""
+
+
 def _ae_sql(wts=None) -> str:
     """DuckDB replay: identical window/z construction, then the unrolled
     weights-as-literals forward pass and huber errors from
@@ -4760,16 +4843,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_documents": _q_bpe_encode,
         "nb_classify_documents": _q_nb_classify,
         "pack_greedy_documents": _q_pack_greedy,
-        "curriculum_order_documents": _q_curriculum,
         "ae_inference_events": _q_ae_inference,
         "conv_ae_inference_events": _q_conv_ae_inference,
         "lstm_ae_inference_events": _q_lstm_ae_inference,
         "sparse_ae_inference_events": _q_sparse_ae_inference,
         "transformer_ae_inference_events": _q_transformer_ae_inference,
-        # --- r4-green tail: every entry below holds a green row in
-        # CORRECTNESS_r04.json (and most in r03); rotated out of the
-        # 50-slot window to make room for the never-gated wave above
-        # (the five AE kernels fill slots 46-50).
+        "vae_inference_events": _q_vae_inference,
+        # --- evidence tail: every entry below holds a green driver row
+        # in CORRECTNESS_r04.json or r03 (curriculum_order was demoted
+        # from the window — r3-green — to make room for the sixth model
+        # family, the mean-latent Conv1dVAE); rotated out of the 50-slot
+        # window to make room for the never-gated wave above.
+        "curriculum_order_documents": _q_curriculum,
         "rollup_1m_events": _q_rollup("1m"),
         "rollup_1h_events": _q_rollup("1h"),
         "rollup_1d_events": _q_rollup("1d"),
@@ -4922,6 +5007,7 @@ def oracle_sql() -> dict[str, str]:
         "lstm_ae_inference_events": _lstm_ae_sql(),
         "sparse_ae_inference_events": _ae_sql(_sparse_ae_weights()),
         "transformer_ae_inference_events": _transformer_ae_sql(),
+        "vae_inference_events": _vae_sql(),
     }
     # The ivf oracle is generated by REPLAYING the codebook training over
     # the driver's comparison-scale data (sf0.01 per the driver contract —

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from numalogic_spark.functions.ae import round6_sql
 
-FAMILIES = ("vanilla", "sparse", "conv", "lstm", "transformer")
+FAMILIES = ("vanilla", "sparse", "conv", "lstm", "transformer", "vae")
 
 
 def z_window_exprs(seq_len: int) -> tuple[str, str, list[str]]:
@@ -109,6 +109,10 @@ def load_weights(family: str, artifact_json: str):
         )
 
         return TransformerAEWeights.from_json(artifact_json)
+    if family == "vae":
+        from numalogic_spark.functions.vae import VAEWeights
+
+        return VAEWeights.from_json(artifact_json)
     raise ValueError(f"unknown model family {family!r}; expected one of {FAMILIES}")
 
 
@@ -136,6 +140,10 @@ def demo_weights(family: str, seq_len: int):
         )
 
         return make_demo_transformer_weights(seq_len=seq_len)
+    if family == "vae":
+        from numalogic_spark.functions.vae import make_demo_vae_weights
+
+        return make_demo_vae_weights(seq_len=seq_len)
     raise ValueError(f"unknown model family {family!r}; expected one of {FAMILIES}")
 
 
@@ -160,4 +168,8 @@ def score_windows(windows: DataFrame, family: str, weights) -> DataFrame:
         )
 
         return transformer_ae_window_scores(windows, weights)
+    if family == "vae":
+        from numalogic_spark.functions.vae import vae_window_scores
+
+        return vae_window_scores(windows, weights)
     raise ValueError(f"unknown model family {family!r}; expected one of {FAMILIES}")

@@ -101,15 +101,15 @@ def test_load_weights_rejects_unknown_family():
     from numalogic_spark.operators.score import demo_weights, load_weights
 
     with pytest.raises(ValueError, match="unknown model family"):
-        load_weights("vae", "{}")
+        load_weights("gru", "{}")
     with pytest.raises(ValueError, match="unknown model family"):
-        demo_weights("vae", 8)
+        demo_weights("gru", 8)
 
 
 def test_artifact_roundtrip_every_family():
     from numalogic_spark.operators.score import demo_weights, load_weights
 
-    for family in ("vanilla", "sparse", "conv", "lstm", "transformer"):
+    for family in ("vanilla", "sparse", "conv", "lstm", "transformer", "vae"):
         w = demo_weights(family, 8)
         w2 = load_weights(family, w.to_json())
         assert w2.seq_len == w.seq_len
