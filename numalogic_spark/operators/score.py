@@ -147,6 +147,45 @@ def demo_weights(family: str, seq_len: int):
     raise ValueError(f"unknown model family {family!r}; expected one of {FAMILIES}")
 
 
+def errors_np(family: str):
+    """numpy-level reconstruction-error kernel for `family` — the
+    dispatch the streaming scoring vertex uses (same modules as
+    `score_windows`, same arithmetic as the gated batch queries):
+    (weights, z_windows (n, L)) → 6-dp-snapped per-position errors."""
+    if family in ("vanilla", "sparse"):
+        from numalogic_spark.functions.ae import reconstruction_errors_np
+    elif family == "conv":
+        from numalogic_spark.functions.conv_ae import reconstruction_errors_np
+    elif family == "lstm":
+        from numalogic_spark.functions.lstm_ae import reconstruction_errors_np
+    elif family == "transformer":
+        from numalogic_spark.functions.transformer_ae import (
+            reconstruction_errors_np,
+        )
+    elif family == "vae":
+        from numalogic_spark.functions.vae import reconstruction_errors_np
+    else:
+        raise ValueError(
+            f"unknown model family {family!r}; expected one of {FAMILIES}"
+        )
+    return reconstruction_errors_np
+
+
+def score_windows_np(family: str, weights, z):
+    """(err_mean, err_max) per z-scored window for any family — the
+    scalar shape every gated query emits, with the same left-to-right
+    6-dp snapped mean fold as `functions.ae.window_scores_np` (which
+    this generalizes; the vanilla path is arithmetic-identical)."""
+    import numpy as np
+
+    errs = errors_np(family)(weights, z)
+    s = errs[:, 0].copy()
+    for k in range(1, errs.shape[1]):
+        s = s + errs[:, k]
+    mean6 = np.floor(s / float(errs.shape[1]) * 1e6 + 0.5) / 1e6
+    return mean6, errs.max(axis=1)
+
+
 def score_windows(windows: DataFrame, family: str, weights) -> DataFrame:
     """Dispatch to the family's Arrow kernel: appends recon_err,
     err_mean, err_max to a windows frame."""

@@ -14,9 +14,11 @@ micro-batch boundaries, with output bit-identical to the batch kernel
 on the concatenated stream (tests/test_ae_stream.py).
 
 Window/z arithmetic is shared with the batch path via
-`functions.ae.zscore_windows_np` / `window_scores_np` (the exact
-left-to-right 6-dp discipline of `__spark_entry__._ae_z_exprs`), so
-batch ≡ stream is an identity of code paths, not a tolerance.
+`functions.ae.zscore_windows_np` and the family-dispatched
+`operators.score.score_windows_np` (the exact left-to-right 6-dp
+discipline of `__spark_entry__._ae_z_exprs`), so batch ≡ stream is an
+identity of code paths, not a tolerance — for EVERY model family
+(`family=` picks the kernel; vanilla is the default and unchanged).
 
 State is O(seq_len) doubles per series — the same bounded-state shape
 as the reference's LRU'd window cache (udfs/_base.py) and safe at
@@ -36,11 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from numalogic_spark.functions.ae import (
-    AEWeights,
-    window_scores_np,
-    zscore_windows_np,
-)
+from numalogic_spark.functions.ae import zscore_windows_np
 
 _AE_STATE_SCHEMA = T.StructType(
     [
@@ -60,13 +58,14 @@ _AE_OUT_SCHEMA = T.StructType(
 
 def streaming_ae_scores(
     stream_df: DataFrame,
-    weights: AEWeights,
+    weights,  # any family's frozen artifact (exposes validate()/seq_len)
     stride: int = 4,
     source_col: str = "source",
     ts_col: str = "event_ts",
     value_col: str = "value",
     id_col: str | None = None,
     state_ttl: str | None = None,
+    family: str = "vanilla",
 ) -> DataFrame:
     """Per-series stateful AE scoring: emit (err_mean, err_max) at every
     window close — absolute position p (1-based) with p ≥ seq_len and
@@ -80,7 +79,17 @@ def streaming_ae_scores(
     enter windows in arrival order. ``state_ttl``: e.g. ``"30 minutes"``
     — expire a series' state after that much processing-time silence
     (bounds total state under series churn; an expired series restarts
-    its window grid from position 0 on its next event)."""
+    its window grid from position 0 on its next event).
+
+    ``family``: which forward-pass kernel scores the windows — any of
+    `operators.score.FAMILIES` ("vanilla" default keeps the original
+    behavior bit-for-bit; `weights` must be that family's artifact).
+    The reference's streaming vertex likewise scores whatever artifact
+    the registry returns (udfs/inference.py:62-110) — the model family
+    is the artifact's business, not the vertex's."""
+    from numalogic_spark.operators.score import errors_np, score_windows_np
+
+    errors_np(family)  # fail fast on an unknown family, driver-side
     weights.validate()
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
@@ -116,7 +125,7 @@ def streaming_ae_scores(
                 view = np.lib.stride_tricks.sliding_window_view(combined, L)
                 wins = view[keep + len(tail) - (L - 1)]
                 z = zscore_windows_np(wins)
-                mean6, emax = window_scores_np(weights, z)
+                mean6, emax = score_windows_np(family, weights, z)
                 out_ts = list(ts[keep])
                 out_mean = list(mean6)
                 out_max = list(emax)

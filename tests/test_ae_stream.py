@@ -252,3 +252,102 @@ def test_stride_one_emits_every_position(spark, stream_dir):
 def test_bad_stride_rejected():
     with pytest.raises(ValueError, match="stride"):
         streaming_ae_scores(None, make_demo_weights(), stride=0)
+
+
+# ---------------------------------------------------------------------
+# family dispatch: the streaming vertex scores ANY frozen artifact
+# ---------------------------------------------------------------------
+
+def test_score_windows_np_dispatch_matches_family_kernels():
+    """operators.score.score_windows_np(family, ...) reproduces each
+    family module's reconstruction_errors_np + the shared mean/max fold
+    exactly (vanilla also pins against ae.window_scores_np)."""
+    from numalogic_spark.operators.score import (
+        demo_weights,
+        errors_np,
+        score_windows_np,
+    )
+
+    rng = np.random.default_rng(7)
+    z = np.round(rng.normal(size=(23, L)), 6)
+    for family in ("vanilla", "sparse", "conv", "lstm", "transformer", "vae"):
+        w = demo_weights(family, L)
+        errs = errors_np(family)(w, z)
+        s = errs[:, 0].copy()
+        for k in range(1, L):
+            s = s + errs[:, k]
+        mean_exp = np.floor(s / float(L) * 1e6 + 0.5) / 1e6
+        mean6, emax = score_windows_np(family, w, z)
+        np.testing.assert_array_equal(mean6, mean_exp)
+        np.testing.assert_array_equal(emax, errs.max(axis=1))
+    w = make_demo_weights(seq_len=L)
+    m_ref, x_ref = window_scores_np(w, z)
+    m_got, x_got = score_windows_np("vanilla", w, z)
+    np.testing.assert_array_equal(m_got, m_ref)
+    np.testing.assert_array_equal(x_got, x_ref)
+
+
+@pytest.mark.parametrize("family", ["lstm", "vae"])
+def test_streaming_family_matches_batch_kernel(spark, stream_dir, family):
+    """Stream twin with family= scores bit-identical to the family's
+    batch kernel across forced micro-batch splits (lstm = the
+    recurrence, vae = the newest / squared-error kernel; the other
+    families share those code shapes and are covered by the dispatch
+    parity test above)."""
+    from numalogic_spark.operators.score import demo_weights, score_windows_np
+
+    d, pdf = stream_dir
+    weights = demo_weights(family, L)
+    stream = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/part*")
+        .selectExpr("source", "event_ts", "cast(n_tok as double) as value")
+    )
+    out = streaming_ae_scores(stream, weights, stride=STRIDE, family=family)
+    name = f"aestream_{family}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql(f"select * from {name}")
+        .toPandas()
+        .sort_values(["source", "event_ts"], ignore_index=True)
+    )
+    rows = []
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values("event_ts")
+        vals = g["n_tok"].astype(float).to_numpy()
+        ts = g["event_ts"].to_numpy()
+        wins = [
+            vals[p - L : p]
+            for p in range(1, len(vals) + 1)
+            if p >= L and (p - L) % STRIDE == 0
+        ]
+        ends = [
+            p - 1
+            for p in range(1, len(vals) + 1)
+            if p >= L and (p - L) % STRIDE == 0
+        ]
+        mean6, emax = score_windows_np(
+            family, weights, zscore_windows_np(np.asarray(wins))
+        )
+        rows.append(
+            pd.DataFrame(
+                {"source": src, "event_ts": ts[ends], "err_mean": mean6, "err_max": emax}
+            )
+        )
+    exp = pd.concat(rows).sort_values(["source", "event_ts"], ignore_index=True)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["err_mean"].to_numpy(), exp["err_mean"].to_numpy())
+    np.testing.assert_array_equal(got["err_max"].to_numpy(), exp["err_max"].to_numpy())
+
+
+def test_streaming_unknown_family_rejected():
+    with pytest.raises(ValueError, match="unknown model family"):
+        streaming_ae_scores(None, make_demo_weights(), family="gru")
