@@ -107,6 +107,38 @@ def _rollup_fused_sql() -> str:
     )
 
 
+def _q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh (operators/rollup.py
+    refresh_tier): events deterministically split base/delta on
+    event_id % 10, the base rolled into a stored minute histogram, then
+    the delta merged in and ONLY the delta-touched hour buckets
+    recomputed — the replacement rows a dynamic-partition-overwrite job
+    writes. Exact-identical to a from-scratch 1h rollup over base+delta
+    restricted to touched hours (the oracle), because the histogram merge
+    is lossless. At 10^12 stored rows this is the path that makes a daily
+    delta O(|delta| + touched buckets), not a full rescan."""
+    from numalogic_spark.operators.rollup import histogram, refresh_tier
+
+    ev = _events(spark, sf_dir)
+    base = ev.filter(F.col("event_id") % 10 != 7)
+    delta = ev.filter(F.col("event_id") % 10 == 7)
+    stored = histogram(base, EVENTS_CFG, "minute")
+    dh = histogram(delta, EVENTS_CFG, "minute")
+    return _rounded_tier(refresh_tier(stored, dh, EVENTS_CFG, "1h"))
+
+
+def _rollup_refresh_sql() -> str:
+    return f"""
+SELECT q.* FROM ({_rollup_sql("hour", 3600)}) q
+WHERE EXISTS (
+  SELECT 1 FROM events d
+  WHERE d.event_id % 10 = 7
+    AND d.event_type = q.source
+    AND CAST(epoch(date_trunc('hour', d.ts)) AS BIGINT) = q.bucket_s
+)
+"""
+
+
 def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = rollup_cascade(_events(spark, sf_dir), EVENTS_CFG)
     gf = gapfill_linear(tiers["1m"], "1m")
@@ -4839,10 +4871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq_documents": _q_cms,
         "pmi_collocations_documents": _q_pmi,
         "staleness_report_events": _q_staleness,
+        "rollup_refresh_1h_events": _q_rollup_refresh,
         "dedup_clusters_documents": _q_dedup_clusters,
         "bpe_encode_documents": _q_bpe_encode,
         "nb_classify_documents": _q_nb_classify,
-        "pack_greedy_documents": _q_pack_greedy,
         "ae_inference_events": _q_ae_inference,
         "conv_ae_inference_events": _q_conv_ae_inference,
         "lstm_ae_inference_events": _q_lstm_ae_inference,
@@ -4853,7 +4885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in CORRECTNESS_r04.json or r03 (curriculum_order was demoted
         # from the window — r3-green — to make room for the sixth model
         # family, the mean-latent Conv1dVAE); rotated out of the 50-slot
-        # window to make room for the never-gated wave above.
+        # window to make room for the never-gated wave above;
+        # pack_greedy (r3-green) likewise demoted for the round-5
+        # incremental-refresh query.
+        "pack_greedy_documents": _q_pack_greedy,
         "curriculum_order_documents": _q_curriculum,
         "rollup_1m_events": _q_rollup("1m"),
         "rollup_1h_events": _q_rollup("1h"),
@@ -5003,6 +5038,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_freq_documents": _cms_sql(),
         "pmi_collocations_documents": _PMI_SQL,
         "staleness_report_events": _STALENESS_SQL,
+        "rollup_refresh_1h_events": _rollup_refresh_sql(),
         "conv_ae_inference_events": _conv_ae_sql(),
         "lstm_ae_inference_events": _lstm_ae_sql(),
         "sparse_ae_inference_events": _ae_sql(_sparse_ae_weights()),

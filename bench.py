@@ -169,7 +169,8 @@ def main() -> None:
                  "ae_inference_events", "conv_ae_inference_events",
                  "lstm_ae_inference_events", "sparse_ae_inference_events",
                  "transformer_ae_inference_events",
-                 "vae_inference_events"):
+                 "vae_inference_events",
+                 "rollup_refresh_1h_events"):
         fn = E.queries()[name]
         t0 = time.time()
         _noop(fn(spark, SF_DIR))

@@ -273,6 +273,117 @@ def rollup_tiers_fused(
     return _tier_agg(h_all, cfg, keys, F.col("tier"), secs, extra_keys)
 
 
+def touched_coarse_buckets(
+    delta_h1m: DataFrame, tier: str, extra_keys: list[str] | None = None
+) -> DataFrame:
+    """Distinct (*extra_keys, source, bucket_ts) at `tier` granularity that
+    a delta's minute histogram touches — the rewrite set for an incremental
+    refresh. Bounded by |distinct (source, coarse bucket)| of the delta
+    (e.g. one day of new data touches ≤ 1440·S minute buckets, 24·S hour
+    buckets, S day buckets), independent of the stored table's size."""
+    extra_keys = extra_keys or []
+    unit, _, _ = TIERS[tier]
+    return delta_h1m.select(
+        *extra_keys, "source", bucket("bucket_ts", unit).alias("bucket_ts")
+    ).distinct()
+
+
+def refresh_histogram(
+    stored_h1m: DataFrame,
+    delta_h1m: DataFrame,
+    extra_keys: list[str] | None = None,
+    touched_only: bool = False,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Merge a raw delta's minute histogram into the stored minute
+    histogram — the incremental-ingest path of the continuous aggregate.
+    The merge is a pure (key, v)-count addition, so late/out-of-order
+    delta rows land in their true buckets with no special casing
+    (TimescaleDB-style continuous-aggregate refresh; the reference would
+    re-ingest into Druid segments — we re-aggregate mergeable state).
+
+    ``touched_only=True`` returns ONLY the minute buckets the delta
+    touches — the replacement partitions for a dynamic-partition-overwrite
+    write; rows for untouched buckets are never read, shuffled, or
+    rewritten. At 10^12 stored rows the work is O(|delta| + |stored
+    histogram rows in touched buckets|): the semi-join prunes the stored
+    scan to touched partitions (bucket_ts is the storage partition key),
+    and the touched set broadcasts (``broadcast_touched``) because it is
+    delta-bounded, never table-bounded."""
+    extra_keys = extra_keys or []
+    keys = [*extra_keys, "source", "bucket_ts"]
+    if touched_only:
+        touched = touched_coarse_buckets(delta_h1m, "1m", extra_keys)
+        if broadcast_touched:
+            touched = F.broadcast(touched)
+        stored_h1m = stored_h1m.join(touched, on=keys, how="left_semi")
+    return (
+        stored_h1m.unionByName(delta_h1m)
+        .groupBy(*keys, "v")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def refresh_tier(
+    stored_h1m: DataFrame,
+    delta_h1m: DataFrame,
+    cfg: RollupConfig | None = None,
+    tier: str = "1m",
+    extra_keys: list[str] | None = None,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Replacement tier rows for ONLY the coarse buckets a delta touches.
+
+    Semantics: for every (*extra_keys, source, tier-bucket) with at least
+    one delta row, recompute the continuous-aggregate point from (stored
+    minute histogram restricted to that bucket) ∪ (delta histogram) —
+    exactly what a from-scratch rollup over base+delta would produce for
+    those buckets, including exact percentiles (the histogram is lossless,
+    so refresh ≡ recompute is an identity, not an approximation). Buckets
+    the delta does not touch are never read: a daily delta against a
+    10^12-row table reads O(|delta| + touched-bucket histogram rows), not
+    the table. A job writes the result with dynamic partition overwrite
+    keyed by (tier, source/bucket date) and the tier table stays exact."""
+    cfg = cfg or RollupConfig()
+    extra_keys = extra_keys or []
+    unit, _, _ = TIERS[tier]
+    touched = touched_coarse_buckets(delta_h1m, tier, extra_keys)
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    stored_c = stored_h1m.withColumn("_cb", bucket("bucket_ts", unit))
+    on = [
+        *[stored_c[k] == touched[k] for k in extra_keys],
+        stored_c["source"] == touched["source"],
+        stored_c["_cb"] == touched["bucket_ts"],
+    ]
+    relevant = stored_c.join(touched, on=on, how="left_semi").drop("_cb")
+    merged = merge_histogram(relevant.unionByName(delta_h1m), unit, extra_keys)
+    return tier_from_histogram(merged, cfg, tier, extra_keys)
+
+
+def refresh_cascade(
+    stored_h1m: DataFrame,
+    delta: DataFrame,
+    cfg: RollupConfig | None = None,
+    extra_keys: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Incremental refresh of the whole retention cascade from one delta:
+    {"h1m": touched minute-histogram replacement rows, "1m"/"1h"/"1d":
+    replacement tier points for the delta-touched buckets at each tier}.
+    A minute touched by the delta dirties its enclosing hour and day, and
+    the per-tier semi-joins encode exactly that propagation. ONE
+    histogram() scan of the delta feeds all four outputs (persist the
+    returned delta histogram upstream if materializing all of them)."""
+    cfg = cfg or RollupConfig()
+    dh1m = histogram(delta, cfg, "minute", extra_keys)
+    out: dict[str, DataFrame] = {
+        "h1m": refresh_histogram(stored_h1m, dh1m, extra_keys, touched_only=True)
+    }
+    for tier in TIERS:
+        out[tier] = refresh_tier(stored_h1m, dh1m, cfg, tier, extra_keys)
+    return out
+
+
 def rollup_cascade_multi(
     df: DataFrame,
     value_cols: list[str],

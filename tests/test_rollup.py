@@ -106,3 +106,131 @@ def test_fingerprinted_histogram(spark, tokens_df):
         F.sum("n_tok").alias("tokens"),
     ).collect()[0]
     assert (got["fp"], got["rows"], got["tokens"]) == (exp["fp"], exp["rows"], exp["tokens"])
+
+
+# ---------------------------------------------------------------------
+# incremental continuous-aggregate refresh
+# ---------------------------------------------------------------------
+
+def _split(tokens_df):
+    """Deterministic base/delta split (~10% delta) on doc_id hash — the
+    delta is interleaved in time with the base, i.e. every delta row is
+    'late/out-of-order' relative to an already-rolled-up base."""
+    from pyspark.sql import functions as F
+
+    pred = F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 7
+    return tokens_df.filter(~pred), tokens_df.filter(pred)
+
+
+def test_refresh_tier_equals_recompute_on_touched(spark, tokens_df):
+    """refresh_tier ≡ from-scratch rollup restricted to delta-touched
+    buckets, at every tier, exactly (incl. p95) — lossless-merge identity."""
+    from numalogic_spark.operators.rollup import (
+        bucket,
+        histogram,
+        refresh_tier,
+        rollup_cascade,
+    )
+
+    cfg = RollupConfig()
+    base, delta = _split(tokens_df)
+    assert delta.count() > 0 and base.count() > 0
+    stored = histogram(base, cfg, "minute").persist()
+    dh = histogram(delta, cfg, "minute").persist()
+    full = rollup_cascade(tokens_df, cfg)
+    for tier, unit in (("1m", "minute"), ("1h", "hour"), ("1d", "day")):
+        got = refresh_tier(stored, dh, cfg, tier).toPandas()
+        touched = (
+            dh.select("source", bucket("bucket_ts", unit).alias("bucket_ts"))
+            .distinct()
+        )
+        exp = full[tier].join(touched, ["source", "bucket_ts"], "left_semi").toPandas()
+        assert len(got) > 0
+        assert_frames_match(
+            got, exp,
+            sort_cols=["source", "bucket_ts"],
+            float_cols=("n_tok_mean", "n_tok_p95", "token_rate"),
+            atol=0.0,
+        )
+    stored.unpersist(); dh.unpersist()
+
+
+def test_refresh_commit_reconstructs_full_tier(spark, tokens_df):
+    """Untouched stored tier rows + replacement rows == from-scratch tier
+    over base+delta — the dynamic-partition-overwrite commit semantics."""
+    from numalogic_spark.operators.rollup import (
+        bucket,
+        histogram,
+        refresh_tier,
+        rollup_cascade,
+        touched_coarse_buckets,
+    )
+
+    cfg = RollupConfig()
+    base, delta = _split(tokens_df)
+    stored_h = histogram(base, cfg, "minute").persist()
+    dh = histogram(delta, cfg, "minute").persist()
+    stored_tiers = rollup_cascade(base, cfg)
+    full = rollup_cascade(tokens_df, cfg)
+    for tier in ("1m", "1h", "1d"):
+        touched = touched_coarse_buckets(dh, tier)
+        untouched = stored_tiers[tier].join(
+            touched, ["source", "bucket_ts"], "left_anti"
+        )
+        committed = untouched.unionByName(refresh_tier(stored_h, dh, cfg, tier))
+        assert_frames_match(
+            committed.toPandas(), full[tier].toPandas(),
+            sort_cols=["source", "bucket_ts"],
+            float_cols=("n_tok_mean", "n_tok_p95", "token_rate"),
+            atol=0.0,
+        )
+    stored_h.unpersist(); dh.unpersist()
+
+
+def test_refresh_histogram_modes(spark, tokens_df):
+    """Full-mode refresh_histogram == histogram(base+delta); touched_only
+    returns exactly the touched minute buckets' merged rows."""
+    from numalogic_spark.operators.rollup import histogram, refresh_histogram
+
+    cfg = RollupConfig()
+    base, delta = _split(tokens_df)
+    stored = histogram(base, cfg, "minute")
+    dh = histogram(delta, cfg, "minute")
+    merged_full = refresh_histogram(stored, dh)
+    assert_frames_match(
+        merged_full.toPandas(),
+        histogram(tokens_df, cfg, "minute").toPandas(),
+        sort_cols=["source", "bucket_ts", "v"],
+        float_cols=("v",), atol=0.0,
+    )
+    touched_rows = refresh_histogram(stored, dh, touched_only=True)
+    exp = merged_full.join(
+        dh.select("source", "bucket_ts").distinct(),
+        ["source", "bucket_ts"], "left_semi",
+    )
+    assert_frames_match(
+        touched_rows.toPandas(), exp.toPandas(),
+        sort_cols=["source", "bucket_ts", "v"],
+        float_cols=("v",), atol=0.0,
+    )
+
+
+def test_refresh_new_source_and_empty_delta(spark, tokens_df):
+    """A delta introducing a brand-new source creates its buckets from the
+    delta alone; an empty delta produces zero replacement rows."""
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.rollup import histogram, refresh_cascade
+
+    cfg = RollupConfig()
+    base = tokens_df
+    delta = tokens_df.limit(50).withColumn("source", F.lit("brand_new_src"))
+    stored = histogram(base, cfg, "minute").persist()
+    out = refresh_cascade(stored, delta, cfg)
+    for tier in ("1m", "1h", "1d"):
+        pdf = out[tier].toPandas()
+        assert len(pdf) > 0 and (pdf["source"] == "brand_new_src").all()
+    empty = delta.filter(F.lit(False))
+    out2 = refresh_cascade(stored, empty, cfg)
+    assert all(out2[t].count() == 0 for t in ("h1m", "1m", "1h", "1d"))
+    stored.unpersist()
