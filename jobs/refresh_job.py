@@ -1,0 +1,206 @@
+"""spark-submit entrypoint: incremental continuous-aggregate refresh.
+
+Usage (local or cluster — only --master changes):
+
+    zip -r dist/numalogic_spark.zip numalogic_spark
+    # bootstrap the state store from a raw base table
+    spark-submit --master local[8] --py-files dist/numalogic_spark.zip \
+        jobs/refresh_job.py --state <dir> --init --input <raw parquet>
+    # merge a raw delta, rewriting only delta-touched date partitions
+    spark-submit --master local[8] --py-files dist/numalogic_spark.zip \
+        jobs/refresh_job.py --state <dir> --delta <raw parquet> --delta-id d1
+
+State layout under --state (all parquet, partitioned by bucket_date):
+
+    hist/           minute histogram (source, bucket_ts, v, cnt) — the
+                    mergeable exact state every tier derives from
+    tier_1m|1h|1d/  continuous-aggregate points
+    hist_manifest/  per-date lineage: (bucket_date, delta_id, run_seq,
+                    rows) appended AFTER a date's partition lands
+    staging/<id>/   two-phase merge scratch (removed on success)
+
+Exactly-once merge protocol (a killed job resumes at date-partition
+granularity; re-running a completed delta is a no-op):
+
+1. STAGE   merged partitions for every pending touched date are computed
+           from (current hist ∪ delta) and written to staging/<delta_id>.
+           Pure function of un-mutated inputs: pending dates are exactly
+           the dates the manifest has NOT recorded for this delta_id, and
+           promote never touches a date before its staging commit, so
+           recomputing staging after a crash is always safe.
+2. PROMOTE staging rows for pending dates overwrite hist/ date partitions
+           (dynamic partition overwrite — idempotent replace), then the
+           manifest row for each date is appended. A crash between the
+           two just re-promotes the same deterministic staging content.
+3. DERIVE  tier partitions for ALL touched dates recompute from the final
+           hist (a pure function — idempotent), so tiers need no protocol.
+
+Scale shape at 10^12 stored rows: the delta is scanned once into its
+minute histogram; every hist/tier read is pruned to touched dates
+(`bucket_date` is the storage partition key, so pruning is a directory
+listing, not a scan); the touched-date collect() is bounded by calendar
+days in the delta, never by rows. Untouched partitions are never read,
+shuffled, or rewritten.
+
+Reference analog: numalogic re-ingests into Druid segments and lets the
+broker merge query-time (approximate sketches); here the merge is exact
+(operators/rollup.py lossless histogram) and happens at write time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from numalogic_spark.operators.rollup import (
+    TIERS,
+    RollupConfig,
+    histogram,
+    merge_histogram,
+    tier_from_histogram,
+)
+from numalogic_spark.session import get_spark
+
+DATE_COL = "bucket_date"
+HIST_KEYS = ["source", "bucket_ts", "v"]
+
+
+def _with_date(df: DataFrame) -> DataFrame:
+    return df.withColumn(DATE_COL, F.date_format("bucket_ts", "yyyy-MM-dd"))
+
+
+def _write_partitioned(df: DataFrame, path: str) -> None:
+    # dynamic overwrite set per-writer (manifest-module discipline):
+    # only the partitions present in df are replaced.
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(DATE_COL)
+        .parquet(path)
+    )
+
+
+def _read_state(spark: SparkSession, path: str, dates: list[str] | None = None) -> DataFrame:
+    """Read a date-partitioned state table. The filter runs BEFORE the
+    string cast so partition pruning sees the raw partition column
+    (Spark's partition type inference reads the directory values back as
+    DATE; everything downstream keys on the canonical string form)."""
+    df = spark.read.parquet(path)
+    if dates is not None:
+        df = df.filter(F.col(DATE_COL).isin(dates))
+    return df.withColumn(DATE_COL, F.col(DATE_COL).cast("string"))
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
+def _write_tiers(hist_dates: DataFrame, state: str, cfg: RollupConfig) -> dict[str, int]:
+    counts = {}
+    for tier, (unit, _, _) in TIERS.items():
+        pts = _with_date(
+            tier_from_histogram(merge_histogram(hist_dates, unit), cfg, tier)
+        )
+        _write_partitioned(pts, f"{state}/tier_{tier}")
+        counts[tier] = pts.count()
+    return counts
+
+
+def bootstrap(spark: SparkSession, raw: DataFrame, state: str, cfg: RollupConfig) -> dict:
+    h = _with_date(histogram(raw, cfg, "minute")).persist()
+    _write_partitioned(h, f"{state}/hist")
+    dates = h.groupBy(DATE_COL).agg(F.sum("cnt").alias("rows"))
+    dates.select(
+        DATE_COL, F.lit("__init__").alias("delta_id"),
+        F.lit(0).alias("run_seq"), "rows",
+    ).write.mode("overwrite").parquet(f"{state}/hist_manifest")
+    counts = _write_tiers(h, state, cfg)
+    n = h.agg(F.sum("cnt")).collect()[0][0]
+    h.unpersist()
+    return {"mode": "init", "rows": int(n), "dates": dates.count(), "tier_points": counts}
+
+
+def refresh(
+    spark: SparkSession, delta: DataFrame, delta_id: str, state: str, cfg: RollupConfig
+) -> dict:
+    t0 = time.time()
+    dh = _with_date(histogram(delta, cfg, "minute")).persist()
+    touched = sorted(r[DATE_COL] for r in dh.select(DATE_COL).distinct().collect())
+    manifest = spark.read.parquet(f"{state}/hist_manifest")
+    latest = (
+        manifest.groupBy(DATE_COL)
+        .agg(F.max_by("delta_id", "run_seq").alias("delta_id"))
+        .collect()
+    )
+    done = {r[DATE_COL] for r in latest if r["delta_id"] == delta_id}
+    pending = [d for d in touched if d not in done]
+    run_seq = (manifest.agg(F.max("run_seq")).collect()[0][0] or 0) + 1
+    staging = f"{state}/staging/{delta_id}"
+
+    if pending:
+        # STAGE — pure function of the (un-mutated for pending dates) hist
+        if not _exists(spark, f"{staging}/_SUCCESS"):
+            stored = _read_state(spark, f"{state}/hist", pending)
+            merged = (
+                stored.unionByName(dh.filter(F.col(DATE_COL).isin(pending)))
+                .groupBy(*HIST_KEYS, DATE_COL)
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            merged.write.mode("overwrite").partitionBy(DATE_COL).parquet(staging)
+        # PROMOTE — deterministic replace from staging, then lineage
+        staged = _read_state(spark, staging, pending)
+        _write_partitioned(staged, f"{state}/hist")
+        staged.groupBy(DATE_COL).agg(F.sum("cnt").alias("rows")).select(
+            DATE_COL, F.lit(delta_id).alias("delta_id"),
+            F.lit(run_seq).alias("run_seq"), "rows",
+        ).write.mode("append").parquet(f"{state}/hist_manifest")
+
+    # DERIVE — tiers are a pure function of the final hist for touched dates
+    hist_touched = _read_state(spark, f"{state}/hist", touched)
+    counts = _write_tiers(hist_touched, state, cfg)
+    dh.unpersist()
+    return {
+        "mode": "refresh", "delta_id": delta_id, "run_seq": run_seq,
+        "touched_dates": len(touched), "merged_dates": len(pending),
+        "skipped_dates": len(touched) - len(pending),
+        "tier_points_touched": counts, "wall_sec": round(time.time() - t0, 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--init", action="store_true")
+    ap.add_argument("--input", help="raw base table (with --init)")
+    ap.add_argument("--delta", help="raw delta table")
+    ap.add_argument("--delta-id", help="stable id of the delta (ledger key)")
+    ap.add_argument("--gen-rows", type=int, default=0, help="generate the input first (smoke)")
+    args = ap.parse_args()
+
+    spark = get_spark("refresh_job")
+    cfg = RollupConfig()
+    if args.init:
+        if args.gen_rows:
+            from numalogic_spark.datagen import gen_tokens_spark
+
+            gen_tokens_spark(spark, args.gen_rows, n_sources=20).write.mode(
+                "overwrite"
+            ).parquet(args.input)
+        out = bootstrap(spark, spark.read.parquet(args.input), args.state, cfg)
+    else:
+        if not (args.delta and args.delta_id):
+            raise SystemExit("--delta and --delta-id required without --init")
+        out = refresh(spark, spark.read.parquet(args.delta), args.delta_id, args.state, cfg)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
