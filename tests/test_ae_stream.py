@@ -287,13 +287,14 @@ def test_score_windows_np_dispatch_matches_family_kernels():
     np.testing.assert_array_equal(x_got, x_ref)
 
 
-@pytest.mark.parametrize("family", ["lstm", "vae"])
+@pytest.mark.parametrize(
+    "family", ["sparse", "conv", "lstm", "transformer", "vae"]
+)
 def test_streaming_family_matches_batch_kernel(spark, stream_dir, family):
     """Stream twin with family= scores bit-identical to the family's
-    batch kernel across forced micro-batch splits (lstm = the
-    recurrence, vae = the newest / squared-error kernel; the other
-    families share those code shapes and are covered by the dispatch
-    parity test above)."""
+    batch kernel across forced micro-batch splits, for every non-default
+    family (vanilla is the default path and has its own batch-plan
+    bit-identity test above)."""
     from numalogic_spark.operators.score import demo_weights, score_windows_np
 
     d, pdf = stream_dir

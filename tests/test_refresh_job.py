@@ -133,3 +133,33 @@ def test_refresh_job_spark_submit_e2e(tmp_path):
         f"select sum(cnt) from '{state}/hist/*/*.parquet'"
     ).fetchone()[0]
     assert total == base_rows + 500
+
+
+def test_state_read_partition_pruned(spark, tokens_df, tmp_path):
+    """The touched-date filter must reach the scan as PartitionFilters —
+    at 10^12 stored rows this is the difference between a directory
+    listing and a table scan."""
+    cfg = RollupConfig()
+    state = str(tmp_path / "state")
+    bootstrap(spark, tokens_df, state, cfg)
+    from jobs.refresh_job import _read_state
+
+    dates = sorted(
+        r[DATE_COL]
+        for r in spark.read.parquet(f"{state}/hist")
+        .select(F.col(DATE_COL).cast("string").alias(DATE_COL))
+        .distinct()
+        .collect()
+    )
+    pruned = _read_state(spark, f"{state}/hist", dates[:1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the filter is IN the partition-filter clause, not a post-scan Filter
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line][0]
+    assert DATE_COL in pf and "dynamicpruning" not in pf
+    # a filter on a date no partition directory matches prunes to ZERO
+    # files — proof the predicate executes at listing time, not scan time
+    miss = _read_state(spark, f"{state}/hist", ["1970-01-01"])
+    mplan = miss._jdf.queryExecution().executedPlan().toString()
+    assert miss.count() == 0 and "PartitionFilters" in mplan
+    assert pruned.count() > 0
