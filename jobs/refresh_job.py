@@ -174,6 +174,51 @@ def refresh(
     }
 
 
+
+def compact(spark: SparkSession, state: str, max_files: int = 4) -> dict:
+    """Small-file compaction for the histogram store: every delta merge
+    rewrites its touched date partitions, and a long-lived store ingesting
+    many small deltas accumulates small files per date. Rewrite every date
+    partition whose file count exceeds ``max_files`` down to ONE file
+    (repartition by date → one task owns each date's rows), via the same
+    idempotent dynamic partition overwrite. Content-neutral and
+    ledger-neutral: the manifest is deliberately NOT touched — compaction
+    must never reset a date's applied-delta lineage, or a retried delta
+    would re-merge. Single-writer assumption: do not compact concurrently
+    with a refresh."""
+    jvm = spark._jvm
+    hist = jvm.org.apache.hadoop.fs.Path(f"{state}/hist")
+    fs = hist.getFileSystem(spark._jsc.hadoopConfiguration())
+    crowded = []
+    for status in fs.listStatus(hist):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith(f"{DATE_COL}="):
+            continue
+        n = sum(
+            1
+            for f in fs.listStatus(status.getPath())
+            if f.getPath().getName().startswith("part-")
+        )
+        if n > max_files:
+            crowded.append((name.split("=", 1)[1], n))
+    if crowded:
+        dates = [d for d, _ in crowded]
+        # stage → promote, same discipline as refresh(): never overwrite
+        # a path while a live plan still reads it, and a crash mid-compact
+        # leaves either the old files or the full replacement, never less
+        stage = f"{state}/staging/__compact__"
+        rows = _read_state(spark, f"{state}/hist", dates).repartition(F.col(DATE_COL))
+        rows.write.mode("overwrite").partitionBy(DATE_COL).parquet(stage)
+        _write_partitioned(_read_state(spark, stage, dates), f"{state}/hist")
+    return {
+        "mode": "compact",
+        "compacted_dates": len(crowded),
+        "max_files_before": max((n for _, n in crowded), default=0),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--state", required=True)
@@ -182,6 +227,9 @@ def main() -> None:
     ap.add_argument("--delta", help="raw delta table")
     ap.add_argument("--delta-id", help="stable id of the delta (ledger key)")
     ap.add_argument("--gen-rows", type=int, default=0, help="generate the input first (smoke)")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact crowded hist date partitions instead of merging")
+    ap.add_argument("--max-files", type=int, default=4)
     args = ap.parse_args()
 
     spark = get_spark("refresh_job")
@@ -194,6 +242,8 @@ def main() -> None:
                 "overwrite"
             ).parquet(args.input)
         out = bootstrap(spark, spark.read.parquet(args.input), args.state, cfg)
+    elif args.compact:
+        out = compact(spark, args.state, args.max_files)
     else:
         if not (args.delta and args.delta_id):
             raise SystemExit("--delta and --delta-id required without --init")
@@ -204,3 +254,40 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def streaming_refresh(
+    stream_df: DataFrame, state: str, cfg: RollupConfig | None = None,
+    checkpoint: str | None = None, available_now: bool = False,
+    id_prefix: str = "batch",
+):
+    """Continuous ingestion into the refresh state store: every micro-batch
+    becomes a delta with delta_id = "<id_prefix>-<batchId>" and runs the
+    SAME exactly-once merge protocol as a batch delta. batchIds are only
+    stable within one checkpoint lineage — when starting over with a NEW
+    checkpoint against the same state store, pass a fresh ``id_prefix``
+    so replayed ids never collide with a previous generation's ledger
+    entries. Structured Streaming
+    replays a failed micro-batch under the SAME batchId, and refresh() is
+    idempotent per delta_id (per-date lineage + staging), so the composed
+    pipeline is exactly-once end-to-end WITHOUT an idempotent sink
+    requirement — the ledger is the sink's own transaction log. Returns
+    the started StreamingQuery.
+
+    This is the streaming twin of the reference's continuous ingestion
+    (numalogic feeds Druid from a stream and lets the broker merge
+    segments); here each micro-batch lands as merged, query-ready exact
+    tiers."""
+    cfg = cfg or RollupConfig()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        refresh(batch_df.sparkSession, batch_df, f"{id_prefix}-{batch_id}", state, cfg)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
