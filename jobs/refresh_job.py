@@ -230,10 +230,18 @@ def main() -> None:
     ap.add_argument("--compact", action="store_true",
                     help="compact crowded hist date partitions instead of merging")
     ap.add_argument("--max-files", type=int, default=4)
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--ts-col", default="event_ts")
+    ap.add_argument("--value-col", default="n_tok")
+    ap.add_argument("--non-integral", action="store_true",
+                    help="value column is a double (sums via exact decimal)")
     args = ap.parse_args()
 
     spark = get_spark("refresh_job")
-    cfg = RollupConfig()
+    cfg = RollupConfig(
+        source_col=args.source_col, ts_col=args.ts_col, value_col=args.value_col,
+        integral_values=not args.non_integral, decimal_sum=args.non_integral,
+    )
     if args.init:
         if args.gen_rows:
             from numalogic_spark.datagen import gen_tokens_spark
