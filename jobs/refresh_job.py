@@ -219,6 +219,95 @@ def compact(spark: SparkSession, state: str, max_files: int = 4) -> dict:
     }
 
 
+
+def _list_date_partitions(spark: SparkSession, path: str) -> list[str]:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(f"{DATE_COL}="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
+
+
+def expire(
+    spark: SparkSession,
+    state: str,
+    policy: dict[str, int | None] | None = None,
+    now_date: str | None = None,
+) -> dict:
+    """Physical retention enforcement on the state store: DROP whole date
+    partitions older than each tier's horizon — the storage-level twin of
+    `operators/retention.apply_retention` (which filters rows). At 10^12
+    rows expiry must be a directory delete, not a rewrite; date
+    partitioning makes the two coincide.
+
+    ``policy`` maps table key → max age seconds (None = keep forever);
+    keys are tier names plus ``"hist"`` for the mergeable histogram state
+    (defaults to the finest tier's horizon — once the 1m tier is out of
+    horizon there is nothing left to re-derive from minute state). The
+    clock is the DATA watermark: the newest date partition of each table
+    (matching apply_retention's deterministic-from-data discipline; pass
+    ``now_date`` "YYYY-MM-DD" to anchor to wall clock). A date is kept
+    while its whole-day distance from the watermark is within
+    ceil(horizon/86400) days — conservative at the boundary, so a
+    partition is only dropped when every bucket in it is expired under
+    any clock within the watermark day.
+
+    Ledger-neutral like compact(): a dropped date keeps its applied-delta
+    lineage; a LATE delta for an already-expired date recreates the
+    partition from the delta alone and the next expiry run drops it
+    again — out-of-horizon data never resurrects retained state. Each
+    drop appends an audit row to ``expiry_log/``. Idempotent: a second
+    run with the same policy and watermark drops nothing."""
+    from numalogic_spark.operators.retention import DEFAULT_POLICY
+
+    if policy is None:
+        policy = dict(DEFAULT_POLICY)
+    policy = dict(policy)
+    policy.setdefault("hist", min(
+        (v for k, v in policy.items() if k != "hist" and v is not None),
+        default=None,
+    ))
+    import datetime as _dt
+
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
+    dropped: dict[str, list[str]] = {}
+    audit_rows = []
+    for key, max_age in policy.items():
+        path = f"{state}/hist" if key == "hist" else f"{state}/tier_{key}"
+        dates = _list_date_partitions(spark, path)
+        if not dates or max_age is None:
+            dropped[key] = []
+            continue
+        wm = now_date or dates[-1]
+        wm_d = _dt.date.fromisoformat(wm)
+        horizon_days = -(-int(max_age) // 86400)  # ceil
+        gone = [
+            d for d in dates
+            if (wm_d - _dt.date.fromisoformat(d)).days > horizon_days
+        ]
+        for d in gone:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{DATE_COL}={d}")
+            p.getFileSystem(fs_conf).delete(p, True)
+            audit_rows.append((key, d, wm, int(max_age)))
+        dropped[key] = gone
+    if audit_rows:
+        spark.createDataFrame(
+            audit_rows, "table string, bucket_date string, watermark string, max_age_s long"
+        ).write.mode("append").parquet(f"{state}/expiry_log")
+    return {
+        "mode": "expire",
+        "dropped": {k: len(v) for k, v in dropped.items()},
+        "dropped_dates": dropped,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--state", required=True)
@@ -230,6 +319,11 @@ def main() -> None:
     ap.add_argument("--compact", action="store_true",
                     help="compact crowded hist date partitions instead of merging")
     ap.add_argument("--max-files", type=int, default=4)
+    ap.add_argument("--expire", action="store_true",
+                    help="drop date partitions beyond each tier's retention horizon")
+    ap.add_argument("--policy", default=None,
+                    help='JSON retention policy, e.g. {"1m": 604800, "1h": 7776000, "1d": null}')
+    ap.add_argument("--now-date", default=None, help="YYYY-MM-DD wall-clock anchor (default: data watermark)")
     ap.add_argument("--source-col", default="source")
     ap.add_argument("--ts-col", default="event_ts")
     ap.add_argument("--value-col", default="n_tok")
@@ -252,6 +346,11 @@ def main() -> None:
         out = bootstrap(spark, spark.read.parquet(args.input), args.state, cfg)
     elif args.compact:
         out = compact(spark, args.state, args.max_files)
+    elif args.expire:
+        out = expire(
+            spark, args.state,
+            json.loads(args.policy) if args.policy else None, args.now_date,
+        )
     else:
         if not (args.delta and args.delta_id):
             raise SystemExit("--delta and --delta-id required without --init")

@@ -247,3 +247,60 @@ def test_compaction_reduces_files_content_and_ledger_neutral(spark, tokens_df, t
     # ledger still gates: the compacted store treats d2 as applied
     rerun = refresh(spark, d2, "d2", state, cfg)
     assert rerun["merged_dates"] == 0
+
+
+def test_expiry_drops_old_partitions_per_tier(spark, tokens_df, tmp_path):
+    """Retention ladder at the storage level: spread the fixture over 6
+    calendar days, then expire with a 2d/4d/forever policy — each tier
+    keeps its own horizon, hist follows the finest tier, the drop is a
+    directory delete recorded in expiry_log, and a second run is a no-op."""
+    import glob
+
+    from jobs.refresh_job import expire
+
+    cfg = RollupConfig()
+    # deterministic 6-day spread keyed on doc hash
+    multi = tokens_df.withColumn(
+        "event_ts",
+        F.col("event_ts") + F.make_interval(
+            days=F.pmod(F.xxhash64("doc_id"), F.lit(6)).cast("int")
+        ),
+    )
+    state = str(tmp_path / "state")
+    bootstrap(spark, multi, state, cfg)
+    n_dates = len(glob.glob(f"{state}/hist/{DATE_COL}=*"))
+    assert n_dates == 6
+
+    policy = {"1m": 2 * 86400, "1h": 4 * 86400, "1d": None}
+    out = expire(spark, state, policy)
+    # horizons are ceil(days): keep watermark-2..watermark for 1m (3 dirs),
+    # watermark-4.. for 1h (5 dirs), everything for 1d
+    left = lambda t: len(glob.glob(f"{state}/{t}/{DATE_COL}=*"))
+    assert left("tier_1m") == 3 and out["dropped"]["1m"] == 3
+    assert left("tier_1h") == 5 and out["dropped"]["1h"] == 1
+    assert left("tier_1d") == 6 and out["dropped"]["1d"] == 0
+    assert left("hist") == 3 and out["dropped"]["hist"] == 3  # finest horizon
+
+    # surviving content is untouched: retained tier rows equal the
+    # from-scratch rollup restricted to the surviving dates
+    full = rollup_cascade(multi, cfg)
+    for tier in ("1m", "1h", "1d"):
+        got = spark.read.parquet(f"{state}/tier_{tier}")
+        kept_dates = [
+            os.path.basename(p).split("=", 1)[1]
+            for p in glob.glob(f"{state}/tier_{tier}/{DATE_COL}=*")
+        ]
+        exp = full[tier].filter(
+            F.date_format("bucket_ts", "yyyy-MM-dd").isin(kept_dates)
+        )
+        assert_frames_match(
+            got.drop(DATE_COL).toPandas(), exp.toPandas(),
+            sort_cols=["source", "bucket_ts"],
+            float_cols=("n_tok_mean", "n_tok_p95", "token_rate"), atol=0.0,
+        )
+
+    log = spark.read.parquet(f"{state}/expiry_log")
+    assert log.count() == 3 + 1 + 3
+    # idempotent under the same policy + watermark
+    out2 = expire(spark, state, policy)
+    assert all(v == 0 for v in out2["dropped"].values())
