@@ -113,6 +113,34 @@ def _write_tiers(hist_dates: DataFrame, state: str, cfg: RollupConfig) -> dict[s
     return counts
 
 
+
+def _write_blocks(spark: SparkSession, state: str, dates: list[str], cfg: RollupConfig) -> int:
+    """Gorilla/delta-of-delta blocks for the 1m tier, date-aligned: each
+    touched date's points compress independently (chunk boundaries reset
+    at the date partition), so the incremental path can rewrite — and
+    expiry can drop — block partitions with the same dynamic-overwrite
+    unit as everything else. Per-date applyInPandas groups: a delta
+    touches few dates, so this is a handful of pruned sub-jobs, never a
+    full-store recompress."""
+    from functools import reduce
+
+    from numalogic_spark.functions.compression import compress_tier
+
+    dates = sorted(set(dates))
+    if not dates:
+        return 0
+    tier = _read_state(spark, f"{state}/tier_1m", dates)
+    frames = [
+        compress_tier(
+            tier.filter(F.col(DATE_COL) == d).drop(DATE_COL), "n_tok_mean"
+        ).withColumn(DATE_COL, F.lit(d))
+        for d in dates
+    ]
+    blocks = reduce(lambda a, b: a.unionByName(b), frames)
+    _write_partitioned(blocks, f"{state}/blocks_1m")
+    return len(dates)
+
+
 def bootstrap(spark: SparkSession, raw: DataFrame, state: str, cfg: RollupConfig) -> dict:
     h = _with_date(histogram(raw, cfg, "minute")).persist()
     _write_partitioned(h, f"{state}/hist")
@@ -122,9 +150,12 @@ def bootstrap(spark: SparkSession, raw: DataFrame, state: str, cfg: RollupConfig
         F.lit(0).alias("run_seq"), "rows",
     ).write.mode("overwrite").parquet(f"{state}/hist_manifest")
     counts = _write_tiers(h, state, cfg)
+    all_dates = [r[DATE_COL] for r in h.select(DATE_COL).distinct().collect()]
+    block_dates = _write_blocks(spark, state, all_dates, cfg)
     n = h.agg(F.sum("cnt")).collect()[0][0]
     h.unpersist()
-    return {"mode": "init", "rows": int(n), "dates": dates.count(), "tier_points": counts}
+    return {"mode": "init", "rows": int(n), "dates": dates.count(),
+            "tier_points": counts, "block_dates": block_dates}
 
 
 def refresh(
@@ -165,12 +196,14 @@ def refresh(
     # DERIVE — tiers are a pure function of the final hist for touched dates
     hist_touched = _read_state(spark, f"{state}/hist", touched)
     counts = _write_tiers(hist_touched, state, cfg)
+    block_dates = _write_blocks(spark, state, touched, cfg)
     dh.unpersist()
     return {
         "mode": "refresh", "delta_id": delta_id, "run_seq": run_seq,
         "touched_dates": len(touched), "merged_dates": len(pending),
         "skipped_dates": len(touched) - len(pending),
-        "tier_points_touched": counts, "wall_sec": round(time.time() - t0, 2),
+        "tier_points_touched": counts, "block_dates": block_dates,
+        "wall_sec": round(time.time() - t0, 2),
     }
 
 
@@ -280,23 +313,31 @@ def expire(
     dropped: dict[str, list[str]] = {}
     audit_rows = []
     for key, max_age in policy.items():
-        path = f"{state}/hist" if key == "hist" else f"{state}/tier_{key}"
-        dates = _list_date_partitions(spark, path)
-        if not dates or max_age is None:
-            dropped[key] = []
-            continue
-        wm = now_date or dates[-1]
-        wm_d = _dt.date.fromisoformat(wm)
-        horizon_days = -(-int(max_age) // 86400)  # ceil
-        gone = [
-            d for d in dates
-            if (wm_d - _dt.date.fromisoformat(d)).days > horizon_days
-        ]
-        for d in gone:
-            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{DATE_COL}={d}")
-            p.getFileSystem(fs_conf).delete(p, True)
-            audit_rows.append((key, d, wm, int(max_age)))
-        dropped[key] = gone
+        if key == "hist":
+            paths = [("hist", f"{state}/hist")]
+        elif key == "1m":
+            # blocks are derived 1m state — same horizon, same drop unit
+            paths = [("1m", f"{state}/tier_1m"), ("blocks_1m", f"{state}/blocks_1m")]
+        else:
+            paths = [(key, f"{state}/tier_{key}")]
+        dropped[key] = []
+        for label, path in paths:
+            dates = _list_date_partitions(spark, path)
+            if not dates or max_age is None:
+                continue
+            wm = now_date or dates[-1]
+            wm_d = _dt.date.fromisoformat(wm)
+            horizon_days = -(-int(max_age) // 86400)  # ceil
+            gone = [
+                d for d in dates
+                if (wm_d - _dt.date.fromisoformat(d)).days > horizon_days
+            ]
+            for d in gone:
+                p = jvm.org.apache.hadoop.fs.Path(f"{path}/{DATE_COL}={d}")
+                p.getFileSystem(fs_conf).delete(p, True)
+                audit_rows.append((label, d, wm, int(max_age)))
+            if label == key:
+                dropped[key] = gone
     if audit_rows:
         spark.createDataFrame(
             audit_rows, "table string, bucket_date string, watermark string, max_age_s long"

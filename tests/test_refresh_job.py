@@ -300,7 +300,50 @@ def test_expiry_drops_old_partitions_per_tier(spark, tokens_df, tmp_path):
         )
 
     log = spark.read.parquet(f"{state}/expiry_log")
-    assert log.count() == 3 + 1 + 3
+    # 3 tier_1m + 3 blocks_1m (same horizon) + 1 tier_1h + 3 hist
+    assert log.count() == 3 + 3 + 1 + 3
+    assert left("blocks_1m") == 3
     # idempotent under the same policy + watermark
     out2 = expire(spark, state, policy)
     assert all(v == 0 for v in out2["dropped"].values())
+
+
+def test_blocks_roundtrip_and_expire_with_1m_horizon(spark, tokens_df, tmp_path):
+    """Date-aligned Gorilla blocks: after a refresh the touched dates'
+    blocks decode exactly back to the 1m tier points, and expiry drops
+    block partitions on the 1m horizon alongside the tier."""
+    import glob
+
+    from jobs.refresh_job import expire
+    from numalogic_spark.functions.compression import decompress_blocks
+
+    cfg = RollupConfig()
+    multi = tokens_df.withColumn(
+        "event_ts",
+        F.col("event_ts") + F.make_interval(
+            days=F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+        ),
+    )
+    base = multi.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) != 7)
+    d1 = multi.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 7)
+    state = str(tmp_path / "state")
+    bootstrap(spark, base, state, cfg)
+    refresh(spark, d1, "d1", state, cfg)
+
+    pts = (
+        decompress_blocks(spark.read.parquet(f"{state}/blocks_1m"))
+        .withColumnRenamed("value", "n_tok_mean")
+        .drop("tier")
+    )
+    tier = spark.read.parquet(f"{state}/tier_1m").select(
+        "source", "bucket_ts", "n_tok_mean"
+    )
+    assert_frames_match(
+        pts.toPandas(), tier.toPandas(),
+        sort_cols=["source", "bucket_ts"], float_cols=(), atol=0.0,
+    )
+
+    out = expire(spark, state, {"1m": 1 * 86400, "1h": None, "1d": None})
+    n_tier = len(glob.glob(f"{state}/tier_1m/{DATE_COL}=*"))
+    n_blocks = len(glob.glob(f"{state}/blocks_1m/{DATE_COL}=*"))
+    assert out["dropped"]["1m"] == 2 and n_tier == n_blocks == 2
