@@ -141,6 +141,44 @@ def _write_blocks(spark: SparkSession, state: str, dates: list[str], cfg: Rollup
     return len(dates)
 
 
+
+def _expand_dates(dates: list[str], days: int) -> list[str]:
+    import datetime as _dt
+
+    out = set()
+    for d in dates:
+        base = _dt.date.fromisoformat(d)
+        for k in range(-days, days + 1):
+            out.add((base + _dt.timedelta(days=k)).isoformat())
+    return sorted(out)
+
+
+def _write_gapfill(
+    spark: SparkSession, state: str, touched: list[str] | None, cfg: RollupConfig
+) -> int:
+    """Maintain the gap-filled 1m view incrementally. A delta can change
+    interpolated rows only inside gaps that overlap a touched date; with
+    the engine's gap horizon of ≤ 1 day (longer silences are staleness,
+    not gaps — see staleness_report), those rows live within touched ± 1
+    day. Rewrite that halo, computing it from touched ± 2 days of context
+    so every gap governing a rewritten row has both real endpoints in
+    view. Rewriting an unaffected halo date is harmless: same inputs,
+    same rows, idempotent dynamic overwrite. ``touched=None`` = full
+    rebuild (bootstrap)."""
+    from numalogic_spark.operators.gapfill import gapfill_linear
+
+    if touched is not None and not touched:
+        return 0
+    read_dates = None if touched is None else _expand_dates(touched, 2)
+    write_dates = None if touched is None else _expand_dates(touched, 1)
+    tier = _read_state(spark, f"{state}/tier_1m", read_dates).drop(DATE_COL)
+    gf = _with_date(gapfill_linear(tier, "1m"))
+    if write_dates is not None:
+        gf = gf.filter(F.col(DATE_COL).isin(write_dates))
+    _write_partitioned(gf, f"{state}/gapfill_1m")
+    return len(write_dates) if write_dates is not None else -1
+
+
 def bootstrap(spark: SparkSession, raw: DataFrame, state: str, cfg: RollupConfig) -> dict:
     h = _with_date(histogram(raw, cfg, "minute")).persist()
     _write_partitioned(h, f"{state}/hist")
@@ -152,6 +190,7 @@ def bootstrap(spark: SparkSession, raw: DataFrame, state: str, cfg: RollupConfig
     counts = _write_tiers(h, state, cfg)
     all_dates = [r[DATE_COL] for r in h.select(DATE_COL).distinct().collect()]
     block_dates = _write_blocks(spark, state, all_dates, cfg)
+    _write_gapfill(spark, state, None, cfg)
     n = h.agg(F.sum("cnt")).collect()[0][0]
     h.unpersist()
     return {"mode": "init", "rows": int(n), "dates": dates.count(),
@@ -197,12 +236,14 @@ def refresh(
     hist_touched = _read_state(spark, f"{state}/hist", touched)
     counts = _write_tiers(hist_touched, state, cfg)
     block_dates = _write_blocks(spark, state, touched, cfg)
+    gapfill_dates = _write_gapfill(spark, state, touched, cfg)
     dh.unpersist()
     return {
         "mode": "refresh", "delta_id": delta_id, "run_seq": run_seq,
         "touched_dates": len(touched), "merged_dates": len(pending),
         "skipped_dates": len(touched) - len(pending),
         "tier_points_touched": counts, "block_dates": block_dates,
+        "gapfill_dates": gapfill_dates,
         "wall_sec": round(time.time() - t0, 2),
     }
 
@@ -317,7 +358,8 @@ def expire(
             paths = [("hist", f"{state}/hist")]
         elif key == "1m":
             # blocks are derived 1m state — same horizon, same drop unit
-            paths = [("1m", f"{state}/tier_1m"), ("blocks_1m", f"{state}/blocks_1m")]
+            paths = [("1m", f"{state}/tier_1m"), ("blocks_1m", f"{state}/blocks_1m"),
+                     ("gapfill_1m", f"{state}/gapfill_1m")]
         else:
             paths = [(key, f"{state}/tier_{key}")]
         dropped[key] = []

@@ -300,9 +300,10 @@ def test_expiry_drops_old_partitions_per_tier(spark, tokens_df, tmp_path):
         )
 
     log = spark.read.parquet(f"{state}/expiry_log")
-    # 3 tier_1m + 3 blocks_1m (same horizon) + 1 tier_1h + 3 hist
-    assert log.count() == 3 + 3 + 1 + 3
+    # 3 tier_1m + 3 blocks_1m + 3 gapfill_1m (same horizon) + 1 tier_1h + 3 hist
+    assert log.count() == 3 + 3 + 3 + 1 + 3
     assert left("blocks_1m") == 3
+    assert left("gapfill_1m") == 3
     # idempotent under the same policy + watermark
     out2 = expire(spark, state, policy)
     assert all(v == 0 for v in out2["dropped"].values())
@@ -347,3 +348,33 @@ def test_blocks_roundtrip_and_expire_with_1m_horizon(spark, tokens_df, tmp_path)
     n_tier = len(glob.glob(f"{state}/tier_1m/{DATE_COL}=*"))
     n_blocks = len(glob.glob(f"{state}/blocks_1m/{DATE_COL}=*"))
     assert out["dropped"]["1m"] == 2 and n_tier == n_blocks == 2
+
+
+def test_gapfill_view_maintained_incrementally(spark, tokens_df, tmp_path):
+    """The gap-filled 1m view after a refresh equals gapfill over the
+    from-scratch full tier — including interpolated rows whose governing
+    gap the delta changed across a midnight boundary (the halo case)."""
+    from numalogic_spark.operators.gapfill import gapfill_linear
+
+    cfg = RollupConfig()
+    multi = tokens_df.withColumn(
+        "event_ts",
+        F.col("event_ts") + F.make_interval(
+            days=F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
+        ),
+    )
+    base = multi.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) != 7)
+    d1 = multi.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 7)
+    state = str(tmp_path / "state")
+    bootstrap(spark, base, state, cfg)
+    refresh(spark, d1, "d1", state, cfg)
+
+    got = spark.read.parquet(f"{state}/gapfill_1m").drop(DATE_COL)
+    full_tier = rollup_cascade(multi, cfg)["1m"]
+    exp = gapfill_linear(full_tier, "1m")
+    assert_frames_match(
+        got.toPandas(), exp.toPandas(),
+        sort_cols=["source", "bucket_ts"],
+        float_cols=[c for c in exp.columns if c not in ("source", "bucket_ts", "tier", "is_interpolated")],
+        atol=1e-9,
+    )
