@@ -67,6 +67,10 @@ from numalogic_spark.session import get_spark
 
 DATE_COL = "bucket_date"
 HIST_KEYS = ["source", "bucket_ts", "v"]
+# gap-fill horizon: silences longer than this are staleness, not gaps.
+# MUST stay <= 1 day — the incremental halo (_write_gapfill reads ±2 days,
+# rewrites ±1) is sized to it.
+GAP_HORIZON_S = 86400
 
 
 def _with_date(df: DataFrame) -> DataFrame:
@@ -119,24 +123,16 @@ def _write_blocks(spark: SparkSession, state: str, dates: list[str], cfg: Rollup
     touched date's points compress independently (chunk boundaries reset
     at the date partition), so the incremental path can rewrite — and
     expiry can drop — block partitions with the same dynamic-overwrite
-    unit as everything else. Per-date applyInPandas groups: a delta
-    touches few dates, so this is a handful of pruned sub-jobs, never a
-    full-store recompress."""
-    from functools import reduce
-
+    unit as everything else. ONE applyInPandas grouped by
+    (source, tier, date) covers every touched date in a single pruned
+    shuffle — never a full-store recompress."""
     from numalogic_spark.functions.compression import compress_tier
 
     dates = sorted(set(dates))
     if not dates:
         return 0
     tier = _read_state(spark, f"{state}/tier_1m", dates)
-    frames = [
-        compress_tier(
-            tier.filter(F.col(DATE_COL) == d).drop(DATE_COL), "n_tok_mean"
-        ).withColumn(DATE_COL, F.lit(d))
-        for d in dates
-    ]
-    blocks = reduce(lambda a, b: a.unionByName(b), frames)
+    blocks = compress_tier(tier, "n_tok_mean", extra_group_cols=[DATE_COL])
     _write_partitioned(blocks, f"{state}/blocks_1m")
     return len(dates)
 
@@ -157,10 +153,10 @@ def _write_gapfill(
     spark: SparkSession, state: str, touched: list[str] | None, cfg: RollupConfig
 ) -> int:
     """Maintain the gap-filled 1m view incrementally. A delta can change
-    interpolated rows only inside gaps that overlap a touched date; with
-    the engine's gap horizon of ≤ 1 day (longer silences are staleness,
-    not gaps — see staleness_report), those rows live within touched ± 1
-    day. Rewrite that halo, computing it from touched ± 2 days of context
+    interpolated rows only inside gaps that overlap a touched date; the
+    ENFORCED gap horizon of ≤ 1 day (``max_gap_s=GAP_HORIZON_S`` — longer
+    silences are left unfilled as staleness, see staleness_report) bounds
+    those rows to touched ± 1 day. Rewrite that halo, computing it from touched ± 2 days of context
     so every gap governing a rewritten row has both real endpoints in
     view. Rewriting an unaffected halo date is harmless: same inputs,
     same rows, idempotent dynamic overwrite. ``touched=None`` = full
@@ -172,7 +168,7 @@ def _write_gapfill(
     read_dates = None if touched is None else _expand_dates(touched, 2)
     write_dates = None if touched is None else _expand_dates(touched, 1)
     tier = _read_state(spark, f"{state}/tier_1m", read_dates).drop(DATE_COL)
-    gf = _with_date(gapfill_linear(tier, "1m"))
+    gf = _with_date(gapfill_linear(tier, "1m", max_gap_s=GAP_HORIZON_S))
     if write_dates is not None:
         gf = gf.filter(F.col(DATE_COL).isin(write_dates))
     _write_partitioned(gf, f"{state}/gapfill_1m")
@@ -186,6 +182,7 @@ def bootstrap(spark: SparkSession, raw: DataFrame, state: str, cfg: RollupConfig
     dates.select(
         DATE_COL, F.lit("__init__").alias("delta_id"),
         F.lit(0).alias("run_seq"), "rows",
+        F.lit(None).cast("long").alias("delta_fp"),
     ).write.mode("overwrite").parquet(f"{state}/hist_manifest")
     counts = _write_tiers(h, state, cfg)
     all_dates = [r[DATE_COL] for r in h.select(DATE_COL).distinct().collect()]
@@ -203,13 +200,57 @@ def refresh(
     t0 = time.time()
     dh = _with_date(histogram(delta, cfg, "minute")).persist()
     touched = sorted(r[DATE_COL] for r in dh.select(DATE_COL).distinct().collect())
+
+    # late data for a date whose HIST was already expired is rejected: the
+    # mergeable state it would need is gone, and re-deriving coarser tiers
+    # from the delta alone would overwrite retained full-day rollups with
+    # delta-only aggregates. Out-of-retention data never mutates the store.
+    rejected: list[str] = []
+    if _exists(spark, f"{state}/expiry_log"):
+        expired = {
+            r[DATE_COL]
+            for r in spark.read.parquet(f"{state}/expiry_log")
+            .filter(F.col("table") == "hist")
+            .select(DATE_COL)
+            .distinct()
+            .collect()
+        }
+        rejected = [d for d in touched if d in expired]
+        touched = [d for d in touched if d not in expired]
+
     manifest = spark.read.parquet(f"{state}/hist_manifest")
-    latest = (
-        manifest.groupBy(DATE_COL)
-        .agg(F.max_by("delta_id", "run_seq").alias("delta_id"))
+    # content fingerprint of the WHOLE delta (order-independent): detects
+    # delta_id reuse with different content — e.g. a stream restarted with
+    # a fresh checkpoint but the same id_prefix — before any mutation
+    dfp_row = dh.agg(
+        F.bit_xor(F.xxhash64(F.struct(*HIST_KEYS, "cnt", DATE_COL))).alias("fp")
+    ).collect()[0]
+    dfp = int(dfp_row["fp"]) if dfp_row["fp"] is not None else 0
+    if "delta_fp" in manifest.columns:
+        prior = (
+            manifest.filter(
+                (F.col("delta_id") == delta_id) & F.col("delta_fp").isNotNull()
+            )
+            .select("delta_fp")
+            .distinct()
+            .collect()
+        )
+        if any(int(r["delta_fp"]) != dfp for r in prior):
+            raise ValueError(
+                f"delta_id {delta_id!r} was previously applied with DIFFERENT "
+                "content — refusing to merge. Use a fresh delta_id (or a new "
+                "id_prefix for a restarted stream checkpoint)."
+            )
+    # a (date, delta_id) pair with ANY manifest entry is done forever —
+    # including after LATER deltas touched the date, when re-merging this
+    # delta (or promoting its stale staging) would corrupt the newer state
+    done = {
+        r[DATE_COL]
+        for r in manifest.filter(F.col("delta_id") == delta_id)
+        .select(DATE_COL)
+        .distinct()
         .collect()
-    )
-    done = {r[DATE_COL] for r in latest if r["delta_id"] == delta_id}
+    }
     pending = [d for d in touched if d not in done]
     run_seq = (manifest.agg(F.max("run_seq")).collect()[0][0] or 0) + 1
     staging = f"{state}/staging/{delta_id}"
@@ -230,18 +271,30 @@ def refresh(
         staged.groupBy(DATE_COL).agg(F.sum("cnt").alias("rows")).select(
             DATE_COL, F.lit(delta_id).alias("delta_id"),
             F.lit(run_seq).alias("run_seq"), "rows",
+            F.lit(dfp).alias("delta_fp"),
         ).write.mode("append").parquet(f"{state}/hist_manifest")
 
     # DERIVE — tiers are a pure function of the final hist for touched dates
-    hist_touched = _read_state(spark, f"{state}/hist", touched)
-    counts = _write_tiers(hist_touched, state, cfg)
-    block_dates = _write_blocks(spark, state, touched, cfg)
-    gapfill_dates = _write_gapfill(spark, state, touched, cfg)
+    counts: dict[str, int] = {}
+    block_dates = gapfill_dates = 0
+    if touched:
+        hist_touched = _read_state(spark, f"{state}/hist", touched)
+        counts = _write_tiers(hist_touched, state, cfg)
+        block_dates = _write_blocks(spark, state, touched, cfg)
+        gapfill_dates = _write_gapfill(spark, state, touched, cfg)
     dh.unpersist()
+    # the delta is fully applied and derived: drop its staging scratch so
+    # a future reuse of the id can never promote a stale snapshot (the
+    # fingerprint guard above catches reuse-with-different-content even
+    # if this cleanup is lost to a crash)
+    if _exists(spark, staging):
+        p = spark._jvm.org.apache.hadoop.fs.Path(staging)
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
     return {
         "mode": "refresh", "delta_id": delta_id, "run_seq": run_seq,
         "touched_dates": len(touched), "merged_dates": len(pending),
         "skipped_dates": len(touched) - len(pending),
+        "rejected_expired_dates": len(rejected),
         "tier_points_touched": counts, "block_dates": block_dates,
         "gapfill_dates": gapfill_dates,
         "wall_sec": round(time.time() - t0, 2),
@@ -263,6 +316,8 @@ def compact(spark: SparkSession, state: str, max_files: int = 4) -> dict:
     jvm = spark._jvm
     hist = jvm.org.apache.hadoop.fs.Path(f"{state}/hist")
     fs = hist.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hist):
+        return {"mode": "compact", "compacted_dates": 0, "max_files_before": 0}
     crowded = []
     for status in fs.listStatus(hist):
         if not status.isDirectory():
@@ -391,6 +446,44 @@ def expire(
     }
 
 
+def streaming_refresh(
+    stream_df: DataFrame, state: str, cfg: RollupConfig | None = None,
+    checkpoint: str | None = None, available_now: bool = False,
+    id_prefix: str = "batch",
+):
+    """Continuous ingestion into the refresh state store: every micro-batch
+    becomes a delta with delta_id = "<id_prefix>-<batchId>" and runs the
+    SAME exactly-once merge protocol as a batch delta. batchIds are only
+    stable within one checkpoint lineage — when starting over with a NEW
+    checkpoint against the same state store, pass a fresh ``id_prefix``
+    so replayed ids never collide with a previous generation's ledger
+    entries. Structured Streaming
+    replays a failed micro-batch under the SAME batchId, and refresh() is
+    idempotent per delta_id (per-date lineage + staging), so the composed
+    pipeline is exactly-once end-to-end WITHOUT an idempotent sink
+    requirement — the ledger is the sink's own transaction log. Returns
+    the started StreamingQuery.
+
+    This is the streaming twin of the reference's continuous ingestion
+    (numalogic feeds Druid from a stream and lets the broker merge
+    segments); here each micro-batch lands as merged, query-ready exact
+    tiers."""
+    cfg = cfg or RollupConfig()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        refresh(batch_df.sparkSession, batch_df, f"{id_prefix}-{batch_id}", state, cfg)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--state", required=True)
@@ -444,40 +537,3 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
-
-
-def streaming_refresh(
-    stream_df: DataFrame, state: str, cfg: RollupConfig | None = None,
-    checkpoint: str | None = None, available_now: bool = False,
-    id_prefix: str = "batch",
-):
-    """Continuous ingestion into the refresh state store: every micro-batch
-    becomes a delta with delta_id = "<id_prefix>-<batchId>" and runs the
-    SAME exactly-once merge protocol as a batch delta. batchIds are only
-    stable within one checkpoint lineage — when starting over with a NEW
-    checkpoint against the same state store, pass a fresh ``id_prefix``
-    so replayed ids never collide with a previous generation's ledger
-    entries. Structured Streaming
-    replays a failed micro-batch under the SAME batchId, and refresh() is
-    idempotent per delta_id (per-date lineage + staging), so the composed
-    pipeline is exactly-once end-to-end WITHOUT an idempotent sink
-    requirement — the ledger is the sink's own transaction log. Returns
-    the started StreamingQuery.
-
-    This is the streaming twin of the reference's continuous ingestion
-    (numalogic feeds Druid from a stream and lets the broker merge
-    segments); here each micro-batch lands as merged, query-ready exact
-    tiers."""
-    cfg = cfg or RollupConfig()
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        refresh(batch_df.sparkSession, batch_df, f"{id_prefix}-{batch_id}", state, cfg)
-
-    writer = stream_df.writeStream.foreachBatch(_apply).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

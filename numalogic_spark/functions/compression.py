@@ -224,12 +224,25 @@ BLOCK_SCHEMA = T.StructType(
 CHUNK_POINTS = 4096
 
 
-def compress_tier(tier_df: DataFrame, value_col: str = "n_tok_mean") -> DataFrame:
+def compress_tier(
+    tier_df: DataFrame,
+    value_col: str = "n_tok_mean",
+    extra_group_cols: list[str] | None = None,
+) -> DataFrame:
     """Tier table → compressed (source, tier, chunk) blocks.
 
-    One applyInPandas over (source, tier); each group's bucket timeline is
-    chunked to ≤4096 points and encoded with the two codecs above.
+    One applyInPandas over (source, tier, *extra_group_cols); each group's
+    bucket timeline is chunked to ≤4096 points and encoded with the two
+    codecs above. ``extra_group_cols`` (string columns, e.g. a date
+    partition key) reset chunk boundaries per extra group and pass through
+    to the output — ONE shuffle covers every group, which is how the
+    incremental path compresses many touched dates in a single pass.
     """
+    extra_group_cols = extra_group_cols or []
+    out_schema = T.StructType(
+        BLOCK_SCHEMA.fields
+        + [T.StructField(c, T.StringType()) for c in extra_group_cols]
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_ts", kind="mergesort")
@@ -248,11 +261,14 @@ def compress_tier(tier_df: DataFrame, value_col: str = "n_tok_mean") -> DataFram
                     "max_ts": pd.Timestamp(t[-1], unit="s"),
                     "ts_block": encode_timestamps(t),
                     "val_block": encode_values(v),
+                    **{c: pdf[c].iloc[0] for c in extra_group_cols},
                 }
             )
         return pd.DataFrame(rows)
 
-    return tier_df.groupBy("source", "tier").applyInPandas(kernel, BLOCK_SCHEMA)
+    return tier_df.groupBy("source", "tier", *extra_group_cols).applyInPandas(
+        kernel, out_schema
+    )
 
 
 POINT_SCHEMA = T.StructType(

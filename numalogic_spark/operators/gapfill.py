@@ -39,11 +39,23 @@ def bucket_spine(tier_df: DataFrame, tier: str) -> DataFrame:
     )
 
 
-def gapfill_linear(tier_df: DataFrame, tier: str, metric_cols: list[str] | None = None) -> DataFrame:
+def gapfill_linear(
+    tier_df: DataFrame,
+    tier: str,
+    metric_cols: list[str] | None = None,
+    max_gap_s: int | None = None,
+) -> DataFrame:
     """Linear interpolation of interior gaps between consecutive real buckets.
 
     Returns the tier schema with metric columns as double plus
     ``is_interpolated: boolean``.
+
+    ``max_gap_s`` bounds the gap horizon: a silence LONGER than this many
+    seconds is left unfilled (it is staleness, not a gap — see
+    tsfeatures.staleness_report). Default None fills every interior gap
+    (the original behavior, and what the gapfill_1m_events oracle
+    replays). Incremental maintenance (jobs/refresh_job.py) requires a
+    finite horizon so a delta's interpolation blast radius is bounded.
 
     Plan shape: ONE exchange (partitionBy source) + ONE sort feeding a
     ``lead()`` window, then a single ``explode`` that emits each real row
@@ -95,6 +107,8 @@ def gapfill_linear(tier_df: DataFrame, tier: str, metric_cols: list[str] | None 
     has_gap = F.col("_nxt_ts").isNotNull() & (
         F.col("bucket_ts") + F.expr(step) + F.expr(step) <= F.col("_nxt_ts")
     )
+    if max_gap_s is not None:
+        has_gap = has_gap & ((t1 - t0) <= F.lit(int(max_gap_s)))
     rows = F.when(
         has_gap,
         F.concat(

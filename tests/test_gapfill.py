@@ -72,3 +72,29 @@ def test_gapfill_edge_cases(spark):
     assert out.groupby("source")["bucket_ts"].min().to_dict() == {
         s: t0 for s in ("lonely", "dense", "mid", "ramp")
     }
+
+
+def test_max_gap_bounds_the_horizon(spark):
+    """Gaps longer than max_gap_s are staleness, not gaps: left unfilled.
+    Shorter gaps fill identically to the unbounded default."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+
+    def row(src, minutes, v):
+        return {
+            "source": src, "bucket_ts": t0 + pd.Timedelta(minutes=minutes),
+            "tier": "1m", "count": 1.0, "n_tok_sum": v, "n_tok_mean": v,
+            "n_tok_p95": v, "token_rate": v,
+        }
+
+    rows = [
+        row("short", 0, 10.0), row("short", 4, 50.0),      # 4-min gap: fill
+        row("long", 0, 10.0), row("long", 10, 100.0),      # 10-min gap: stale
+    ]
+    out = gapfill_linear(
+        spark.createDataFrame(pd.DataFrame(rows)), "1m", max_gap_s=5 * 60
+    ).toPandas()
+    by = {s: g.sort_values("bucket_ts") for s, g in out.groupby("source")}
+    assert len(by["short"]) == 5 and by["short"]["is_interpolated"].sum() == 3
+    assert len(by["long"]) == 2 and not by["long"]["is_interpolated"].any()

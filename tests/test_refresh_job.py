@@ -71,28 +71,42 @@ def test_bootstrap_refresh_and_idempotent_rerun(spark, tokens_df, tmp_path):
 
 
 def test_crash_window_resume_no_double_count(spark, tokens_df, tmp_path):
-    """Replay the narrowest crash window: hist partitions already promoted
-    but the manifest append lost. The retry must re-promote the SAME
-    staging content (never re-merge the delta into the mutated hist)."""
+    """Inject a crash in the narrowest window: hist partitions already
+    promoted but the manifest append lost (and therefore no staging
+    cleanup either). The retry must re-promote the SAME staging content
+    (never re-merge the delta into the mutated hist)."""
+    from unittest import mock
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
     cfg = RollupConfig()
     base, d1, _ = _split3(tokens_df)
     state = str(tmp_path / "state")
     bootstrap(spark, base, state, cfg)
 
-    refresh(spark, d1, "d1", state, cfg)  # leaves staging/d1 in place
-    # simulate the lost manifest append: drop every d1 lineage row
-    m = spark.read.parquet(f"{state}/hist_manifest").filter(F.col("delta_id") != "d1")
-    pdf = m.toPandas()
-    import shutil
+    orig = DataFrameWriter.parquet
 
-    shutil.rmtree(f"{state}/hist_manifest")
-    spark.createDataFrame(pdf, schema=m.schema).write.parquet(f"{state}/hist_manifest")
+    def crash_on_manifest_append(self, path, *a, **kw):
+        if path.endswith("hist_manifest"):
+            raise RuntimeError("injected crash before manifest append")
+        return orig(self, path, *a, **kw)
+
+    with mock.patch.object(DataFrameWriter, "parquet", crash_on_manifest_append):
+        with pytest.raises(RuntimeError, match="injected crash"):
+            refresh(spark, d1, "d1", state, cfg)
+
+    # hist was promoted but the ledger has no d1 rows and staging survives
+    m = spark.read.parquet(f"{state}/hist_manifest")
+    assert m.filter(F.col("delta_id") == "d1").count() == 0
+    assert os.path.exists(f"{state}/staging/d1/_SUCCESS")
 
     out = refresh(spark, d1, "d1", state, cfg)
     # the retry sees every touched date as pending and re-promotes it
     assert out["merged_dates"] == out["touched_dates"] > 0
-    # and the state is STILL exact — no double-counted delta
+    # the state is STILL exact — no double-counted delta
     _assert_state_matches(spark, state, base.unionByName(d1), cfg)
+    # and the applied delta's staging scratch is gone
+    assert not os.path.exists(f"{state}/staging/d1")
 
 
 @pytest.mark.skipif(not os.path.exists(SUBMIT), reason="spark-submit not available")
@@ -371,10 +385,63 @@ def test_gapfill_view_maintained_incrementally(spark, tokens_df, tmp_path):
 
     got = spark.read.parquet(f"{state}/gapfill_1m").drop(DATE_COL)
     full_tier = rollup_cascade(multi, cfg)["1m"]
-    exp = gapfill_linear(full_tier, "1m")
+    from jobs.refresh_job import GAP_HORIZON_S
+
+    exp = gapfill_linear(full_tier, "1m", max_gap_s=GAP_HORIZON_S)
     assert_frames_match(
         got.toPandas(), exp.toPandas(),
         sort_cols=["source", "bucket_ts"],
         float_cols=[c for c in exp.columns if c not in ("source", "bucket_ts", "tier", "is_interpolated")],
         atol=1e-9,
     )
+
+
+def test_delta_id_reuse_with_different_content_rejected(spark, tokens_df, tmp_path):
+    """The fingerprint guard refuses to merge a delta whose id was already
+    applied with different content (e.g. a stream restarted on a fresh
+    checkpoint reusing batch ids) — before any mutation."""
+    cfg = RollupConfig()
+    base, d1, d2 = _split3(tokens_df)
+    state = str(tmp_path / "state")
+    bootstrap(spark, base, state, cfg)
+    refresh(spark, d1, "dup", state, cfg)
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        refresh(spark, d2, "dup", state, cfg)
+    # nothing was merged by the refused call
+    _assert_state_matches(spark, state, base.unionByName(d1), cfg)
+
+
+def test_late_delta_for_expired_date_rejected(spark, tokens_df, tmp_path):
+    """A delta for a date whose hist was already expired must NOT mutate
+    the store: re-deriving coarser tiers from the delta alone would
+    replace retained full-day 1h/1d rollups with delta-only aggregates."""
+    from jobs.refresh_job import expire
+
+    cfg = RollupConfig()
+    multi = tokens_df.withColumn(
+        "event_ts",
+        F.col("event_ts") + F.make_interval(
+            days=F.pmod(F.xxhash64("doc_id"), F.lit(6)).cast("int")
+        ),
+    )
+    state = str(tmp_path / "state")
+    bootstrap(spark, multi, state, cfg)
+    # expire 1m+hist beyond 2 days; 1h/1d keep everything
+    expire(spark, state, {"1m": 2 * 86400, "1h": None, "1d": None})
+    tier_1h_before = spark.read.parquet(f"{state}/tier_1h").toPandas()
+    tier_1d_before = spark.read.parquet(f"{state}/tier_1d").toPandas()
+
+    oldest = sorted(tier_1h_before["bucket_date"].unique())[0]
+    late = multi.filter(F.date_format("event_ts", "yyyy-MM-dd") == oldest).limit(50)
+    assert late.count() > 0
+    out = refresh(spark, late, "late1", state, cfg)
+    assert out["rejected_expired_dates"] >= 1
+    assert out["touched_dates"] == 0 and out["merged_dates"] == 0
+
+    # retained coarser tiers are byte-identical — no delta-only overwrite
+    for tier, before in (("1h", tier_1h_before), ("1d", tier_1d_before)):
+        after = spark.read.parquet(f"{state}/tier_{tier}").toPandas()
+        assert_frames_match(
+            after, before, sort_cols=["source", "bucket_ts"],
+            float_cols=("n_tok_mean", "n_tok_p95", "token_rate"), atol=0.0,
+        )
