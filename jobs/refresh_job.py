@@ -388,11 +388,13 @@ def expire(
     any clock within the watermark day.
 
     Ledger-neutral like compact(): a dropped date keeps its applied-delta
-    lineage; a LATE delta for an already-expired date recreates the
-    partition from the delta alone and the next expiry run drops it
-    again — out-of-horizon data never resurrects retained state. Each
-    drop appends an audit row to ``expiry_log/``. Idempotent: a second
-    run with the same policy and watermark drops nothing."""
+    lineage. A LATE delta for a hist-expired date is REJECTED by
+    refresh() (it consults ``expiry_log``): re-deriving coarser tiers
+    from the delta alone would overwrite retained full-day rollups with
+    delta-only aggregates, so out-of-retention data never mutates the
+    store at all. Each drop appends an audit row to ``expiry_log/``
+    (which doubles as that rejection's source of truth). Idempotent: a
+    second run with the same policy and watermark drops nothing."""
     from numalogic_spark.operators.retention import DEFAULT_POLICY
 
     if policy is None:
