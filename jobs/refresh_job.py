@@ -175,6 +175,28 @@ def _write_gapfill(
     return len(write_dates) if write_dates is not None else -1
 
 
+
+def read_tier(
+    spark: SparkSession,
+    state: str,
+    table: str = "1m",
+    start_date: str | None = None,
+    end_date: str | None = None,
+) -> DataFrame:
+    """Query surface of the state store: a pruned range read of one
+    table. ``table`` is a tier name ("1m"/"1h"/"1d") or one of "hist",
+    "gapfill_1m", "blocks_1m". The date bounds land on the partition
+    column BEFORE the string cast, so a month-range query against a
+    10^12-row store lists ~30 directories and scans nothing else."""
+    name = f"tier_{table}" if table in TIERS else table
+    df = spark.read.parquet(f"{state}/{name}")
+    if start_date is not None:
+        df = df.filter(F.col(DATE_COL) >= start_date)
+    if end_date is not None:
+        df = df.filter(F.col(DATE_COL) <= end_date)
+    return df.withColumn(DATE_COL, F.col(DATE_COL).cast("string"))
+
+
 def bootstrap(spark: SparkSession, raw: DataFrame, state: str, cfg: RollupConfig) -> dict:
     h = _with_date(histogram(raw, cfg, "minute")).persist()
     _write_partitioned(h, f"{state}/hist")

@@ -445,3 +445,31 @@ def test_late_delta_for_expired_date_rejected(spark, tokens_df, tmp_path):
             after, before, sort_cols=["source", "bucket_ts"],
             float_cols=("n_tok_mean", "n_tok_p95", "token_rate"), atol=0.0,
         )
+
+
+def test_read_tier_range_pruned(spark, tokens_df, tmp_path):
+    """read_tier: date-range bounds reach the scan as PartitionFilters
+    and resolve every table alias."""
+    from jobs.refresh_job import read_tier
+
+    cfg = RollupConfig()
+    multi = tokens_df.withColumn(
+        "event_ts",
+        F.col("event_ts") + F.make_interval(
+            days=F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+        ),
+    )
+    state = str(tmp_path / "state")
+    bootstrap(spark, multi, state, cfg)
+    dates = sorted(
+        r[DATE_COL]
+        for r in read_tier(spark, state, "1m").select(DATE_COL).distinct().collect()
+    )
+    mid = read_tier(spark, state, "1m", start_date=dates[1], end_date=dates[2])
+    plan = mid._jdf.queryExecution().executedPlan().toString()
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line][0]
+    assert DATE_COL in pf
+    got = sorted(r[DATE_COL] for r in mid.select(DATE_COL).distinct().collect())
+    assert got == dates[1:3]
+    for table in ("1h", "1d", "hist", "gapfill_1m", "blocks_1m"):
+        assert read_tier(spark, state, table, start_date=dates[0]).count() > 0
