@@ -106,6 +106,41 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def _delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _write_marker(spark: SparkSession, path: str, content: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    out.write(bytearray(content.encode("utf-8")))
+    out.close()
+
+
+def _read_marker(spark: SparkSession, path: str) -> str | None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        buf = bytearray()
+        b = stream.read()
+        while b != -1 and len(buf) < 1024:
+            buf.append(b)
+            b = stream.read()
+        return buf.decode("utf-8")
+    finally:
+        stream.close()
+
+
 def _write_tiers(hist_dates: DataFrame, state: str, cfg: RollupConfig) -> dict[str, int]:
     counts = {}
     for tier, (unit, _, _) in TIERS.items():
@@ -118,7 +153,7 @@ def _write_tiers(hist_dates: DataFrame, state: str, cfg: RollupConfig) -> dict[s
 
 
 
-def _write_blocks(spark: SparkSession, state: str, dates: list[str], cfg: RollupConfig) -> int:
+def _write_blocks(spark: SparkSession, state: str, dates: list[str]) -> int:
     """Gorilla/delta-of-delta blocks for the 1m tier, date-aligned: each
     touched date's points compress independently (chunk boundaries reset
     at the date partition), so the incremental path can rewrite — and
@@ -150,7 +185,7 @@ def _expand_dates(dates: list[str], days: int) -> list[str]:
 
 
 def _write_gapfill(
-    spark: SparkSession, state: str, touched: list[str] | None, cfg: RollupConfig
+    spark: SparkSession, state: str, touched: list[str] | None
 ) -> int:
     """Maintain the gap-filled 1m view incrementally. A delta can change
     interpolated rows only inside gaps that overlap a touched date; the
@@ -198,6 +233,12 @@ def read_tier(
 
 
 def bootstrap(spark: SparkSession, raw: DataFrame, state: str, cfg: RollupConfig) -> dict:
+    """Build (or REBUILD) the state store from a raw base table. An
+    existing store at ``state`` is wiped first — a re-init is a new
+    generation, so the previous expiry_log (which would otherwise
+    permanently reject dates the new base legitimately contains), stale
+    partitions without lineage, and staging scratch must not survive."""
+    _delete(spark, state)
     h = _with_date(histogram(raw, cfg, "minute")).persist()
     _write_partitioned(h, f"{state}/hist")
     dates = h.groupBy(DATE_COL).agg(F.sum("cnt").alias("rows"))
@@ -207,20 +248,40 @@ def bootstrap(spark: SparkSession, raw: DataFrame, state: str, cfg: RollupConfig
         F.lit(None).cast("long").alias("delta_fp"),
     ).write.mode("overwrite").parquet(f"{state}/hist_manifest")
     counts = _write_tiers(h, state, cfg)
-    all_dates = [r[DATE_COL] for r in h.select(DATE_COL).distinct().collect()]
-    block_dates = _write_blocks(spark, state, all_dates, cfg)
-    _write_gapfill(spark, state, None, cfg)
-    n = h.agg(F.sum("cnt")).collect()[0][0]
+    date_rows = dates.collect()  # one row per calendar date — tiny
+    all_dates = [r[DATE_COL] for r in date_rows]
+    block_dates = _write_blocks(spark, state, all_dates)
+    _write_gapfill(spark, state, None)
+    n = sum(int(r["rows"]) for r in date_rows)
     h.unpersist()
-    return {"mode": "init", "rows": int(n), "dates": dates.count(),
+    return {"mode": "init", "rows": n, "dates": len(date_rows),
             "tier_points": counts, "block_dates": block_dates}
 
 
 def refresh(
     spark: SparkSession, delta: DataFrame, delta_id: str, state: str, cfg: RollupConfig
 ) -> dict:
+    if delta_id.startswith("__"):
+        raise ValueError(
+            f"delta_id {delta_id!r} is reserved (double-underscore prefix is "
+            "used by internal scratch like staging/__compact__)"
+        )
     t0 = time.time()
     dh = _with_date(histogram(delta, cfg, "minute")).persist()
+    try:
+        return _refresh_inner(spark, dh, delta_id, state, cfg, t0)
+    finally:
+        dh.unpersist()
+
+
+def _refresh_inner(
+    spark: SparkSession,
+    dh: DataFrame,
+    delta_id: str,
+    state: str,
+    cfg: RollupConfig,
+    t0: float,
+) -> dict:
     touched = sorted(r[DATE_COL] for r in dh.select(DATE_COL).distinct().collect())
 
     # late data for a date whose HIST was already expired is rejected: the
@@ -278,8 +339,30 @@ def refresh(
     staging = f"{state}/staging/{delta_id}"
 
     if pending:
-        # STAGE — pure function of the (un-mutated for pending dates) hist
-        if not _exists(spark, f"{staging}/_SUCCESS"):
+        # STAGE — pure function of the (un-mutated for pending dates) hist.
+        # A surviving staging dir is reused ONLY when its _DELTA_FP sidecar
+        # matches this delta's content: with zero manifest rows for the id
+        # the fp guard above has nothing to compare, and a stale staging
+        # from a DIFFERENT delta reusing the id must neither be promoted
+        # (wrong data) nor silently recomputed (the old run may have
+        # promoted some partitions before losing its manifest append —
+        # re-merging into that mutated hist would double-count). That
+        # ambiguous state is an error demanding operator attention.
+        staging_fp = _read_marker(spark, f"{staging}/_DELTA_FP")
+        staged_ok = _exists(spark, f"{staging}/_SUCCESS") and staging_fp == str(dfp)
+        if not staged_ok:
+            if staging_fp is not None and staging_fp != str(dfp):
+                raise ValueError(
+                    f"staging for delta_id {delta_id!r} holds DIFFERENT content "
+                    f"(fp {staging_fp} != {dfp}) and no manifest rows recorded "
+                    "it — cannot tell whether the old delta was partially "
+                    "promoted. Inspect the store; remove the staging dir only "
+                    "if the manifest and hist are known consistent."
+                )
+            # no _SUCCESS, or _SUCCESS without a sidecar (stage step never
+            # completed, so promote never ran and hist is un-mutated for
+            # pending dates) — recomputing is safe
+            _delete(spark, staging)
             stored = _read_state(spark, f"{state}/hist", pending)
             merged = (
                 stored.unionByName(dh.filter(F.col(DATE_COL).isin(pending)))
@@ -287,6 +370,7 @@ def refresh(
                 .agg(F.sum("cnt").alias("cnt"))
             )
             merged.write.mode("overwrite").partitionBy(DATE_COL).parquet(staging)
+            _write_marker(spark, f"{staging}/_DELTA_FP", str(dfp))
         # PROMOTE — deterministic replace from staging, then lineage
         staged = _read_state(spark, staging, pending)
         _write_partitioned(staged, f"{state}/hist")
@@ -302,16 +386,13 @@ def refresh(
     if touched:
         hist_touched = _read_state(spark, f"{state}/hist", touched)
         counts = _write_tiers(hist_touched, state, cfg)
-        block_dates = _write_blocks(spark, state, touched, cfg)
-        gapfill_dates = _write_gapfill(spark, state, touched, cfg)
-    dh.unpersist()
+        block_dates = _write_blocks(spark, state, touched)
+        gapfill_dates = _write_gapfill(spark, state, touched)
     # the delta is fully applied and derived: drop its staging scratch so
     # a future reuse of the id can never promote a stale snapshot (the
-    # fingerprint guard above catches reuse-with-different-content even
-    # if this cleanup is lost to a crash)
-    if _exists(spark, staging):
-        p = spark._jvm.org.apache.hadoop.fs.Path(staging)
-        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    # manifest fp guard and the _DELTA_FP sidecar both catch
+    # reuse-with-different-content even if this cleanup is lost to a crash)
+    _delete(spark, staging)
     return {
         "mode": "refresh", "delta_id": delta_id, "run_seq": run_seq,
         "touched_dates": len(touched), "merged_dates": len(pending),
@@ -363,6 +444,7 @@ def compact(spark: SparkSession, state: str, max_files: int = 4) -> dict:
         rows = _read_state(spark, f"{state}/hist", dates).repartition(F.col(DATE_COL))
         rows.write.mode("overwrite").partitionBy(DATE_COL).parquet(stage)
         _write_partitioned(_read_state(spark, stage, dates), f"{state}/hist")
+        _delete(spark, stage)
     return {
         "mode": "compact",
         "compacted_dates": len(crowded),
@@ -426,12 +508,28 @@ def expire(
         (v for k, v in policy.items() if k != "hist" and v is not None),
         default=None,
     ))
+    # the ladder invariant: hist (the mergeable state every tier derives
+    # from) must never outlive a tier — otherwise a late delta for a date
+    # with live hist but expired tier would re-derive (resurrect) that
+    # tier's dropped partitions. refresh()'s rejection keys on hist alone,
+    # so enforce the invariant here instead of per-table bookkeeping.
+    hist_age = policy.get("hist")
+    if hist_age is not None:
+        for k, v in policy.items():
+            if k != "hist" and v is not None and v < hist_age:
+                raise ValueError(
+                    f"policy invalid: tier {k!r} horizon ({v}s) is shorter "
+                    f"than hist's ({hist_age}s) — hist must be the ladder's "
+                    "floor or a late delta could resurrect expired tier "
+                    "partitions"
+                )
     import datetime as _dt
 
     jvm = spark._jvm
     fs_conf = spark._jsc.hadoopConfiguration()
     dropped: dict[str, list[str]] = {}
     audit_rows = []
+    to_delete: list[str] = []
     for key, max_age in policy.items():
         if key == "hist":
             paths = [("hist", f"{state}/hist")]
@@ -454,15 +552,23 @@ def expire(
                 if (wm_d - _dt.date.fromisoformat(d)).days > horizon_days
             ]
             for d in gone:
-                p = jvm.org.apache.hadoop.fs.Path(f"{path}/{DATE_COL}={d}")
-                p.getFileSystem(fs_conf).delete(p, True)
+                to_delete.append(f"{path}/{DATE_COL}={d}")
                 audit_rows.append((label, d, wm, int(max_age)))
             if label == key:
                 dropped[key] = gone
+    # WRITE-AHEAD: the audit rows land BEFORE any directory is deleted —
+    # a crash mid-delete leaves logged-but-present partitions (harmless:
+    # the rerun lists and drops them again, appending duplicate audit
+    # rows that the rejection's distinct-dates read absorbs), never
+    # deleted-but-unlogged ones (which would silently re-open the
+    # late-delta tier-overwrite path the log exists to close).
     if audit_rows:
         spark.createDataFrame(
             audit_rows, "table string, bucket_date string, watermark string, max_age_s long"
         ).write.mode("append").parquet(f"{state}/expiry_log")
+    for path in to_delete:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(fs_conf).delete(p, True)
     return {
         "mode": "expire",
         "dropped": {k: len(v) for k, v in dropped.items()},

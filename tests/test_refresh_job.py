@@ -473,3 +473,73 @@ def test_read_tier_range_pruned(spark, tokens_df, tmp_path):
     assert got == dates[1:3]
     for table in ("1h", "1d", "hist", "gapfill_1m", "blocks_1m"):
         assert read_tier(spark, state, table, start_date=dates[0]).count() > 0
+
+
+def test_stale_staging_different_content_is_ambiguous_error(spark, tokens_df, tmp_path):
+    """Crash before the FIRST manifest append + id reuse with different
+    content: the manifest fp guard has nothing to compare, but the
+    staging _DELTA_FP sidecar does not match — the state is ambiguous
+    (the old delta may have been partially promoted) and must be a hard
+    error, never a silent promote of stale data or a double-merge."""
+    from unittest import mock
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    cfg = RollupConfig()
+    base, d1, d2 = _split3(tokens_df)
+    state = str(tmp_path / "state")
+    bootstrap(spark, base, state, cfg)
+
+    orig = DataFrameWriter.parquet
+
+    def crash_on_manifest_append(self, path, *a, **kw):
+        if path.endswith("hist_manifest"):
+            raise RuntimeError("injected crash")
+        return orig(self, path, *a, **kw)
+
+    with mock.patch.object(DataFrameWriter, "parquet", crash_on_manifest_append):
+        with pytest.raises(RuntimeError):
+            refresh(spark, d1, "x", state, cfg)
+    assert os.path.exists(f"{state}/staging/x/_DELTA_FP")
+
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        refresh(spark, d2, "x", state, cfg)
+
+
+def test_reserved_delta_id_and_invalid_policy_rejected(spark, tokens_df, tmp_path):
+    from jobs.refresh_job import expire
+
+    cfg = RollupConfig()
+    state = str(tmp_path / "state")
+    bootstrap(spark, tokens_df, state, cfg)
+    with pytest.raises(ValueError, match="reserved"):
+        refresh(spark, tokens_df.limit(1), "__compact__", state, cfg)
+    # a tier horizon shorter than hist's would let late deltas resurrect
+    # expired tier partitions — rejected up front
+    with pytest.raises(ValueError, match="ladder"):
+        expire(spark, state, {"1m": 86400, "1h": None, "1d": None, "hist": 7 * 86400})
+
+
+def test_reinit_clears_expiry_log(spark, tokens_df, tmp_path):
+    """Re-bootstrap is a new generation: the old expiry_log must not
+    survive to permanently reject dates the new base contains."""
+    from jobs.refresh_job import expire
+
+    cfg = RollupConfig()
+    multi = tokens_df.withColumn(
+        "event_ts",
+        F.col("event_ts") + F.make_interval(
+            days=F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+        ),
+    )
+    state = str(tmp_path / "state")
+    bootstrap(spark, multi, state, cfg)
+    expire(spark, state, {"1m": 86400, "1h": 86400, "1d": 86400})
+    assert os.path.exists(f"{state}/expiry_log")
+
+    base, d1, _ = _split3(multi)
+    bootstrap(spark, base, state, cfg)  # rebuild generation
+    assert not os.path.exists(f"{state}/expiry_log")
+    out = refresh(spark, d1, "d1", state, cfg)
+    assert out["rejected_expired_dates"] == 0 and out["merged_dates"] > 0
+    _assert_state_matches(spark, state, base.unionByName(d1), cfg)
