@@ -207,6 +207,16 @@ def main() -> None:
     _noop(near_dup_clusters(pairs).select("id", "cluster_id"))
     queries["dedup_clusters_documents"] = time.time() - t0
     pairs.unpersist()
+    # warm twin of the pair stage: the cold row above pays one-time JIT +
+    # codegen + Arrow-worker spin-up (measured [10.5, 2.6, 2.1, 2.0, 2.0]s
+    # across in-session reps — see BASELINE.md root-cause note); this row
+    # is the long-lived-cluster production number.
+    from numalogic_spark.operators.dedup import release_persisted
+
+    t0 = time.time()
+    _noop(minhash_lsh_pairs(docs, threshold=0.8, materialize="persist"))
+    queries["minhash_near_dup_warm"] = time.time() - t0
+    release_persisted()
 
     # skewed-fixture packing row: the WHOLE token table projected onto ONE
     # source (the pathological low-source-cardinality corpus). The
