@@ -210,13 +210,14 @@ def main() -> None:
     # warm twin of the pair stage: the cold row above pays one-time JIT +
     # codegen + Arrow-worker spin-up (measured [10.5, 2.6, 2.1, 2.0, 2.0]s
     # across in-session reps — see BASELINE.md root-cause note); this row
-    # is the long-lived-cluster production number.
-    from numalogic_spark.operators.dedup import release_persisted
-
+    # re-runs the IDENTICAL call so the only delta is session warmth — the
+    # long-lived-cluster production number. (An earlier draft used
+    # materialize="persist" here, but that mode lawfully skips the verify
+    # broadcast — lazy modes never count at call time — so it timed a
+    # different, shuffle-verify plan instead of warmth.)
     t0 = time.time()
-    _noop(minhash_lsh_pairs(docs, threshold=0.8, materialize="persist"))
+    _noop(minhash_lsh_pairs(docs, threshold=0.8))
     queries["minhash_near_dup_warm"] = time.time() - t0
-    release_persisted()
 
     # skewed-fixture packing row: the WHOLE token table projected onto ONE
     # source (the pathological low-source-cardinality corpus). The
