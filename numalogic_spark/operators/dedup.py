@@ -445,12 +445,18 @@ def minhash_lsh_pairs(
     # handle would leak for the application lifetime with no way for
     # callers to release it.)
     # signature path (identical values either way — tested bit-for-bit):
-    # the interpreted-HOF expression wins at default k (no Arrow round-trip,
-    # no first-batch Python cost); the vectorized kernel wins once k·|codes|
-    # grows past what interpreted lambdas sustain (production k >= 128).
-    # Same auto-switch idiom as similarity.py's large-dim kernels.
+    # Default to the Arrow kernel: the interpreted-HOF signature (HOFs
+    # never enter whole-stage codegen) is JIT-BIMODAL — per JVM, HotSpot
+    # either compiles the interpreted eval chain well (~0.7 s at 5k docs /
+    # k=60) or locks a polluted profile for the session's lifetime (~5 s,
+    # sticky across reps; caught via per-stage timing over 6 fresh JVMs —
+    # 1 sticky — and in 2 of 3 full bench runs). The numpy kernel does the
+    # identical arithmetic deterministically (~1.9 s warm end-to-end in
+    # every probed session) at the cost of one Arrow round-trip; pass
+    # use_kernel=False to force the expression path (bit-identical values,
+    # avoids Python workers entirely — right for tiny ad-hoc calls).
     if use_kernel is None:
-        use_kernel = num_hashes >= 128
+        use_kernel = True
     if use_kernel:
         sig_col = minhash_signature_kernel(num_hashes, seed)(F.col("codes"))
     else:
