@@ -1795,6 +1795,93 @@ LIMIT {k}
 """
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (Abbas et al. 2023): k-means cluster the
+    embeddings (same seeded codebook as the IVF query), prune within-cluster
+    near-duplicates keeping the member least similar to its centroid.
+    Oracle replays the codebook as literals (the IVF/MCD discipline)."""
+    from numalogic_spark.operators.dedup import semdedup_prune
+    from numalogic_spark.operators.similarity import ivf_train_centroids
+
+    embs = _embs(spark, sf_dir)
+    cents = ivf_train_centroids(
+        embs, n_centroids=8, sample_rows=2000, seed=42, portable_order_id="vec_id"
+    )
+    # 0.35 prunes ~19% of the synthetic fixture (its hash-derived vectors
+    # have much lower pairwise cosine than real text embeddings — within-
+    # cluster median 0.06 / max 0.51 — so the paper's 0.9-ish eps would be
+    # a no-op here); real corpora tune eps to the target prune rate
+    out = semdedup_prune(embs, cents, threshold=0.35)
+    return out.select(
+        "id", "cluster", _r6("cos_to_centroid").alias("cos_to_centroid"), "kept"
+    )
+
+
+def _semdedup_replay_codebook():
+    """Reproduce _q_semdedup's codebook outside Spark: replay the
+    portable-hash sample order and the shared numpy kmeans_fit over the
+    sf0.01 embeddings (mirrors _ivf_sql's inline replay — same params)."""
+    import duckdb
+    import numpy as np
+
+    from numalogic_spark.operators.dedup import MERSENNE31
+    from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
+    from numalogic_spark.operators.similarity import kmeans_fit
+
+    seed, n_centroids, sample_rows = 42, 8, 2000
+    rel = duckdb.sql(
+        "SELECT vec_id, embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL"
+    ).fetchall()
+
+    def unit(vid: int) -> float:
+        acc = seed % MERSENNE31
+        for ch in str(vid):
+            acc = (acc * _CHAR_MULT + ord(ch)) % MERSENNE31
+        return ((_SAMPLE_A * acc + _SAMPLE_B) % MERSENNE31) / MERSENNE31
+
+    ordered = sorted(rel, key=lambda r: (unit(r[0]), r[0]))[:sample_rows]
+    x = [np.asarray(r[1], dtype=float) for r in ordered]
+    x = [v for v in x if np.linalg.norm(v) > 0]
+    return kmeans_fit(np.asarray(x), n_centroids, iters=10, seed=seed)
+
+
+def _semdedup_sql() -> str:
+    """DuckDB replay of the SemDeDup decision: literal codebook →
+    first-max assignment + cosine-to-centroid → per-cluster rank →
+    rank-triangle near-dup join → kept = never dominated."""
+    cents = _semdedup_replay_codebook()
+    n = len(cents)
+    dots = ", ".join(
+        "list_inner_product(v, ["
+        + ", ".join(repr(float(c)) for c in row)
+        + "]::DOUBLE[]) AS d" + str(i)
+        for i, row in enumerate(cents)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(n)) + ")"
+    assign = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {best} THEN {i}" for i in range(n))
+        + " END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+d AS (SELECT vec_id, v, {dots} FROM e),
+a AS (SELECT vec_id, v, {assign} AS cluster,
+             {best} / sqrt(list_inner_product(v, v)) AS cos_c FROM d),
+r AS (SELECT vec_id, v, cluster, cos_c,
+             row_number() OVER (PARTITION BY cluster ORDER BY cos_c ASC, vec_id ASC) AS rn
+      FROM a),
+p AS (SELECT DISTINCT b.vec_id AS id
+      FROM r a JOIN r b ON a.cluster = b.cluster AND a.rn < b.rn
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+SELECT r.vec_id AS id, r.cluster,
+       floor(r.cos_c * 1000000 + 0.5) / 1000000.0 AS cos_to_centroid,
+       (p.id IS NULL) AS kept
+FROM r LEFT JOIN p ON r.vec_id = p.id
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: MinHash-LSH pairs → connected components →
     (id, cluster_id = min id of the component). The transitive-closure
@@ -4908,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_scores": _q_cosine_scores,
         "centroid_cosine_embeddings": _q_centroid_cosine,
         "embedding_near_pairs": _q_embedding_pairs,
+        "semdedup_prune_embeddings": _q_semdedup,
         "text_quality_documents": _q_text_quality,
         "lang_id_documents": _q_lang_id,
         "lang_id_ngram_documents": _q_lang_id_ngram,
@@ -5064,6 +5152,12 @@ def oracle_sql() -> dict[str, str]:
     # numpy fit (pca_fit_numpy) and embeds components/biases as literals.
     try:
         out["pca_project_embeddings"] = _pca_sql()
+    except Exception:
+        pass
+    # SemDeDup: codebook replayed over the sf0.01 fixture (same
+    # data-dependent-oracle caveat as IVF/MCD/PCA above).
+    try:
+        out["semdedup_prune_embeddings"] = _semdedup_sql()
     except Exception:
         pass
     return out

@@ -1114,6 +1114,86 @@ def embedding_near_pairs_lsh(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def semdedup_prune(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    materialize: bool | str = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering the embedding space and pruning near-duplicates
+    WITHIN each cluster only — the clustering bounds the pairwise work
+    (cluster count grows with the corpus, so per-cluster membership stays
+    roughly constant and the per-cluster O(n_c²) never becomes global n²).
+
+    Decision rule (the reference implementation's, made deterministic):
+    rank each cluster's members by (cos_to_centroid ASC, id ASC); a row is
+    PRUNED when any earlier-ranked member of its cluster has cosine ≥
+    `threshold` to it — i.e. among semantic duplicates the member with the
+    LOWEST similarity to the cluster centroid (most atypical) is kept,
+    matching the paper's keep rule, with the id tie-break making the
+    outcome replayable. Comparing against ALL earlier-ranked rows (kept or
+    pruned) mirrors the reference's upper-triangular max-similarity test.
+
+    `threshold` (the paper's eps) is corpus-dependent — tune it to the
+    target prune rate (the paper sweeps it per dataset; ~0.95 suits real
+    text-embedding spaces, far lower for flatter synthetic spaces).
+
+    `centroids` is a trained codebook (similarity.ivf_train_centroids /
+    load_codebook — unit rows, so dot = cosine ranking). Assignment inlines
+    the codebook as JVM literals under similarity._LITERAL_BUDGET and
+    switches to the Arrow matmul kernel above it; the pairwise stage is an
+    equi-join on cluster plus a rank triangle — one exchange for the rank
+    window, one partitioned self-join, no global shuffle of pairs.
+
+    Returns (id, cluster, cos_to_centroid, kept) — the full audit table,
+    not just survivors, so downstream filters and the oracle can both
+    replay the decision.
+    """
+    from numalogic_spark.operators.similarity import _dot_const_expr, ivf_assign_expr
+
+    cents = np.asarray(centroids, dtype=float)
+    dots = F.array(*[_dot_const_expr("v", c) for c in cents])
+    norm = F.sqrt(
+        F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
+    )
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("cluster", ivf_assign_expr("v", cents))
+        # argmax dot is the assigned centroid, so max-dot / |v| is the
+        # cosine to it (centroid rows are unit vectors)
+        .withColumn("cos_c", F.array_max(dots) / norm)
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("cos_c").asc(), F.col("id").asc())
+    # the ranked frame feeds BOTH sides of the self-join and the final
+    # keep-flag join — cut the diamond once or the scan + assignment +
+    # rank window re-run 3x (same discipline as minhash_lsh_pairs)
+    ranked = _materialize(base.withColumn("rn", F.row_number().over(w)), materialize)
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .filter(cosine_expr(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return ranked.join(pruned, "id", "left").select(
+        "id",
+        "cluster",
+        F.col("cos_c").alias("cos_to_centroid"),
+        F.col("_pruned").isNull().alias("kept"),
+    )
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     text_col: str = "text",

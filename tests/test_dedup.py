@@ -431,3 +431,57 @@ def test_materialize_persist_mode(spark, corpus):
     assert release_persisted() == 0  # idempotent
     with pytest.raises(ValueError, match="materialize"):
         minhash_lsh_pairs(df, materialize="Persist")
+
+
+def test_semdedup_prune_keep_rule(spark):
+    """SemDeDup keeps, among near-duplicates of one cluster, the member
+    LEAST similar to the centroid (Abbas et al. 2023 keep rule), compares
+    against all earlier-ranked members (reference triu-max semantics), and
+    never prunes across clusters."""
+    from numalogic_spark.operators.dedup import semdedup_prune
+
+    # two well-separated directions -> two clusters; within cluster 0 a
+    # near-duplicate pair where vec 1 hugs the centroid direction more
+    e1 = np.zeros(8); e1[0] = 1.0
+    e2 = np.zeros(8); e2[1] = 1.0
+    dup_a = e1.copy()                      # exactly on centroid axis
+    dup_b = e1 + 0.05 * e2                 # same direction, slightly off
+    lone = e1 + 0.9 * e2                   # same cluster, not a duplicate
+    other = e2.copy()                      # its own cluster
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [dup_a, dup_b, lone, other],
+        }
+    )
+    cents = np.vstack([e1, e2])
+    got = (
+        semdedup_prune(spark.createDataFrame(pdf), cents, threshold=0.95)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    # dup_b is farther from the centroid -> kept; dup_a pruned
+    assert bool(got.loc[1, "kept"]) and not bool(got.loc[0, "kept"])
+    assert bool(got.loc[2, "kept"]) and bool(got.loc[3, "kept"])
+    assert int(got.loc[0, "cluster"]) == int(got.loc[1, "cluster"])
+    assert int(got.loc[3, "cluster"]) != int(got.loc[0, "cluster"])
+    # audit column matches numpy cosine-to-assigned-centroid
+    for vid, vec in enumerate([dup_a, dup_b, lone, other]):
+        c = cents[int(got.loc[vid, "cluster"])]
+        exp = vec @ c / np.linalg.norm(vec)
+        np.testing.assert_allclose(got.loc[vid, "cos_to_centroid"], exp, rtol=1e-9)
+
+
+def test_semdedup_prune_no_duplicates_keeps_all(spark):
+    from numalogic_spark.operators.dedup import semdedup_prune
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((30, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(30, dtype=np.int64), "embedding": list(vecs)}
+    )
+    cents = rng.standard_normal((4, 16))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    got = semdedup_prune(spark.createDataFrame(pdf), cents, threshold=0.9999).toPandas()
+    assert len(got) == 30 and bool(got["kept"].all())
