@@ -157,6 +157,7 @@ def main() -> None:
                  "stateless_transforms", "difference_transform",
                  "dedup_exact_documents", "text_quality_documents",
                  "embedding_cosine_scores",
+                 "semdedup_prune_embeddings",
                  "simhash_near_dup_documents",
                  "token_frequencies_documents", "sequence_pack_documents",
                  "bpe_encode_documents", "nb_classify_documents",
