@@ -1114,6 +1114,33 @@ def embedding_near_pairs_lsh(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def pair_cosine_kernel():
+    """Arrow twin of `cosine_expr` for PAIR-scale call sites: cos(a, b)
+    per row, accumulated dimension-by-dimension IN INDEX ORDER across the
+    whole batch — the same summation order as the zip_with/aggregate fold
+    AND DuckDB's list_inner_product, so the value is bit-identical to both
+    (no numpy pairwise-summation reordering), while the work is one
+    vectorized multiply-add per dimension instead of millions of
+    interpreted lambda evaluations (HOFs never enter codegen — the same
+    JIT-hostility that made the minhash signature kernel the default)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def cos(a, b):
+        ma = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        mb = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        dot = np.zeros(len(ma))
+        na = np.zeros(len(ma))
+        nb = np.zeros(len(ma))
+        for j in range(ma.shape[1]):  # dim order = the fold's order
+            dot += ma[:, j] * mb[:, j]
+            na += ma[:, j] * ma[:, j]
+            nb += mb[:, j] * mb[:, j]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return pandas_udf(cos, "double")
+
+
 def semdedup_prune(
     df: DataFrame,
     centroids,
@@ -1121,6 +1148,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     materialize: bool | str = True,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     k-means clustering the embedding space and pruning near-duplicates
@@ -1176,12 +1204,20 @@ def semdedup_prune(
     # rank window re-run 3x (same discipline as minhash_lsh_pairs)
     ranked = _materialize(base.withColumn("rn", F.row_number().over(w)), materialize)
     a, b = ranked.alias("a"), ranked.alias("b")
+    # pair verify: the kernel (default) accumulates in dimension order so
+    # it is bit-identical to the zip_with fold — use_kernel=False keeps
+    # the pure-JVM expression for tiny ad-hoc calls
+    pair_cos = (
+        pair_cosine_kernel()(F.col("a.v"), F.col("b.v"))
+        if use_kernel
+        else cosine_expr(F.col("a.v"), F.col("b.v"))
+    )
     pruned = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.rn") < F.col("b.rn")),
         )
-        .filter(cosine_expr(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+        .filter(pair_cos >= F.lit(threshold))
         .select(F.col("b.id").alias("id"))
         .distinct()
         .withColumn("_pruned", F.lit(True))

@@ -485,3 +485,24 @@ def test_semdedup_prune_no_duplicates_keeps_all(spark):
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     got = semdedup_prune(spark.createDataFrame(pdf), cents, threshold=0.9999).toPandas()
     assert len(got) == 30 and bool(got["kept"].all())
+
+
+def test_semdedup_kernel_equals_expression(spark):
+    """The dim-ordered Arrow pair-cosine kernel must reproduce the
+    zip_with-fold expression path bit-for-bit (same summation order)."""
+    from numalogic_spark.operators.dedup import semdedup_prune
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 12))
+    vecs = np.vstack([base, base[:8] + rng.standard_normal((8, 12)) * 0.01])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype=np.int64), "embedding": list(vecs)}
+    )
+    cents = rng.standard_normal((3, 12))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    df = spark.createDataFrame(pdf)
+    key = lambda p: p.sort_values("id", ignore_index=True)
+    k = key(semdedup_prune(df, cents, threshold=0.97, use_kernel=True).toPandas())
+    e = key(semdedup_prune(df, cents, threshold=0.97, use_kernel=False).toPandas())
+    assert k.equals(e)
+    assert not bool(k["kept"].all())  # the planted near-dups actually prune
