@@ -1739,29 +1739,10 @@ def _ivf_sql() -> str:
     kmeans_fit over the sf0.01 embeddings (the driver's oracle scale),
     then express assignment (first-max argmax over the centroid dots),
     nprobe filtering, and the cosine top-k in SQL with literal centroids."""
-    import duckdb
     import numpy as np
 
-    from numalogic_spark.operators.dedup import MERSENNE31
-    from numalogic_spark.operators.sampling import _CHAR_MULT, _SAMPLE_A, _SAMPLE_B
-    from numalogic_spark.operators.similarity import kmeans_fit
-
-    seed, n_centroids, sample_rows, nprobe, k = 42, 8, 2000, 4, 10
-    rel = duckdb.sql(
-        "SELECT vec_id, embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
-        "WHERE embedding IS NOT NULL"
-    ).fetchall()
-
-    def unit(vid: int) -> float:
-        acc = seed % MERSENNE31
-        for ch in str(vid):
-            acc = (acc * _CHAR_MULT + ord(ch)) % MERSENNE31
-        return ((_SAMPLE_A * acc + _SAMPLE_B) % MERSENNE31) / MERSENNE31
-
-    ordered = sorted(rel, key=lambda r: (unit(r[0]), r[0]))[:sample_rows]
-    x = [np.asarray(r[1], dtype=float) for r in ordered]
-    x = [v for v in x if np.linalg.norm(v) > 0]
-    cents = kmeans_fit(np.asarray(x), n_centroids, iters=10, seed=seed)
+    nprobe, k = 4, 10
+    cents, rel = _semdedup_replay_codebook()
     qv = np.asarray(
         [r[1] for r in rel if r[0] == 0][0], dtype=float
     )
@@ -1818,9 +1799,14 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_replay_codebook():
-    """Reproduce _q_semdedup's codebook outside Spark: replay the
-    portable-hash sample order and the shared numpy kmeans_fit over the
-    sf0.01 embeddings (mirrors _ivf_sql's inline replay — same params)."""
+    """THE shared codebook replay (used by _ivf_sql AND _semdedup_sql so
+    the two oracles can never desynchronize from each other): reproduce
+    the Spark-side ivf_train_centroids(n_centroids=8, sample_rows=2000,
+    seed=42, portable_order_id="vec_id") outside Spark — portable-hash
+    sample order, zero-norm drop, shared numpy kmeans_fit — over the
+    sf0.01 fixture (the driver's oracle scale). Returns (centroids, the
+    raw non-null (vec_id, embedding) rows) so callers needing specific
+    vectors (the IVF query vector) reuse the same read."""
     import duckdb
     import numpy as np
 
@@ -1843,14 +1829,14 @@ def _semdedup_replay_codebook():
     ordered = sorted(rel, key=lambda r: (unit(r[0]), r[0]))[:sample_rows]
     x = [np.asarray(r[1], dtype=float) for r in ordered]
     x = [v for v in x if np.linalg.norm(v) > 0]
-    return kmeans_fit(np.asarray(x), n_centroids, iters=10, seed=seed)
+    return kmeans_fit(np.asarray(x), n_centroids, iters=10, seed=seed), rel
 
 
 def _semdedup_sql() -> str:
     """DuckDB replay of the SemDeDup decision: literal codebook →
     first-max assignment + cosine-to-centroid → per-cluster rank →
     rank-triangle near-dup join → kept = never dominated."""
-    cents = _semdedup_replay_codebook()
+    cents, _ = _semdedup_replay_codebook()
     n = len(cents)
     dots = ", ".join(
         "list_inner_product(v, ["
@@ -1864,17 +1850,26 @@ def _semdedup_sql() -> str:
         + " ".join(f"WHEN d{i} = {best} THEN {i}" for i in range(n))
         + " END"
     )
+    # degenerate-row contract mirrors semdedup_prune: NULL embeddings,
+    # embeddings with a null element, and zero-norm embeddings are
+    # excluded (no direction in cosine space; their NULL/NaN semantics
+    # diverge between engines). Pair test divides the inner product by
+    # per-row norms, the exact arithmetic the engine runs.
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-d AS (SELECT vec_id, v, {dots} FROM e),
-a AS (SELECT vec_id, v, {assign} AS cluster,
-             {best} / sqrt(list_inner_product(v, v)) AS cos_c FROM d),
-r AS (SELECT vec_id, v, cluster, cos_c,
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+e AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e0
+      WHERE list_inner_product(v, v) > 0),
+d AS (SELECT vec_id, v, nrm, {dots} FROM e),
+a AS (SELECT vec_id, v, nrm, {assign} AS cluster,
+             {best} / nrm AS cos_c FROM d),
+r AS (SELECT vec_id, v, nrm, cluster, cos_c,
              row_number() OVER (PARTITION BY cluster ORDER BY cos_c ASC, vec_id ASC) AS rn
       FROM a),
 p AS (SELECT DISTINCT b.vec_id AS id
       FROM r a JOIN r b ON a.cluster = b.cluster AND a.rn < b.rn
-      WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+      WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35)
 SELECT r.vec_id AS id, r.cluster,
        floor(r.cos_c * 1000000 + 0.5) / 1000000.0 AS cos_to_centroid,
        (p.id IS NULL) AS kept

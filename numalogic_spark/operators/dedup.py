@@ -1114,31 +1114,61 @@ def embedding_near_pairs_lsh(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
-def pair_cosine_kernel():
-    """Arrow twin of `cosine_expr` for PAIR-scale call sites: cos(a, b)
-    per row, accumulated dimension-by-dimension IN INDEX ORDER across the
-    whole batch — the same summation order as the zip_with/aggregate fold
-    AND DuckDB's list_inner_product, so the value is bit-identical to both
-    (no numpy pairwise-summation reordering), while the work is one
-    vectorized multiply-add per dimension instead of millions of
-    interpreted lambda evaluations (HOFs never enter codegen — the same
-    JIT-hostility that made the minhash signature kernel the default)."""
+def pair_dot_kernel():
+    """Arrow twin of the zip_with/aggregate dot fold for PAIR-scale call
+    sites: dot(a, b) per row, accumulated dimension-by-dimension IN INDEX
+    ORDER across the whole batch — bit-identical to the Spark fold (no
+    numpy pairwise-summation reordering) while the work is one vectorized
+    multiply-add per dimension instead of millions of interpreted lambda
+    evaluations (HOFs never enter codegen — the same JIT-hostility that
+    made the minhash signature kernel the default).
+
+    Cross-engine caveat: DuckDB's `list_inner_product` is NOT bit-bound to
+    this fold — its accumulation can differ by 1 ulp — so oracles that
+    consume dot products keep the repo-wide 6-dp rounding on hashed
+    outputs and need real margin on unrounded threshold comparisons (the
+    pre-existing contract shared by every cosine oracle in this repo).
+
+    Inputs must be non-null arrays without null elements (Arrow would
+    coerce a null element to NaN, silently diverging from the fold's NULL
+    propagation — callers filter degenerates upstream, as semdedup_prune
+    does)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def cos(a, b):
+    def dot(a, b):
         ma = np.stack([np.asarray(x, dtype=np.float64) for x in a])
         mb = np.stack([np.asarray(x, dtype=np.float64) for x in b])
-        dot = np.zeros(len(ma))
-        na = np.zeros(len(ma))
-        nb = np.zeros(len(ma))
+        acc = np.zeros(len(ma))
         for j in range(ma.shape[1]):  # dim order = the fold's order
-            dot += ma[:, j] * mb[:, j]
-            na += ma[:, j] * ma[:, j]
-            nb += mb[:, j] * mb[:, j]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+            acc += ma[:, j] * mb[:, j]
+        return pd.Series(acc)
 
-    return pandas_udf(cos, "double")
+    return pandas_udf(dot, "double")
+
+
+def _semdedup_assign_kernel(cents: "np.ndarray"):
+    """Big-codebook twin of the literal `_dots` path: one Arrow matmul
+    yielding (argmax cluster, max dot) per row, mirroring
+    similarity._ivf_assign_kernel's first-max semantics. Matmul summation
+    order differs from the literal fold at the ulp level — same accepted
+    trade as the IVF kernel (argmax is ulp-robust away from exact ties);
+    the gated query's codebook is far under _LITERAL_BUDGET so the oracle
+    always exercises the literal path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents_t = cents.T.copy()
+
+    def assign(v):
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        d = m @ cents_t
+        idx = d.argmax(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype(np.int32), "mx": d[np.arange(len(d)), idx]}
+        )
+
+    return pandas_udf(assign, "struct<cluster: int, mx: double>")
 
 
 def semdedup_prune(
@@ -1170,54 +1200,91 @@ def semdedup_prune(
     text-embedding spaces, far lower for flatter synthetic spaces).
 
     `centroids` is a trained codebook (similarity.ivf_train_centroids /
-    load_codebook — unit rows, so dot = cosine ranking). Assignment inlines
-    the codebook as JVM literals under similarity._LITERAL_BUDGET and
-    switches to the Arrow matmul kernel above it; the pairwise stage is an
-    equi-join on cluster plus a rank triangle — one exchange for the rank
-    window, one partitioned self-join, no global shuffle of pairs.
+    load_codebook — unit rows, so dot = cosine ranking). Under
+    similarity._LITERAL_BUDGET the codebook dots are inlined as ONE JVM
+    literal array column reused for both the argmax (cluster) and the max
+    (cosine numerator); above it a single Arrow matmul kernel produces
+    both. The pairwise stage is an equi-join on cluster plus a rank
+    triangle — one exchange for the rank window, one partitioned
+    self-join, no global shuffle of pairs — with per-row norms computed
+    ONCE on the ranked frame (the pair stage only evaluates the dot).
+
+    Degenerate embeddings — NULL, containing a null element, or
+    zero-norm — are EXCLUDED from the output: they have no direction in
+    cosine space, and keeping them would force engine-divergent
+    NULL/NaN ordering and comparison semantics into the decision
+    (numpy 0/0 = NaN which Spark compares GREATER than any threshold,
+    while the JVM fold yields NULL which compares false).
 
     Returns (id, cluster, cos_to_centroid, kept) — the full audit table,
     not just survivors, so downstream filters and the oracle can both
     replay the decision.
     """
-    from numalogic_spark.operators.similarity import _dot_const_expr, ivf_assign_expr
+    from numalogic_spark.operators.similarity import _LITERAL_BUDGET, _dot_const_expr
 
     cents = np.asarray(centroids, dtype=float)
-    dots = F.array(*[_dot_const_expr("v", c) for c in cents])
     norm = F.sqrt(
         F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
     )
-    base = (
+    clean = (
         df.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        .withColumn("cluster", ivf_assign_expr("v", cents))
-        # argmax dot is the assigned centroid, so max-dot / |v| is the
-        # cosine to it (centroid rows are unit vectors)
-        .withColumn("cos_c", F.array_max(dots) / norm)
+        .filter(~F.exists(F.col("v"), lambda x: x.isNull()))
+        .withColumn("_nrm", norm)
+        .filter(F.col("_nrm") > 0)
     )
+    if cents.size <= _LITERAL_BUDGET:
+        # ONE literal dot-array column serves assignment (first-max argmax)
+        # and the cosine numerator (max dot); argmax dot IS the assigned
+        # centroid because centroid rows are unit vectors
+        dots = F.array(*[_dot_const_expr("v", c) for c in cents])
+        base = (
+            clean.withColumn("_dots", dots)
+            .withColumn(
+                "cluster",
+                (F.array_position(F.col("_dots"), F.array_max(F.col("_dots"))) - 1).cast("int"),
+            )
+            .withColumn("cos_c", F.array_max(F.col("_dots")) / F.col("_nrm"))
+            .drop("_dots")
+        )
+    else:
+        # big codebooks would blow the literal plan budget — one Arrow
+        # matmul yields (cluster, max dot) together
+        base = (
+            clean.withColumn("_ac", _semdedup_assign_kernel(cents)(F.col("v")))
+            .withColumn("cluster", F.col("_ac.cluster"))
+            .withColumn("cos_c", F.col("_ac.mx") / F.col("_nrm"))
+            .drop("_ac")
+        )
     w = Window.partitionBy("cluster").orderBy(F.col("cos_c").asc(), F.col("id").asc())
     # the ranked frame feeds BOTH sides of the self-join and the final
     # keep-flag join — cut the diamond once or the scan + assignment +
     # rank window re-run 3x (same discipline as minhash_lsh_pairs)
     ranked = _materialize(base.withColumn("rn", F.row_number().over(w)), materialize)
     a, b = ranked.alias("a"), ranked.alias("b")
-    # pair verify: the kernel (default) accumulates in dimension order so
-    # it is bit-identical to the zip_with fold — use_kernel=False keeps
-    # the pure-JVM expression for tiny ad-hoc calls
-    pair_cos = (
-        pair_cosine_kernel()(F.col("a.v"), F.col("b.v"))
+    # pair verify: dot via the dim-ordered kernel (default; bit-identical
+    # to the zip_with fold — use_kernel=False keeps the pure-JVM
+    # expression for tiny ad-hoc calls), divided by the per-row norms
+    # already on the ranked frame (sqrt(na)*sqrt(nb) is a per-vector
+    # value — recomputing it per pair would be ~2/3 of the arithmetic)
+    pair_dot = (
+        pair_dot_kernel()(F.col("a.v"), F.col("b.v"))
         if use_kernel
-        else cosine_expr(F.col("a.v"), F.col("b.v"))
+        else F.aggregate(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
     pruned = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.rn") < F.col("b.rn")),
         )
-        .filter(pair_cos >= F.lit(threshold))
+        .filter(pair_dot / (F.col("a._nrm") * F.col("b._nrm")) >= F.lit(threshold))
         .select(F.col("b.id").alias("id"))
         .distinct()
         .withColumn("_pruned", F.lit(True))

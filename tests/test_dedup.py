@@ -506,3 +506,27 @@ def test_semdedup_kernel_equals_expression(spark):
     e = key(semdedup_prune(df, cents, threshold=0.97, use_kernel=False).toPandas())
     assert k.equals(e)
     assert not bool(k["kept"].all())  # the planted near-dups actually prune
+
+
+def test_semdedup_prune_degenerate_rows_excluded(spark):
+    """NULL embeddings, embeddings with a null element, and zero-norm
+    embeddings are excluded from the output (no direction in cosine
+    space); kernel and expression paths agree on the cleaned corpus."""
+    from numalogic_spark.operators.dedup import semdedup_prune
+
+    e1 = np.zeros(6); e1[0] = 1.0
+    rows = [
+        (0, [float(x) for x in e1]),
+        (1, [float(x) for x in e1 * 0.9]),          # near-dup of 0
+        (2, None),                                   # NULL embedding
+        (3, [0.0] * 6),                              # zero norm
+        (4, [1.0, None, 0.0, 0.0, 0.0, 0.0]),        # null element
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.vstack([e1])
+    for uk in (True, False):
+        got = semdedup_prune(df, cents, threshold=0.9, use_kernel=uk).toPandas()
+        assert sorted(got["id"].tolist()) == [0, 1]
+        by_id = got.set_index("id")
+        # identical direction -> the id tie-break keeps the lower id
+        assert bool(by_id.loc[0, "kept"]) and not bool(by_id.loc[1, "kept"])
