@@ -238,6 +238,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     raise ValueError("corrupt JPEG: no SOS segment")
 
 
+def _mcu_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) for a frame — the ONE place the padded
+    MCU-grid rounding lives, shared by the baseline and progressive
+    decoders so they can never disagree on plane sizes."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
 def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
     if frame is None:
         raise ValueError("corrupt JPEG: SOS before SOF")
@@ -247,10 +258,7 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
             "only a single interleaved scan is supported "
             f"(SOS covers {len(scan)} of {len(comps)} components)"
         )
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
     planes = []
     for c in comps:
         planes.append(
@@ -349,10 +357,7 @@ def _planes_to_rgb(planes, comps, hmax, vmax, h, w):
 def _init_prog_state(frame):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
     st = {
         "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
         "bwpad": [], "bhpad": [], "bw": [], "bh": [], "coef": [],
@@ -425,7 +430,16 @@ def _ac_refine_block(reader, czz, ss, se, al, tab, eobrun):
                         break
                     r -= 1
                 k += 1
-            if newval and k <= se:
+            if newval:
+                if k > se:
+                    # the decoded zero-run walked past the band end with a
+                    # newly-nonzero coefficient pending — its sign bit is
+                    # already consumed, so continuing would desynchronize
+                    # the reader and silently decode garbage; fail loudly
+                    # like the first-scan path's overflow check
+                    raise ValueError(
+                        "corrupt JPEG: AC index overflow in refinement scan"
+                    )
                 czz[k] = newval
             k += 1
     if eobrun > 0:

@@ -93,6 +93,16 @@ def _fold_events(
     out_ts: list[int] = []
     out_ok: list[bool] = []
     out_why: list[str] = []
+    # malformed events must not poison the fold (in streaming an exception
+    # fails EVERY retry of the micro-batch, wedging the query on one bad
+    # row): rows with a null/negative timestamp or null kind are dropped —
+    # event time is non-negative epoch seconds by contract (negative
+    # values would also collide with the streaming state's -1 "unset"
+    # sentinel); a null train_records on an 'insufficient' event counts
+    # as 0 records (the most conservative backoff)
+    events = events[
+        events["ts_s"].notna() & (events["ts_s"] >= 0) & events["kind"].notna()
+    ]
     for ts, kind, recs in zip(
         events["ts_s"].astype("int64"),
         events["kind"],
@@ -103,7 +113,12 @@ def _fold_events(
             train_ts = ts
             continue
         if kind == KIND_INSUFFICIENT:
-            train_records = int(recs)
+            train_records = 0 if pd.isna(recs) else int(recs)
+            continue
+        if kind != KIND_READ:
+            # unknown kinds are IGNORED (no decision, no state change) —
+            # falling through to the read path would let a typo'd event
+            # admit/block trainers silently
             continue
         if (
             train_records is not None
@@ -147,7 +162,9 @@ def batch_trainer_gate(
             pdf, (None, None, None),
             retrain_freq_h, retry_s, min_train_records, data_freq_s,
         )
-        dec.insert(0, "source", pdf[source_col].iloc[0] if len(pdf) else "")
+        # the select below aliased the key column to "source" — indexing
+        # pdf[source_col] would KeyError for any non-default source_col
+        dec.insert(0, "source", pdf["source"].iloc[0] if len(pdf) else "")
         return dec
 
     return (

@@ -174,3 +174,47 @@ def test_streaming_equals_batch(spark, tmp_path):
         .sort_values(["source", "ts_s"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_malformed_events_do_not_poison_the_fold():
+    """Null/negative ts_s, null kind, null train_records on 'insufficient',
+    and unknown kinds must be tolerated, not crash the micro-batch."""
+    dec, st = _fold(
+        [
+            _ev(None, "read"),                  # null ts -> dropped
+            _ev(-50, "read"),                   # negative ts -> dropped
+            _ev(900, None),                     # null kind -> dropped
+            _ev(950, "Read"),                   # unknown kind -> ignored
+            _ev(980, "insufficient", None),     # null recs -> treated as 0
+            _ev(1000, "read"),
+        ]
+    )
+    # the one real read is deferred by the 0-records backoff? no — backoff
+    # needs a PRIOR read_ts; with none, the read is admitted
+    assert list(dec.ts_s) == [1000]
+    assert list(dec.do_train) == [True]
+    assert st[2] == 0  # null insufficient recs recorded as 0
+
+
+def test_unknown_kind_changes_no_state():
+    dec1, st1 = _fold([_ev(1000, "read")])
+    dec2, st2 = _fold([_ev(900, "definitely_not_a_kind"), _ev(1000, "read")])
+    assert dec1.equals(dec2) and st1 == st2
+
+
+def test_batch_gate_custom_source_col(spark):
+    """source_col other than 'source' must work (the key column is aliased
+    before applyInPandas)."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("m1", 10_000, "read", None), ("m1", 10_100, "read", None)],
+            columns=["metric", "ts_s", "kind", "train_records"],
+        )
+    )
+    got = (
+        batch_trainer_gate(df, source_col="metric", **PARAMS)
+        .toPandas()
+        .sort_values("ts_s", ignore_index=True)
+    )
+    assert list(got.source) == ["m1", "m1"]
+    assert list(got.do_train) == [True, False]
