@@ -183,3 +183,45 @@ def test_retention_job_end_to_end(tmp_path, spark):
     assert any(p.name.startswith("tier=") for p in out.iterdir())
     # daily tier is keep-forever
     assert summary["tiers"]["1d"]["expired"] == 0
+
+
+@pytest.mark.skipif(not os.path.exists(SUBMIT), reason="spark-submit not available")
+def test_dedup_job_semantic_stage(tmp_path):
+    """jobs/dedup_job.py with --embeddings runs the SemDeDup stage after
+    exact + near dedup: the summary accounts for every dropped row and the
+    kept corpus excludes the semantically pruned ids."""
+    zip_path = tmp_path / "pkg.zip"
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", str(zip_path), "numalogic_spark"],
+        cwd=REPO, check=True,
+    )
+    out = tmp_path / "kept"
+    r = subprocess.run(
+        [
+            SUBMIT, "--master", "local[4]", "--py-files", str(zip_path),
+            "jobs/dedup_job.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out),
+            "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--emb-id-col", "vec_id",
+            "--centroids", "8",
+            # the synthetic hash-derived embeddings have low pairwise
+            # cosine (see the gated query's note) — 0.35 actually prunes
+            "--semantic-threshold", "0.35",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["semantic_dropped"] > 0
+    assert (
+        summary["rows_kept"]
+        == summary["rows_in"]
+        - summary["exact_dropped"]
+        - summary["near_dup_dropped"]
+        - summary["semantic_dropped"]
+    )
+    import duckdb
+
+    (n,) = duckdb.sql(f"select count(*) from '{out}/*.parquet'").fetchone()
+    assert n == summary["rows_kept"] > 0
