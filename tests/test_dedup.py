@@ -530,3 +530,61 @@ def test_semdedup_prune_degenerate_rows_excluded(spark):
         by_id = got.set_index("id")
         # identical direction -> the id tie-break keeps the lower id
         assert bool(by_id.loc[0, "kept"]) and not bool(by_id.loc[1, "kept"])
+
+
+def _semdedup_numpy_reference(ids, vecs, cents, threshold):
+    """Independent pure-numpy replay of the SemDeDup decision rule (first-
+    max assignment, (cos_c ASC, id ASC) rank, prune-if-any-earlier-ranked-
+    neighbor >= eps) — a third implementation beside the Spark operator
+    and the DuckDB oracle."""
+    dots = vecs @ cents.T
+    cl = dots.argmax(axis=1)
+    nrm = np.sqrt((vecs * vecs).sum(axis=1))
+    cos_c = dots.max(axis=1) / nrm
+    kept = {}
+    for c in np.unique(cl):
+        idx = np.where(cl == c)[0]
+        order = sorted(idx, key=lambda i: (cos_c[i], ids[i]))
+        for pos, i in enumerate(order):
+            pruned = any(
+                (vecs[i] @ vecs[j]) / (nrm[i] * nrm[j]) >= threshold
+                for j in order[:pos]
+            )
+            kept[int(ids[i])] = not pruned
+    return cl, cos_c, kept
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_semdedup_matches_numpy_reference_randomized(spark, seed):
+    """Randomized corpora with planted near-dups: the Spark operator's full
+    (cluster, cos_to_centroid, kept) table must match an independent numpy
+    replay of the decision rule."""
+    from numalogic_spark.operators.dedup import semdedup_prune
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((30, 10))
+    # planted near-dups are scaled AND slightly perturbed: an exactly-
+    # scaled copy has mathematically IDENTICAL cos_to_centroid to its
+    # base, so the (cos_c, id) rank order between the two would be decided
+    # by which engine's last ulp wins — a measure-zero knife edge real
+    # embeddings don't sit on; the perturbation separates the ranks by
+    # ~1e-3 while keeping pair cosine ~0.9999
+    dup = base[rng.integers(0, 30, 10)] * rng.uniform(0.5, 2.0, (10, 1))
+    vecs = np.vstack([base, dup + rng.standard_normal(dup.shape) * 0.01])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    cents = rng.standard_normal((4, 10))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    t = 0.9
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    got = (
+        semdedup_prune(spark.createDataFrame(pdf), cents, threshold=t)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    cl, cos_c, kept = _semdedup_numpy_reference(ids, vecs, cents, t)
+    assert list(got["cluster"]) == [int(c) for c in cl]
+    np.testing.assert_allclose(got["cos_to_centroid"], cos_c, rtol=1e-9)
+    assert {i: bool(k) for i, k in got["kept"].items()} == kept
+    # the planted scaled copies actually exercise the prune path
+    assert not all(kept.values())
