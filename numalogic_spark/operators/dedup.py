@@ -1260,24 +1260,83 @@ def semdedup_prune(
             .drop("_ac")
         )
     w = Window.partitionBy("cluster").orderBy(F.col("cos_c").asc(), F.col("id").asc())
+    if use_kernel:
+        # Per-cluster blocked-triangle kernel (default): one grouped Arrow
+        # pass per cluster replaces the rank-triangle self-join + per-pair
+        # dot kernel + distinct + keep-flag join. The old shape shuffled
+        # BOTH vectors of every within-cluster pair through the join and
+        # round-tripped n_c²/2 pair rows through Arrow; this shape ships
+        # each vector ONCE (the groupBy exchange reuses the rank window's
+        # cluster partitioning) and evaluates the same upper-triangular
+        # comparisons as blocked numpy — accumulated DIMENSION BY
+        # DIMENSION in index order, so every pair's dot is bit-identical
+        # to the zip_with fold / pair_dot_kernel (no BLAS reordering).
+        # Mixed-dimension rows (corrupt input) degrade exactly like the
+        # expression path — a cross-dimension pair never prunes (zip_with
+        # over unequal lengths null-propagates to a false comparison) —
+        # instead of crashing np.stack (the round-5 ADVICE item).
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        thr = float(threshold)
+        out_schema = T.StructType(
+            [
+                T.StructField("id", df.schema[id_col].dataType),
+                T.StructField("cluster", T.IntegerType()),
+                T.StructField("cos_to_centroid", T.DoubleType()),
+                T.StructField("kept", T.BooleanType()),
+            ]
+        )
+
+        def decide(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("rn", ignore_index=True)
+            n = len(pdf)
+            kept = np.ones(n, dtype=bool)
+            dims = np.fromiter((len(v) for v in pdf["v"]), dtype=np.int64, count=n)
+            nrm_all = pdf["_nrm"].to_numpy(dtype=np.float64)
+            for d in np.unique(dims):
+                idx = np.nonzero(dims == d)[0]  # ascending → rank order kept
+                m = len(idx)
+                if m < 2:
+                    continue
+                V = np.stack([np.asarray(pdf["v"].iat[i], dtype=np.float64) for i in idx])
+                nrm = nrm_all[idx]
+                B = 4096
+                for j0 in range(1, m, B):
+                    j1 = min(j0 + B, m)
+                    left, right = V[:j1], V[j0:j1]
+                    acc = np.zeros((j1, j1 - j0))
+                    for k in range(V.shape[1]):  # dim order = the fold's order
+                        acc += left[:, k : k + 1] * right[:, k]
+                    cos = acc / (nrm[:j1, None] * nrm[None, j0:j1])
+                    tri = np.arange(j1)[:, None] < (j0 + np.arange(j1 - j0))[None, :]
+                    kept[idx[j0:j1]] &= ~((cos >= thr) & tri).any(axis=0)
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cluster": pdf["cluster"].astype("int32"),
+                    "cos_to_centroid": pdf["cos_c"],
+                    "kept": kept,
+                }
+            )
+
+        ranked = base.withColumn("rn", F.row_number().over(w))
+        return ranked.groupBy("cluster").applyInPandas(decide, out_schema)
+
     # the ranked frame feeds BOTH sides of the self-join and the final
     # keep-flag join — cut the diamond once or the scan + assignment +
     # rank window re-run 3x (same discipline as minhash_lsh_pairs)
     ranked = _materialize(base.withColumn("rn", F.row_number().over(w)), materialize)
     a, b = ranked.alias("a"), ranked.alias("b")
-    # pair verify: dot via the dim-ordered kernel (default; bit-identical
-    # to the zip_with fold — use_kernel=False keeps the pure-JVM
-    # expression for tiny ad-hoc calls), divided by the per-row norms
-    # already on the ranked frame (sqrt(na)*sqrt(nb) is a per-vector
-    # value — recomputing it per pair would be ~2/3 of the arithmetic)
-    pair_dot = (
-        pair_dot_kernel()(F.col("a.v"), F.col("b.v"))
-        if use_kernel
-        else F.aggregate(
-            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # pair verify: the pure-JVM zip_with fold — per-pair, divided by the
+    # per-row norms already on the ranked frame (sqrt(na)*sqrt(nb) is a
+    # per-vector value — recomputing it per pair would be ~2/3 of the
+    # arithmetic)
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     pruned = (
         a.join(

@@ -195,32 +195,39 @@ def pack_tokens(
 
 def _greedy_fill_np(lens, max_tokens: int):
     """Vectorized greedy no-split fill: (pack_idx, pack_offset) for doc
-    lengths in order. Instead of a per-doc Python loop, iterate over PACK
-    boundaries with searchsorted on the cumulative sums — O(packs·log n)
-    python-level steps instead of O(docs): at ~C/avg_len docs per pack the
-    loop shrinks by that factor (matters when one source holds millions of
-    docs). Semantics identical to the sequential rule: append while it
-    fits, else new pack; an oversized doc at offset 0 keeps its pack.
+    lengths in order. The successor of EVERY candidate pack start is
+    precomputed in one vectorized searchsorted over the cumulative sums
+    (nxt[i] = first doc that does NOT fit in a pack starting at doc i);
+    the sequential recurrence then collapses to walking the orbit of 0
+    through a plain Python list — one list index + append per PACK
+    (~100 ns) instead of one interpreted searchsorted call per pack
+    (~2 µs), the former hot spot when one source holds millions of docs.
+    Semantics identical to the sequential rule: append while it fits,
+    else new pack; an oversized doc at offset 0 keeps its pack.
     """
     import numpy as np
 
     lens = np.asarray(lens, dtype=np.int64)
     n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     cum = np.cumsum(lens)
+    base = np.concatenate([[0], cum[:-1]])
+    nxt = np.searchsorted(cum, base + max_tokens, side="right")
+    # a doc alone exceeding max_tokens gets its own pack: successor i+1
+    np.maximum(nxt, np.arange(1, n + 1), out=nxt)
+    nxt_l = nxt.tolist()
     starts = [0]
-    while True:
-        s = starts[-1]
-        base = cum[s - 1] if s > 0 else 0
-        j = int(np.searchsorted(cum, base + max_tokens, side="right"))
-        if j <= s:  # doc s alone exceeds max_tokens → its own pack
-            j = s + 1
-        if j >= n:
-            break
-        starts.append(j)
+    append = starts.append
+    s = nxt_l[0]
+    while s < n:
+        append(s)
+        s = nxt_l[s]
     starts = np.asarray(starts, dtype=np.int64)
-    pack_idx = np.searchsorted(starts, np.arange(n), side="right") - 1
+    sizes = np.diff(starts, append=np.int64(n))
+    pack_idx = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
     pack_base = np.where(starts > 0, cum[starts - 1], 0)[pack_idx]
-    offsets = np.concatenate([[0], cum[:-1]]) - pack_base
+    offsets = base - pack_base
     return pack_idx, offsets
 
 
@@ -274,7 +281,6 @@ def pack_greedy_no_split(
       invariants hold regardless.
     """
     import numpy as np
-    import pandas as pd
 
     from pyspark.sql import types as T
 
@@ -292,25 +298,47 @@ def pack_greedy_no_split(
     ]
     out_schema = T.StructType(out_fields)
 
-    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, ignore_index=True)
-        lens = pdf[len_col].to_numpy(dtype=np.int64)
+    # applyInArrow, not applyInPandas: a multi-million-doc group pays for
+    # the id sort and the column round-trip, and pandas does both through
+    # per-row PyObjects (a 3M-string sort_values alone was ~6 s). Arrow's
+    # sort_indices/take are vectorized C over the id column (UTF-8 byte
+    # order == code-point order, the same ordering pandas used), and the
+    # fill maths is numpy either way.
+    def fill(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids_col = table.column(id_col).combine_chunks()
+        order = pc.sort_indices(ids_col)
+        ids = pc.take(ids_col, order)
+        lens = (
+            pc.take(table.column(len_col).combine_chunks(), order)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
         packs, offs = _greedy_fill_np(lens, max_tokens)
-        out = {"source": pdf[source_col]}
+        source = pc.take(table.column(source_col).combine_chunks(), order)
+        cols = {"source": source}
         if sub_salt is not None:
-            chunk = int(pdf["_chunk"].iloc[0])
-            out["_chunk"] = pdf["_chunk"]
+            chunk = int(table.column("_chunk")[0].as_py())
+            cols["_chunk"] = pa.array(
+                np.full(len(lens), chunk, dtype=np.int64), type=pa.int64()
+            )
             # globally unique, sparse, order-preserving; chunk 0 keeps the
             # sequential numbering (the multi-source equality contract)
             packs = packs + (chunk << 40)
-        out.update(
-            {"pack_id": packs, "doc_id": pdf[id_col], "pack_offset": offs,
-             "n_tok": lens}
+        cols.update(
+            {
+                "pack_id": pa.array(packs, type=pa.int64()),
+                "doc_id": ids,
+                "pack_offset": pa.array(offs, type=pa.int64()),
+                "n_tok": pa.array(lens, type=pa.int64()),
+            }
         )
-        return pd.DataFrame(out)
+        return pa.table(cols)
 
     if sub_salt is None:
-        return src.groupBy(source_col).applyInPandas(fill, out_schema)
+        return src.groupBy(source_col).applyInArrow(fill, out_schema)
 
     if sub_salt < 2:
         raise ValueError("sub_salt must be >= 2 (1 doc per chunk packs nothing)")
@@ -326,7 +354,7 @@ def pack_greedy_no_split(
         )
     else:
         raise ValueError(f"chunk_by must be 'rank' or 'range', got {chunk_by!r}")
-    plan = salted.groupBy(source_col, "_chunk").applyInPandas(fill, out_schema)
+    plan = salted.groupBy(source_col, "_chunk").applyInArrow(fill, out_schema)
     # the plan feeds both the chunk-stats aggregation and the fix-up join
     # (a diamond): eager localCheckpoint materializes the fill ONCE and
     # cuts lineage; unlike a bare persist() the checkpointed blocks are

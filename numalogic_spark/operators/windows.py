@@ -71,36 +71,96 @@ def sliding_windows(
         ]
     )
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        n = len(pdf)
-        if n < seq_len:
-            return pd.DataFrame(
-                {
-                    "source": pd.Series([], dtype=object),
-                    "win_id": pd.Series([], dtype="int64"),
-                    "start_ts": pd.Series([], dtype="datetime64[ns]"),
-                    "end_ts": pd.Series([], dtype="datetime64[ns]"),
-                    "window": pd.Series([], dtype=object),
-                }
-            )
-        x = pdf[value_cols].to_numpy(dtype=np.float32)
-        w = _window_matrix(x, seq_len, stride)
-        ts = pdf[ts_col].to_numpy()
-        n_win = w.shape[0]
-        starts = ts[np.arange(n_win) * stride]
-        ends = ts[np.arange(n_win) * stride + seq_len - 1]
-        return pd.DataFrame(
-            {
-                "source": pdf[source_col].iloc[0],
-                "win_id": np.arange(n_win, dtype=np.int64),
-                "start_ts": starts,
-                "end_ts": ends,
-                "window": [w[i] for i in range(n_win)],
-            }
+    # applyInArrow, not applyInPandas: the window column is a nested
+    # list<list<float>>, and the pandas path serializes it by iterating a
+    # 250k-element object Series of numpy matrices row by row. Building
+    # the Arrow ListArrays directly from the flat float32 buffer (one
+    # offsets array per nesting level — pure arange arithmetic) removes
+    # every per-row Python/Arrow conversion; values are the identical
+    # float32 bytes the strided view produced.
+    def build(table):
+        import pyarrow as pa
+
+        return _windows_arrow_table(
+            table, value_cols, seq_len, stride, source_col, ts_col, pa
         )
 
-    return df.groupBy(source_col).applyInPandas(build, schema)
+    return df.groupBy(source_col).applyInArrow(build, schema)
+
+
+def _emit_windows_arrow(pa, table, x, order, sel, win_ids, seq_len, source_col, ts_col):
+    """Shared Arrow output builder for the window kernels: gather the
+    selected windows out of the (n, f) float32 matrix `x` (rows already
+    in `order`), and emit (source, win_id, start_ts, end_ts, window) as
+    a pyarrow Table whose nested list column is built from ONE flat
+    float32 buffer + two arithmetic offset arrays — no per-row Python.
+    `sel` holds the ORDERED row index of each window start (empty → an
+    empty, correctly-typed table)."""
+    import pyarrow.compute as pc
+
+    f = x.shape[1]
+    n_win = len(sel)
+    sel = np.asarray(sel, dtype=np.int64)
+    gather = (sel[:, None] + np.arange(seq_len, dtype=np.int64)[None, :]).reshape(-1)
+    flat = np.ascontiguousarray(x[gather]).reshape(-1)
+    inner_off = pa.array(np.arange(n_win * seq_len + 1, dtype=np.int32) * np.int32(f))
+    inner = pa.ListArray.from_arrays(inner_off, pa.array(flat, type=pa.float32()))
+    outer_off = pa.array(np.arange(n_win + 1, dtype=np.int32) * np.int32(seq_len))
+    # cast to the non-null element fields the Spark schema declares
+    # (containsNull=False twice) — layout-only, no data copy
+    window = pa.ListArray.from_arrays(outer_off, inner).cast(
+        pa.list_(
+            pa.field(
+                "element",
+                pa.list_(pa.field("element", pa.float32(), nullable=False)),
+                nullable=False,
+            )
+        )
+    )
+
+    ts_sorted = pc.take(table.column(ts_col).combine_chunks(), pa.array(order))
+    starts = pc.take(ts_sorted, pa.array(sel))
+    ends = pc.take(ts_sorted, pa.array(sel + np.int64(seq_len - 1)))
+    if pa.types.is_timestamp(starts.type) and starts.type.tz is None:
+        # Spark hands the worker session-localized NAIVE timestamps but
+        # expects tz-aware ones back; the session tz is pinned UTC
+        # (session.py), so the cast is a metadata-only reinterpretation
+        # of the same epoch micros.
+        target = pa.timestamp(starts.type.unit, tz="UTC")
+        starts = starts.cast(target)
+        ends = ends.cast(target)
+    src0 = table.column(source_col).combine_chunks().slice(0, 1)
+    source = pc.take(src0, pa.array(np.zeros(n_win, dtype=np.int32)))
+    return pa.table(
+        {
+            "source": source,
+            "win_id": pa.array(win_ids, type=pa.int64()),
+            "start_ts": starts,
+            "end_ts": ends,
+            "window": window,
+        }
+    )
+
+
+def _windows_arrow_table(table, value_cols, seq_len, stride, source_col, ts_col, pa):
+    """sliding_windows' per-group kernel body (sequential numbering)."""
+    n = table.num_rows
+    ts_np = table.column(ts_col).combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(ts_np, kind="stable")
+    x = np.column_stack(
+        [
+            table.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            for c in value_cols
+        ]
+    ).astype(np.float32, copy=False)[order]
+    if n < seq_len:
+        sel = np.empty(0, dtype=np.int64)
+    else:
+        sel = np.arange(window_count(n, seq_len, stride), dtype=np.int64) * stride
+    return _emit_windows_arrow(
+        pa, table, x, order, sel, np.arange(len(sel), dtype=np.int64),
+        seq_len, source_col, ts_col,
+    )
 
 
 def add_series_positions(
@@ -212,39 +272,33 @@ def sliding_windows_salted(
     ).otherwise(F.array(chunk))
     exploded = df.withColumn("__own", F.explode(owners))
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(pos_col, kind="mergesort")
-        n = len(pdf)
-        empty = pd.DataFrame(
-            {
-                "source": pd.Series([], dtype=object),
-                "win_id": pd.Series([], dtype="int64"),
-                "start_ts": pd.Series([], dtype="datetime64[ns]"),
-                "end_ts": pd.Series([], dtype="datetime64[ns]"),
-                "window": pd.Series([], dtype=object),
-            }
-        )
+    def build(table):
+        import pyarrow as pa
+
+        n = table.num_rows
+        pos_np = table.column(pos_col).combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(pos_np, kind="stable")
+        x = np.column_stack(
+            [
+                table.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+                for c in value_cols
+            ]
+        ).astype(np.float32, copy=False)[order]
         if n < seq_len:
-            return empty
-        base = int(pdf["__own"].iloc[0]) * C
-        x = pdf[value_cols].to_numpy(dtype=np.float32)
-        w = np.lib.stride_tricks.sliding_window_view(x, (seq_len, x.shape[1]))[:, 0]
-        starts_local = np.arange(w.shape[0])
-        sel = np.nonzero(((base + starts_local) % stride == 0) & (starts_local < C))[0]
-        if sel.size == 0:
-            return empty
-        ts = pdf[ts_col].to_numpy()
-        return pd.DataFrame(
-            {
-                "source": pdf[source_col].iloc[0],
-                "win_id": (base + sel) // stride,
-                "start_ts": ts[sel],
-                "end_ts": ts[sel + seq_len - 1],
-                "window": [w[i] for i in sel],
-            }
+            sel = np.empty(0, dtype=np.int64)
+            win_ids = sel
+        else:
+            base = int(table.column("__own").combine_chunks()[0].as_py()) * C
+            starts_local = np.arange(n - seq_len + 1, dtype=np.int64)
+            sel = np.nonzero(
+                ((base + starts_local) % stride == 0) & (starts_local < C)
+            )[0].astype(np.int64)
+            win_ids = (base + sel) // stride
+        return _emit_windows_arrow(
+            pa, table, x, order, sel, win_ids, seq_len, source_col, ts_col
         )
 
-    return exploded.groupBy(source_col, "__own").applyInPandas(build, schema)
+    return exploded.groupBy(source_col, "__own").applyInArrow(build, schema)
 
 
 def inverse_window_np(batched: np.ndarray, method: str = "keep_first") -> np.ndarray:
