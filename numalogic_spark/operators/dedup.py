@@ -210,6 +210,64 @@ def char_shingle_codes(text_col: str | Column, n: int = 3, distinct: bool = True
     return let_bind(chars, codes)
 
 
+def char_shingle_codes_kernel(n: int = 3, distinct: bool = True):
+    """Arrow-vectorized twin of char_shingle_codes: same injective long
+    encoding, same values in the same order (first-occurrence distinct),
+    computed as one batched codepoint-matrix pass instead of per-char
+    interpreted higher-order functions (split + ascii + element_at per
+    shingle position never enter codegen — the same JIT-hostility that
+    made the minhash signature kernel the default; the shingling was the
+    remaining interpreted stage of the LSH pipeline).
+
+    The input column must already be LOWERCASED JVM-side (F.lower) so
+    case folding cannot diverge between JVM and Python Unicode tables.
+    Returns a pandas_udf: string → array<long>; NULL text → [0], exactly
+    like the expression path (greatest(length(NULL)-2, 1) is 1, and every
+    out-of-range lookup coalesces to 0)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = SHINGLE_BASE
+
+    def codes(texts):
+        arr = ["" if t is None else t for t in texts.to_numpy()]
+        result: list = [None] * len(arr)
+        live = list(range(len(arr)))
+        if live:
+            vals = [arr[i] for i in live]
+            # fixed-width UCS4 view: one codepoint per cell, zero-padded —
+            # the padding IS the try_element_at-out-of-range → 0 semantics
+            U = np.array(vals, dtype="U")
+            width = U.dtype.itemsize // 4
+            m = len(vals)
+            if width == 0:  # all-empty batch: every text encodes to [0]
+                for i in live:
+                    result[i] = np.zeros(1, dtype=np.int64)
+            else:
+                M = np.concatenate(
+                    [
+                        U.view(np.uint32).reshape(m, width).astype(np.int64),
+                        np.zeros((m, n - 1), dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                C = M[:, : width]
+                for j in range(1, n):
+                    C = C * B + M[:, j : width + j]
+                lens = np.fromiter((len(t) for t in vals), dtype=np.int64, count=m)
+                nidx = np.maximum(lens - (n - 1), 1)
+                for row, i, k in zip(C, live, nidx):
+                    r = row[:k]
+                    if distinct:
+                        _, first = np.unique(r, return_index=True)
+                        r = r[np.sort(first)]
+                    result[i] = r
+        return pd.Series(result, dtype=object)
+
+    codes.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(codes, "array<long>")
+
+
 def minhash_signature(codes_col: Column | str, num_hashes: int = 64, seed: int = 1) -> Column:
     """k-permutation MinHash over int-encoded shingles:
     sig[i] = min over shingles of (a_i·(code mod p) + b_i) mod p.
@@ -427,6 +485,13 @@ def minhash_lsh_pairs(
     # (true of the test corpora and of normalize_text output, which strips
     # control chars).
     nonempty = df.filter(F.col(text_col).rlike(r"\S"))
+    if use_kernel is None:
+        use_kernel = True
+    # shingle encoding stays the JVM expression: an Arrow kernel twin
+    # (char_shingle_codes_kernel) was built and measured bit-identical,
+    # but end-to-end it is parity — the codes ride a localCheckpoint, so
+    # the expression runs once and the kernel's Arrow round-trip of the
+    # ~40 MB code arrays costs what the interpreted HOFs cost.
     base = ensure_parallelism(nonempty).select(
         F.col(id_col).alias("id"), char_shingle_codes(text_col, shingle_n).alias("codes")
     )
@@ -455,8 +520,6 @@ def minhash_lsh_pairs(
     # every probed session) at the cost of one Arrow round-trip; pass
     # use_kernel=False to force the expression path (bit-identical values,
     # avoids Python workers entirely — right for tiny ad-hoc calls).
-    if use_kernel is None:
-        use_kernel = True
     if use_kernel:
         sig_col = minhash_signature_kernel(num_hashes, seed)(F.col("codes"))
     else:
@@ -1420,63 +1483,79 @@ def duplicate_ngram_spans(
     )
     # Per-doc multiplicity WITHOUT a (gram, doc) shuffle: each input row
     # IS one document, so the per-doc gram counts are a row-local
-    # run-length encode of the sorted gram array (all JVM higher-order
-    # functions, O(k) per doc). The old shape shuffled the raw exploded
-    # grams into a groupBy(gram, doc), persisted it, and re-shuffled it
-    # for a semi-join against the flagged grams — four exchange passes.
-    # This shape has exactly TWO: one gram-partitioned window (doc
-    # frequency inline — the rle rows are per-doc-unique, so count(*)
-    # per gram IS docs-per-gram) and one doc-level aggregation that
-    # yields totals and dup counts together (Σc per doc == gram-start
-    # count). Measured 9.2 s → ~5 s at sf0.1. Per-doc pre-dedup still
-    # bounds the pathological all-docs-share-a-gram key by doc count.
-    # let-bind _ss and _st (exprs.let_bind): chained withColumns COLLAPSE
-    # into one projection, re-expanding every _ss/_st reference to its
-    # full subtree — element_at(_st, j) inside the transform lambda would
-    # re-run the whole filter+sort per element, O(k²) with array_sort
-    # re-evaluations (observed as a wedged single task on real docs).
-    # Lambda variables are bound once per row.
-    def _starts(ss: Column) -> Column:
-        # if() guard: sequence(1, 0) DESCENDS to [1, 0] on an empty gram
-        # array and the 0 index is an error, not a null
-        return F.when(
-            F.size(ss) > 0,
-            F.filter(
-                F.sequence(F.lit(1), F.size(ss)),
-                lambda i: (i == 1)
-                | (
-                    F.element_at(ss, i.cast("int"))
-                    != F.element_at(ss, F.greatest(i - 1, F.lit(1)).cast("int"))
-                ),
-            ),
-        ).otherwise(F.array().cast("array<int>"))
+    # run-length encode of the sorted gram array. This shape has exactly
+    # TWO exchanges: one gram-partitioned window (doc frequency inline —
+    # the rle rows are per-doc-unique, so count(*) per gram IS
+    # docs-per-gram) and one doc-level aggregation that yields totals and
+    # dup counts together (Σc per doc == gram-start count). Per-doc
+    # pre-dedup still bounds the pathological all-docs-share-a-gram key
+    # by doc count.
+    #
+    # The rle itself runs as a mapInArrow kernel, NOT JVM higher-order
+    # functions: the HOF chain (array_sort of ~1k digests per doc +
+    # filter/transform with per-element element_at) is interpreted —
+    # HOFs never enter whole-stage codegen — and profiled as ~80% of the
+    # whole query (~4 s of ~5 at sf0.1; the digest computation itself is
+    # < 1 s). The kernel flattens each Arrow batch's gram lists into one
+    # flat array (md5 digests are fixed-width 32-byte ASCII, so the
+    # string column's data buffer reinterprets as numpy S32 zero-copy),
+    # lexsorts (doc, gram) once vectorized, and emits run boundaries.
+    # Batches never split a row, so per-doc runs stay batch-local.
+    gram_is_str = hash_mode == "md5"
+    id_t = df.schema[id_col].dataType.simpleString()
+    ex_schema = (
+        f"doc_id {id_t}, gram binary, c long"
+        if gram_is_str
+        else f"doc_id {id_t}, gram bigint, c long"
+    )
 
-    def _rle_of(ss: Column) -> Column:
-        def body(st: Column) -> Column:
-            return F.transform(
-                st,
-                lambda s, j: F.struct(
-                    F.element_at(ss, s.cast("int")).alias("gram"),
-                    (
-                        F.when(
-                            j + F.lit(2) <= F.size(st),
-                            F.element_at(st, (j + F.lit(2)).cast("int")),
-                        ).otherwise(F.size(ss) + F.lit(1))
-                        - s
-                    ).alias("c"),
-                ),
+    def _rle_batches(it):
+        import pyarrow as pa
+
+        for b in it:
+            doc = b.column(0)
+            lists = b.column(1)
+            flat = lists.flatten()
+            m = len(flat)
+            if m == 0:
+                continue
+            offs = lists.offsets.to_numpy(zero_copy_only=False)
+            offs = offs - offs[0]
+            docidx = np.repeat(
+                np.arange(len(doc), dtype=np.int64), np.diff(offs)
+            )
+            if gram_is_str:
+                bufs = flat.buffers()
+                soffs = np.frombuffer(
+                    bufs[1], dtype=np.int32, count=m + 1, offset=flat.offset * 4
+                )
+                if (np.diff(soffs) == 32).all():
+                    g = np.frombuffer(
+                        bufs[2], dtype="S32", count=m, offset=int(soffs[0])
+                    )
+                else:  # defensive: md5 hex is always 32 ASCII chars
+                    g = np.asarray(flat.to_pylist(), dtype="S32")
+            else:
+                g = flat.to_numpy(zero_copy_only=False)
+            order = np.lexsort((g, docidx))
+            g_s, d_s = g[order], docidx[order]
+            new = np.empty(m, dtype=bool)
+            new[0] = True
+            new[1:] = (d_s[1:] != d_s[:-1]) | (g_s[1:] != g_s[:-1])
+            starts = np.nonzero(new)[0]
+            c = np.diff(starts, append=np.int64(m))
+            import pyarrow.compute as pc
+
+            yield pa.record_batch(
+                [
+                    pc.take(doc, pa.array(d_s[starts])),
+                    pa.array(g_s[starts]),
+                    pa.array(c, type=pa.int64()),
+                ],
+                names=["doc_id", "gram", "c"],
             )
 
-        return let_bind(_starts(ss), body)
-
-    ex = (
-        base.select(
-            "doc_id",
-            let_bind(F.array_sort("_gs"), _rle_of).alias("_rle"),
-        )
-        .select("doc_id", F.explode("_rle").alias("_r"))
-        .select("doc_id", F.col("_r.gram").alias("gram"), F.col("_r.c").alias("c"))
-    )
+    ex = base.mapInArrow(_rle_batches, ex_schema)
     wg = Window.partitionBy("gram")
     flagged = ex.withColumn("nd", F.count(F.lit(1)).over(wg))
     per_doc = flagged.groupBy("doc_id").agg(

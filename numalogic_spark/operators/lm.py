@@ -111,30 +111,34 @@ def bigram_perplexity(
         v_sm = float(len(vocab_words) + 1)  # smoothing denominator: vocab + <unk>
         vocab = spark.createDataFrame([(w,) for w in vocab_words], "word string")
 
-        # bigrams JVM-side: pair array → explode → per-doc raw counts →
-        # OOV-map via two broadcast joins → per-doc mapped counts
+        # bigrams JVM-side: pair array → explode → OOV-map via two
+        # broadcast joins (no exchange) → ONE per-doc mapped-count
+        # aggregation. Folding to <unk> BEFORE the first groupBy collapses
+        # what used to be two count exchanges (raw counts, then mapped
+        # re-counts) into one — counting mapped pairs directly is
+        # identical to summing raw counts per mapped key.
         pairs = F.expr(
             "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
             "(w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"
         )
-        bgc = (
-            warr.select("doc_id", F.explode(pairs).alias("p"))
-            .groupBy("doc_id", F.col("p.w1").alias("w1r"), F.col("p.w2").alias("w2r"))
-            .agg(F.count(F.lit(1)).alias("k"))
-        )
         v1 = F.broadcast(vocab.withColumnRenamed("word", "w1r").withColumn("in1", F.lit(True)))
         v2 = F.broadcast(vocab.withColumnRenamed("word", "w2r").withColumn("in2", F.lit(True)))
         docb = (
-            bgc.join(v1, "w1r", "left")
+            warr.select("doc_id", F.explode(pairs).alias("p"))
+            .select(
+                "doc_id",
+                F.col("p.w1").alias("w1r"),
+                F.col("p.w2").alias("w2r"),
+            )
+            .join(v1, "w1r", "left")
             .join(v2, "w2r", "left")
             .select(
                 "doc_id",
                 F.when(F.col("in1"), F.col("w1r")).otherwise(F.lit(UNK)).alias("w1"),
                 F.when(F.col("in2"), F.col("w2r")).otherwise(F.lit(UNK)).alias("w2"),
-                "k",
             )
             .groupBy("doc_id", "w1", "w2")
-            .agg(F.sum("k").alias("k"))
+            .agg(F.count(F.lit(1)).alias("k"))
             .persist()
         )
         docb.count()  # materialize from the tokenize cache, then drop it

@@ -293,6 +293,42 @@ def test_minhash_kernel_equals_expression(spark, corpus):
     assert both.count() > 0
 
 
+def test_shingle_kernel_equals_expression(spark, corpus):
+    """The Arrow shingle-codes kernel must produce bit-identical code
+    arrays (values AND first-occurrence order) to the interpreted-HOF
+    expression path, including unicode, empty, null and whitespace-only
+    texts, for both distinct modes."""
+    from pyspark.sql import functions as F
+
+    from numalogic_spark.operators.dedup import (
+        char_shingle_codes,
+        char_shingle_codes_kernel,
+    )
+
+    df, _ = corpus
+    edge = spark.createDataFrame(
+        [
+            ("e1", ""),
+            ("e2", None),
+            ("e3", "ab"),
+            ("e4", "café résumé 你好 \U0001F600"),
+            ("e5", "ABC abc AbC"),
+        ],
+        "doc_id string, text string",
+    )
+    full = df.select("doc_id", "text").unionByName(edge)
+    for dist in (True, False):
+        both = full.select(
+            "doc_id",
+            char_shingle_codes("text", 3, distinct=dist).alias("e"),
+            char_shingle_codes_kernel(3, distinct=dist)(
+                F.lower(F.col("text"))
+            ).alias("k"),
+        )
+        assert both.filter(~F.col("e").eqNullSafe(F.col("k"))).count() == 0
+        assert both.count() > 0
+
+
 def test_ngram_contamination(spark):
     """Decontamination: a test doc sharing a contiguous 5-gram with the
     train corpus scores its exact overlap fraction; disjoint docs score 0;
