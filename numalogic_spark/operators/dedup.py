@@ -1429,6 +1429,7 @@ def duplicate_ngram_spans(
     n: int = 8,
     min_docs: int = 2,
     hash_mode: str = "xxhash64",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Cross-document duplicate n-gram detection (the exact-substring
     dedup signal of Lee et al., "Deduplicating Training Data Makes
@@ -1588,4 +1589,5 @@ def duplicate_ngram_spans(
         .alias("dup_frac"),
     )
     # doc-count-sized result; materialize so callers can fan out cheaply
-    return out.localCheckpoint(eager=True)
+    # (checkpoint=False keeps the full lineage visible for plan audits)
+    return out.localCheckpoint(eager=True) if checkpoint else out
