@@ -61,25 +61,29 @@ def nb_train(
     mass is ln(alpha / (T_l + alpha·(V+1))). All three are quantized to
     6dp at train time so score sums are engine-exact.
     """
-    # Tokenize the corpus EXACTLY ONCE: persist the word-array frame (the
-    # regex split/lower is the expensive part; explode from cache is cheap)
-    # so the vocabulary pass and the per-(word,label) count pass share it.
-    # The earlier shape re-ran full tokenization three times (wc, in_vocab,
-    # totals) — at 100 TB that is three corpus jobs instead of one.
-    warr = df.select(F.col(label_col).alias("label"), _words(text_col).alias("ws"))
-    warr = warr.persist()
-    wc = (
-        warr.select(F.explode("ws").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE token-stream aggregation total: per-(word, label) counts. The
+    # vocabulary derives from them (Σ_l c_{w,l} IS the corpus word count,
+    # same (cnt desc, word asc) tie-break), so the earlier separate
+    # vocabulary pass — a second shuffle of the full token stream plus a
+    # persisted word-array cache — is gone; at 100 TB that is one corpus
+    # shuffle instead of two and no corpus-sized cache write. The
+    # aggregated (word, label) table is realized-vocabulary-sized, stays
+    # in executor cache only until the capped model is cut from it.
+    wl_all = (
+        df.select(F.col(label_col).alias("label"), F.explode(_words(text_col)).alias("word"))
+        .groupBy("word", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     # collect the capped vocabulary ONCE (≤ max_vocab strings — driver-sized
     # by construction) and rebuild it as a literal frame: leaving it as a
-    # lazy TakeOrdered subtree would re-run the full corpus tokenization
-    # under every downstream lineage (vocab.count, in_vocab, grid).
+    # lazy TakeOrdered subtree would re-run the full corpus aggregation
+    # under every downstream lineage (in_vocab filter, grid).
     vocab_words = [
         r["word"]
-        for r in wc.orderBy(F.col("cnt").desc(), F.col("word"))
+        for r in wl_all.groupBy("word")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(int(max_vocab))
         .collect()
     ]
@@ -87,15 +91,12 @@ def nb_train(
     vocab = df.sparkSession.createDataFrame(
         [(w,) for w in vocab_words], "word string"
     )
-    tok = warr.select("label", F.explode("ws").alias("word"))
-    in_vocab = tok.join(F.broadcast(vocab), "word")
-    wl = in_vocab.groupBy("word", "label").agg(F.count(F.lit(1)).alias("c"))
-    # Materialize wl eagerly (≤ V·L rows — model-sized, tiny) and release
-    # the token cache; every downstream consumer (totals, grid, likelihoods,
-    # the returned frames) now reads the checkpointed counts, never the
-    # corpus.
-    wl = wl.localCheckpoint()
-    warr.unpersist()
+    # Materialize the capped model eagerly (≤ V·L rows — model-sized,
+    # tiny) and release the full count cache; every downstream consumer
+    # (totals, grid, likelihoods, the returned frames) now reads the
+    # checkpointed counts, never the corpus.
+    wl = wl_all.join(F.broadcast(vocab), "word").localCheckpoint()
+    wl_all.unpersist()
     # totals is derivable from wl (Σ c per label == in-vocab token count) —
     # the earlier separate in_vocab aggregation was a whole corpus pass for
     # a value already present in the model counts.
@@ -149,12 +150,17 @@ def nb_score(
     prior-only argmax. Labels come from the model, not the data.
 
     Shape: the model is label-PIVOTED at plan-build time (the label list
-    is model-sized, collected once), so the scoring aggregation carries
-    one row per (doc, distinct word) with L decimal columns instead of
-    exploding every word occurrence × L labels through the shuffle — the
-    per-doc groupBy's map-side combine then ships ~n_docs rows. The sums
-    are exact decimal arithmetic either way (k·lp ≡ k summands of lp),
-    so scores are bit-identical to the occurrence-exploded form."""
+    is model-sized, collected once), so scoring is ONE exchange over the
+    token stream: exploded words broadcast-join their L-column
+    log-likelihood row (map-side, no shuffle) and flow straight into the
+    per-doc groupBy, whose map-side combine ships ~n_docs rows. Decimal
+    addition is exact and order-independent, so summing each occurrence
+    is bit-identical to the earlier (doc, word)-pre-aggregated k·lp form
+    — which cost a second full exchange of the token stream for nothing
+    the combiner wasn't already doing. The argmax is an inline
+    fixed-arity `greatest` over (score, label-priority) structs — no
+    label explode, no rank window (that shape re-shuffled and sorted
+    n_docs·L rows just to pick each row's max)."""
     pr = sorted(
         priors.select("label", "log_prior", "log_unk").collect(),
         key=lambda r: r["label"],
@@ -164,48 +170,41 @@ def nb_score(
     lik_w = likelihoods.groupBy("word").pivot("label", labels).agg(F.first("log_p"))
 
     tok = df.select(F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("word"))
-    wcnt = tok.groupBy("id", "word").agg(F.count(F.lit(1)).alias("k"))
     contribs = [
-        (
-            F.col("k")
-            * F.coalesce(
-                F.col(f"`{lbl}`").cast(dec), F.lit(r["log_unk"]).cast(dec)
-            )
-        ).alias(f"_c{i}")
+        F.coalesce(F.col(f"`{lbl}`").cast(dec), F.lit(r["log_unk"]).cast(dec)).alias(
+            f"_c{i}"
+        )
         for i, (lbl, r) in enumerate(zip(labels, pr))
     ]
     sums = (
-        wcnt.join(F.broadcast(lik_w), "word", "left")
+        tok.join(F.broadcast(lik_w), "word", "left")
         .select("id", *contribs)
         .groupBy("id")
         .agg(*[F.sum(f"_c{i}").cast(dec).alias(f"_s{i}") for i in range(len(labels))])
     )
-    # prior-only arms keep zero-word docs scoreable
-    arms = F.array(
-        *[
-            F.struct(
-                F.lit(lbl).alias("label"),
-                (
-                    F.lit(r["log_prior"]).cast(dec)
-                    + F.coalesce(F.col(f"_s{i}"), F.lit(0).cast(dec))
-                ).alias("score"),
-            )
-            for i, (lbl, r) in enumerate(zip(labels, pr))
-        ]
-    )
-    scored = (
+    # prior-only arms keep zero-word docs scoreable; `pri` = reversed
+    # label index so the lexicographic struct max realizes the
+    # (score desc, label asc) tie-break: equal scores pick the higher
+    # priority = the earlier (smaller) label. Labels are distinct, so
+    # (score, pri) is always decisive.
+    arms = [
+        F.struct(
+            (
+                F.lit(r["log_prior"]).cast(dec)
+                + F.coalesce(F.col(f"_s{i}"), F.lit(0).cast(dec))
+            ).alias("score"),
+            F.lit(len(labels) - 1 - i).alias("pri"),
+            F.lit(lbl).alias("label"),
+        )
+        for i, (lbl, r) in enumerate(zip(labels, pr))
+    ]
+    best = F.greatest(*arms) if len(arms) > 1 else arms[0]
+    return (
         df.select(F.col(id_col).alias("id"))
         .join(sums, "id", "left")
-        .select("id", F.explode(arms).alias("x"))
-        .select("id", F.col("x.label").alias("label"), F.col("x.score").alias("score"))
-    )
-    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("label"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
         .select(
             F.col("id").alias(id_col),
-            F.col("label").alias("pred"),
-            F.col("score").cast("double").alias("score"),
+            best["label"].alias("pred"),
+            best["score"].cast("double").alias("score"),
         )
     )
