@@ -178,11 +178,24 @@ def gen_tokens_spark(
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
 
+    # Sub-chunk each incoming id batch: the input rows are 8-byte ids, so
+    # neither Arrow batch cap protects this kernel's memory — the byte cap
+    # (spark.sql.execution.arrow.maxBytesPerBatch, input-side) sees ~800 KB
+    # where the kernel then materializes ~4 KB of tokens PER ID (a 100k-id
+    # batch peaked at ~4 GB transient per worker and the kernel OOM-killer
+    # shot 32 parallel workers). Chunking inside the kernel bounds the
+    # expansion at ~40 MB per yield regardless of the session's record cap;
+    # chunks are consecutive slices yielded in order, so the row stream per
+    # partition is byte-identical to the unchunked form.
+    CHUNK_IDS = 10_000
+
     def gen(batches):
         for pdf in batches:
-            out = _rows_for_ids(pdf["id"].to_numpy(), spec)
-            if len(out):
-                yield out
+            ids = pdf["id"].to_numpy()
+            for lo in range(0, len(ids), CHUNK_IDS):
+                out = _rows_for_ids(ids[lo : lo + CHUNK_IDS], spec)
+                if len(out):
+                    yield out
 
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, TOKEN_SCHEMA)
 

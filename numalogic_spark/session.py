@@ -53,12 +53,20 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bigger Arrow batches amortize per-batch framing on the grouped
-        # kernels (pack fill, window build, AE scoring: measured 5-20%);
-        # Spark 4's maxBytesPerBatch (64 MB default) still bounds memory
-        # for fat rows (token arrays, image blobs), so the record cap can
-        # sit high without risking worker OOM on wide batches
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # Arrow batch record cap: 10k, deliberately. A 100k raise was
+        # shipped on a claimed 5-20% grouped-kernel framing win, then
+        # OOM-crashed the bench's datagen (thin 8-byte-id input rows each
+        # expand to ~4 KB of tokens INSIDE the kernel — the input-side
+        # byte cap (maxBytesPerBatch, 64 MB default, closes a batch when
+        # EITHER cap is hit) never sees the expansion, and 32 workers at
+        # ~4 GB transient each tripped the kernel OOM killer). Controlled
+        # back-to-back A/B at both values (pack fill, window build,
+        # SemDeDup, AE scoring; 4 reps each) shows 10k EQUAL OR BETTER on
+        # every row (e.g. salted pack 2.80 s vs 3.30 s warm) — the
+        # claimed win was machine-state noise. datagen additionally
+        # sub-chunks its ids (datagen.py) so its peak memory no longer
+        # depends on this cap at all.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
